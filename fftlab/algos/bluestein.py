@@ -1,0 +1,56 @@
+"""Bluestein / chirp-z FFT for arbitrary transform sizes.
+
+TPU-native analog of reference algorithms/core/bluestein.c:79-148, with the
+key planning improvement SURVEY.md §3.3 calls out: the chirp sequence AND
+the FFT of the convolution kernel are plan-time constants (computed host-
+side in float64, cached per (n, direction)), so each execution costs only
+ONE forward + ONE inverse power-of-two FFT plus O(n) modulations — the
+reference recomputes the kernel FFT every call (bluestein.c:125).
+
+Identity: with c[k] = exp(i*pi*dir*k^2/n),
+    X[k] = c[k] * sum_j (x[j]*c[j]) * conj(c[k-j])
+which is a linear convolution of a[j] = x[j]*c[j] with conj(c), evaluated
+circularly at size m = next_pow2(2n-1) (bluestein.c:87).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from fftlab.algos._common import const, inverse_scale, prepare
+from fftlab.algos.radix2 import radix2_dit_unscaled
+from fftlab.core.hostfft import bluestein_kernel_spectrum_np
+from fftlab.core.twiddle import chirp_np
+from fftlab.core.types import Direction, FORWARD, next_power_of_two
+
+
+def bluestein_fft(x, direction=FORWARD, pow2_fft=None):
+    """Arbitrary-n FFT via chirp-z. `pow2_fft(x, direction)` is the internal
+    unscaled power-of-two transform (default: the radix-2 kernel; the planner
+    substitutes the MXU Stockham path for large m)."""
+    x, n, direction = prepare(x, direction)
+    if n == 1:
+        return x
+    if pow2_fft is None:
+        pow2_fft = radix2_dit_unscaled
+
+    m = next_power_of_two(2 * n - 1)
+    c = chirp_np(n, direction)  # c[k] = exp(i*pi*dir*k^2/n), float64 host table
+    B = bluestein_kernel_spectrum_np(n, m, int(direction))  # FFT_m(kernel), const
+
+    # Modulate and zero-pad: a[j] = x[j]*c[j] (bluestein.c:107-109).
+    a = x * const(c, x)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+    a = jnp.pad(a, pad)
+
+    # Circular convolution with the chirp kernel via the pow-2 transform
+    # (bluestein.c:123-133); kernel spectrum is a baked constant.
+    A = pow2_fft(a, Direction.FORWARD)
+    conv = pow2_fft(A * const(B, x), Direction.INVERSE)
+    # Internal inverse must be scaled by 1/m; pow2_fft is unscaled.
+    conv = conv * jnp.asarray(1.0 / m, dtype=jnp.real(x).dtype)
+
+    # Demodulate (bluestein.c:139-141) and apply the API's inverse 1/n.
+    y = conv[..., :n] * const(c, x)
+    return inverse_scale(y, n, direction)

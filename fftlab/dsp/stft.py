@@ -1,0 +1,97 @@
+"""Short-time Fourier transform and inverse.
+
+TPU-native analog of the reference's streaming hop/overlap machinery
+(examples/realtime_analyzer.c:58-93: circular buffer + hop-size trigger +
+window -> FFT). Batched formulation: ALL frames are produced by one
+strided gather and transformed as a batch — the frame axis is the natural
+sharding axis for the distributed version (dist/stft.py).
+
+Defaults mirror the realtime analyzer config (realtime_analyzer.c:229-235):
+fft_size=2048, hop=512 (75% overlap), Hann window.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from fftlab.algos.real_fft import irfft, rfft
+from fftlab.core.types import Direction, complex_dtype_for
+from fftlab.core.window import get_window
+
+
+def frame_signal(x, frame_size: int, hop: int, pad: bool = True):
+    """[..., n] -> [..., n_frames, frame_size] via one gather."""
+    x = jnp.asarray(x)
+    n = int(x.shape[-1])
+    if pad:
+        n_frames = max(-(-max(n - frame_size, 0) // hop) + 1, 1)
+        total = (n_frames - 1) * hop + frame_size
+        padding = [(0, 0)] * (x.ndim - 1) + [(0, total - n)]
+        x = jnp.pad(x, padding)
+    else:
+        n_frames = (n - frame_size) // hop + 1
+    starts = np.arange(n_frames) * hop
+    idx = starts[:, None] + np.arange(frame_size)[None, :]
+    return x[..., idx]
+
+
+def stft(x, fft_size: int = 2048, hop: int = 512, window="hann", cfft=None):
+    """Real-input STFT: [..., n] -> complex [..., n_frames, fft_size//2+1]."""
+    frames = frame_signal(x, fft_size, hop)
+    w = jnp.asarray(get_window(window, fft_size), dtype=frames.dtype)
+    return rfft(frames * w, cfft)
+
+
+def stft_complex(x, fft_size: int = 2048, hop: int = 512, window="hann", cfft=None):
+    """Complex-input STFT returning the full fft_size spectrum per frame."""
+    if cfft is None:
+        from fftlab.algos.stockham import stockham_fft as cfft
+    frames = frame_signal(x, fft_size, hop)
+    cdtype = complex_dtype_for(frames.dtype)
+    w = jnp.asarray(get_window(window, fft_size))
+    return cfft((frames * w).astype(cdtype), Direction.FORWARD)
+
+
+def istft(S, fft_size: int = 2048, hop: int = 512, window="hann",
+          length: int | None = None, cfft=None):
+    """Inverse STFT by windowed overlap-add with COLA normalization.
+
+    S: [..., n_frames, fft_size//2+1] complex -> real [..., length].
+    """
+    S = jnp.asarray(S)
+    n_frames = int(S.shape[-2])
+    w = np.asarray(get_window(window, fft_size))
+    frames = irfft(S, n=fft_size, cfft=cfft) * jnp.asarray(w, dtype=jnp.float32 if S.dtype == jnp.complex64 else jnp.float64)
+
+    total = (n_frames - 1) * hop + fft_size
+    out = jnp.zeros((*S.shape[:-2], total), dtype=frames.dtype)
+    norm = np.zeros(total)
+    for f in range(n_frames):  # static unroll (n_frames is trace-time)
+        out = out.at[..., f * hop : f * hop + fft_size].add(frames[..., f, :])
+        norm[f * hop : f * hop + fft_size] += w * w
+    out = out / jnp.asarray(np.maximum(norm, 1e-10), dtype=out.dtype)
+    if length is not None:
+        out = out[..., :length]
+    return out
+
+
+def spectrogram(x, fft_size: int = 2048, hop: int = 512, window="hann",
+                averaging: int = 1, cfft=None):
+    """Magnitude spectrogram with optional exponential frame averaging
+    (the EMA of realtime_analyzer.c:75-91, vectorized as a cumulative
+    filter when averaging > 1)."""
+    S = stft(x, fft_size, hop, window, cfft)
+    mag = jnp.abs(S)
+    if averaging > 1:
+        alpha = 1.0 / averaging
+        import jax
+
+        def ema(carry, m):
+            carry = (1 - alpha) * carry + alpha * m
+            return carry, carry
+
+        init = mag[..., 0, :]
+        _, out = jax.lax.scan(ema, init, jnp.moveaxis(mag, -2, 0))
+        mag = jnp.moveaxis(out, 0, -2)
+    return mag

@@ -1,0 +1,166 @@
+"""Public plan/execute API.
+
+TPU-native analog of the reference v2 API (include/fft_auto.h:43-194,
+algorithms/auto/fft_auto.c): `fft_auto` one-shot, plan create/execute/
+destroy, r2c/c2r/2D plans — with every reference stub or bug implemented
+correctly:
+
+- r2c plans work (the reference's has a use-after-free, fft_auto.c:391-403);
+- c2r plans work (reference returns NULL, fft_auto.c:405-408);
+- 2D plans work (reference returns NULL, fft_auto.c:411-415);
+- executors actually use the precomputed tables (the reference precomputes
+  twiddles/bit-reverse tables it never reads, fft_auto.c:199-212 vs 250-283);
+- the plan's direction is respected everywhere (the reference GPU path
+  hardcodes FORWARD, fft_gpu.c:252,258).
+
+A Plan here is a frozen decomposition choice + a jitted callable; "destroy"
+is garbage collection (kept as a no-op method for API parity). Plans are
+cached per (kind, n, dtype, direction, config), which is the JAX-native
+analog of FFTW plan reuse: the second call with the same signature hits the
+XLA compilation cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fftlab.core.types import Direction, FORWARD, INVERSE, complex_dtype_for
+from fftlab.plan.flags import Flags, PlanConfig
+from fftlab.plan.planner import select_algorithm
+
+
+@dataclasses.dataclass(frozen=True)
+class Plan:
+    """An executable transform plan (opaque `struct fft_plan` analog,
+    fft_auto.c:19-47)."""
+
+    kind: str  # 'c2c' | 'r2c' | 'c2r' | 'c2c_2d'
+    n: Any  # int or (rows, cols)
+    direction: Direction
+    dtype: Any
+    algorithm: str
+    config: PlanConfig
+    fn: Callable = dataclasses.field(compare=False)
+
+    def execute(self, x):
+        """fft_execute analog (fft_auto.c:241-283) — purely functional."""
+        return self.fn(x)
+
+    __call__ = execute
+
+    def destroy(self) -> None:
+        """fft_destroy_plan analog — a no-op; plans are immutable values."""
+
+    def describe(self) -> str:
+        return (
+            f"Plan(kind={self.kind}, n={self.n}, dir={self.direction.name}, "
+            f"algorithm={self.algorithm}, dtype={np.dtype(self.dtype).name})"
+        )
+
+
+def _registry():
+    from fftlab.algos import build_registry
+
+    return build_registry()
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_plan(kind: str, n, direction: Direction, dtype_str: str,
+                 config: PlanConfig) -> Plan:
+    dtype = np.dtype(dtype_str)
+    if kind == "c2c":
+        algo = select_algorithm(n, direction, dtype, config)
+        base = _registry()[algo].fn
+        fn = jax.jit(functools.partial(base, direction=direction))
+    elif kind == "r2c":
+        from fftlab.algos.real_fft import rfft
+
+        algo = "rfft[" + select_algorithm(max(n // 2, 1), FORWARD, dtype, config) + "]"
+        fn = jax.jit(rfft)
+    elif kind == "c2r":
+        from fftlab.algos.real_fft import irfft
+
+        algo = "irfft[" + select_algorithm(max(n // 2, 1), INVERSE, dtype, config) + "]"
+        fn = jax.jit(functools.partial(irfft, n=n))
+    elif kind == "c2c_2d":
+        from fftlab.algos.fft2d import fft2
+
+        rows, cols = n
+        algo = (
+            select_algorithm(rows, direction, dtype, config)
+            + "x"
+            + select_algorithm(cols, direction, dtype, config)
+        )
+        fn = jax.jit(functools.partial(fft2, direction=direction))
+    else:
+        raise ValueError(f"unknown plan kind {kind!r}")
+    return Plan(kind, n, direction, dtype, algo, config, fn)
+
+
+def plan_dft_1d(n: int, direction=FORWARD, flags: Flags = Flags.ESTIMATE,
+                dtype=np.complex64, config: PlanConfig | None = None) -> Plan:
+    """fft_plan_dft_1d analog (fft_auto.h:43, fft_auto.c:175-238)."""
+    config = config or PlanConfig(flags=flags)
+    return _cached_plan("c2c", int(n), Direction(int(direction)), np.dtype(dtype).str, config)
+
+
+def plan_r2c_1d(n: int, flags: Flags = Flags.ESTIMATE, dtype=np.float32,
+                config: PlanConfig | None = None) -> Plan:
+    """Working real-to-complex plan (fixes fft_auto.c:391-403)."""
+    config = config or PlanConfig(flags=flags)
+    return _cached_plan("r2c", int(n), FORWARD, np.dtype(dtype).str, config)
+
+
+def plan_c2r_1d(n: int, flags: Flags = Flags.ESTIMATE, dtype=np.complex64,
+                config: PlanConfig | None = None) -> Plan:
+    """Working complex-to-real plan (fixes fft_auto.c:405-408)."""
+    config = config or PlanConfig(flags=flags)
+    return _cached_plan("c2r", int(n), INVERSE, np.dtype(dtype).str, config)
+
+
+def plan_dft_2d(rows: int, cols: int, direction=FORWARD,
+                flags: Flags = Flags.ESTIMATE, dtype=np.complex64,
+                config: PlanConfig | None = None) -> Plan:
+    """Working 2D plan (fixes fft_auto.c:411-415)."""
+    config = config or PlanConfig(flags=flags)
+    return _cached_plan(
+        "c2c_2d", (int(rows), int(cols)), Direction(int(direction)),
+        np.dtype(dtype).str, config,
+    )
+
+
+def execute(plan: Plan, x):
+    """fft_execute analog."""
+    return plan.execute(x)
+
+
+def fft_auto(x, direction=FORWARD, flags: Flags = Flags.ESTIMATE,
+             config: PlanConfig | None = None):
+    """One-shot transform: plan (cached) + execute (fft_auto.c:325-333)."""
+    x = jnp.asarray(x)
+    dtype = complex_dtype_for(x.dtype)
+    plan = plan_dft_1d(int(x.shape[-1]), direction, flags,
+                       dtype=dtype, config=config)
+    return plan.execute(x.astype(dtype))
+
+
+def fft(x, direction=FORWARD, algorithm: str | None = None,
+        flags: Flags = Flags.ESTIMATE):
+    """Primary user entry point: FFT over the last axis of [..., n].
+
+    `algorithm` forces a registry algorithm by name; default auto-selects
+    (the flagship MXU path for any size whose prime factors fit the leaf).
+    """
+    config = PlanConfig(flags=flags, algorithm=algorithm)
+    return fft_auto(x, direction, flags, config)
+
+
+def ifft(x, algorithm: str | None = None, flags: Flags = Flags.ESTIMATE):
+    """Inverse FFT with 1/n scaling."""
+    return fft(x, INVERSE, algorithm, flags)
