@@ -1,0 +1,90 @@
+"""Headline benchmark: batched 1M-point complex FFT throughput per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor (BASELINE.md): the reference's best published number is a
+1M-pt c2c FFT in 4.5 ms on an RTX 3090 via cuFFT (README.md:205), i.e.
+2^20 / 4.5e-3 = 0.233 Gsamples/s. `vs_baseline` is the speedup over that.
+
+The transform runs on the split re/im fast path (algos/split_stockham.py)
+— no complex dtype ever reaches the device (TPUs have no native complex;
+this environment's TPU backend rejects complex64 outright).
+
+Methodology mirrors the reference benchmark harness (benchmark_all.c:
+119-131): warm-up run (compile), timed iterations with device sync,
+median-of-k — plus an accuracy gate: the float32 result must reach
+>= 100 dB SNR against the float64 numpy oracle or the run reports failure
+(benchmark_all.c:152-157 analog).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from fftlab.algos.split_stockham import fft_split
+
+    n = 1 << 20
+    platform = jax.devices()[0].platform
+    batch = 16 if platform == "tpu" else 2
+    iters = 10 if platform == "tpu" else 3
+
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32)
+    fn = jax.jit(fft_split)
+
+    # Accuracy gate on one row (float32 SNR regime, simd_fft.c:362 analog).
+    gr, gi = fn(xr[:1], xi[:1])
+    got = np.asarray(gr[0], dtype=np.float64) + 1j * np.asarray(gi[0], dtype=np.float64)
+    want = np.fft.fft(
+        np.asarray(xr[0], dtype=np.float64) + 1j * np.asarray(xi[0], dtype=np.float64)
+    )
+    snr = 10 * np.log10(
+        np.sum(np.abs(want) ** 2) / max(np.sum(np.abs(got - want) ** 2), 1e-300)
+    )
+    if snr < 100.0:
+        print(json.dumps({
+            "metric": "fft_1m_batched_throughput", "value": 0.0,
+            "unit": "Gsamples/s", "vs_baseline": 0.0,
+            "error": f"accuracy gate failed: SNR {snr:.1f} dB < 100 dB",
+        }))
+        return
+
+    out = fn(xr, xi)  # compile + warm at full batch
+    jax.block_until_ready(out)
+    # Pipeline all iterations and sync once: the device link has tens of
+    # ms of round-trip latency, so per-iteration syncs would measure the
+    # tunnel, not the chip. Median over 3 outer repeats.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(xr, xi) for _ in range(iters)]
+        jax.block_until_ready(outs[-1])
+        times.append((time.perf_counter() - t0) / iters)
+    dt = float(np.median(times))
+    gsps = batch * n / dt / 1e9
+
+    baseline_gsps = (1 << 20) / 4.5e-3 / 1e9  # RTX 3090 cuFFT anchor
+    print(json.dumps({
+        "metric": "fft_1m_batched_throughput",
+        "value": round(gsps, 4),
+        "unit": "Gsamples/s",
+        "vs_baseline": round(gsps / baseline_gsps, 3),
+        "detail": {
+            "batch": batch, "n": n, "ms_per_batch": round(dt * 1e3, 3),
+            "snr_db": round(float(snr), 1), "platform": platform,
+            "baseline": "RTX3090 cuFFT 1M-pt in 4.5ms (README.md:205)",
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

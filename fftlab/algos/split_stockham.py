@@ -1,0 +1,208 @@
+"""Split re/im (structure-of-arrays) MXU FFT — the TPU fast path.
+
+TPUs have no native complex registers, and this environment's TPU backend
+rejects complex dtypes outright — so the flagship path carries complex
+data as two real float32 arrays, exactly the layout the reference's SIMD
+track chose (simd_fft.c:92-109, split re/im SoA) and SURVEY.md §7 mandates.
+
+Same algorithm as algos/stockham.py (mixed-radix digit decomposition, one
+MXU matmul per stage, digit-reversal as a single final transpose), with
+every complex operation expanded into real arithmetic:
+
+- stage contraction: (yr + i·yi) = (xr + i·xi) @ (Fr + i·Fi)^T becomes
+  four real einsums (MXU) at HIGHEST precision — TPU f32 matmuls default
+  to bf16 passes, which would cost ~60 dB of SNR on a 1M-point transform.
+- twiddle multiply: one fused VPU complex multiply on real planes.
+
+The default leaf is 128 (not 1024 as on the complex/CPU path): per-stage
+flops are 8·n·r while HBM traffic is ~3 passes of the array per stage, so
+r ≈ 128 balances MXU flops against bandwidth on v5e-class chips — the
+roofline sweet spot (SURVEY.md §6 derived target).
+"""
+
+from __future__ import annotations
+
+import functools
+import string
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fftlab.algos.stockham import plan_factors
+from fftlab.core.twiddle import dft_matrix_np, stage_twiddle_np
+from fftlab.core.types import Direction, FORWARD
+
+DEFAULT_LEAF_SPLIT = 128
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def to_split(x):
+    """complex [..., n] -> (re, im) real pair (host/CPU boundary helper)."""
+    x = np.asarray(x)
+    r = np.ascontiguousarray(x.real)
+    i = np.ascontiguousarray(x.imag)
+    return jnp.asarray(r), jnp.asarray(i)
+
+
+def from_split(xr, xi):
+    """(re, im) -> complex array (host-side; avoids device complex)."""
+    return np.asarray(xr) + 1j * np.asarray(xi)
+
+
+def _tables(r: int, direction: Direction, dtype):
+    F = dft_matrix_np(r, direction)
+    return (
+        jnp.asarray(F.real.astype(dtype)),
+        jnp.asarray(F.imag.astype(dtype)),
+    )
+
+
+def _contract_split(xr, xi, Fr, Fi, axis_from_end: int):
+    """Complex contraction of one digit axis, expanded to real einsums."""
+    if axis_from_end == 0:
+        eq = "...a,ba->...b"
+    else:
+        tail = string.ascii_lowercase[2 : 2 + axis_from_end]
+        eq = f"...a{tail},ba->...b{tail}"
+    ein = functools.partial(jnp.einsum, eq, precision=_PRECISION)
+    yr = ein(xr, Fr) - ein(xi, Fi)
+    yi = ein(xr, Fi) + ein(xi, Fr)
+    return yr, yi
+
+
+def _twiddle_split(xr, xi, twr, twi):
+    """(x) *= (twr + i*twi), real planes (fused VPU multiply-add)."""
+    yr = xr * twr - xi * twi
+    yi = xr * twi + xi * twr
+    return yr, yi
+
+
+def stockham_fft_split_unscaled(xr, xi, direction=FORWARD,
+                                leaf: int = DEFAULT_LEAF_SPLIT):
+    """Forward/backward transform on split planes, no inverse scaling."""
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    if xr.shape != xi.shape:
+        raise ValueError(f"re/im shape mismatch: {xr.shape} vs {xi.shape}")
+    direction = Direction(int(direction))
+    n = int(xr.shape[-1])
+    dtype = np.dtype(xr.dtype)
+    if n == 1:
+        return xr, xi
+    factors = plan_factors(n, leaf)
+    K = len(factors)
+    if K == 1:
+        Fr, Fi = _tables(n, direction, dtype)
+        return _contract_split(xr, xi, Fr, Fi, 0)
+
+    batch = xr.shape[:-1]
+    bnd = len(batch)
+    xr = xr.reshape(*batch, *factors)
+    xi = xi.reshape(*batch, *factors)
+    rem = n
+    for i, r in enumerate(factors):
+        Fr, Fi = _tables(r, direction, dtype)
+        xr, xi = _contract_split(xr, xi, Fr, Fi, K - 1 - i)
+        if i < K - 1:
+            m = rem // r
+            tw = stage_twiddle_np(r, m, direction).reshape(r, *factors[i + 1 :])
+            twr = jnp.asarray(tw.real.astype(dtype))
+            twi = jnp.asarray(tw.imag.astype(dtype))
+            xr, xi = _twiddle_split(xr, xi, twr, twi)
+            rem = m
+    perm = tuple(range(bnd)) + tuple(range(bnd + K - 1, bnd - 1, -1))
+    xr = jnp.transpose(xr, perm).reshape(*batch, n)
+    xi = jnp.transpose(xi, perm).reshape(*batch, n)
+    return xr, xi
+
+
+def fft_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT):
+    """Split-complex FFT over the last axis: (re, im) -> (re, im).
+
+    Forward unscaled; inverse scaled by 1/n (reference convention,
+    radix2_dit.c:115-119).
+    """
+    direction = Direction(int(direction))
+    n = int(jnp.asarray(xr).shape[-1])
+    yr, yi = stockham_fft_split_unscaled(xr, xi, direction, leaf)
+    if direction == Direction.INVERSE:
+        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+        return yr * s, yi * s
+    return yr, yi
+
+
+def ifft_split(xr, xi, leaf: int = DEFAULT_LEAF_SPLIT):
+    return fft_split(xr, xi, Direction.INVERSE, leaf)
+
+
+def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT):
+    """Real-input FFT on the split path: real [..., n] -> (re, im) of the
+    n//2+1 one-sided bins, via the pack-two-reals trick (real_fft.py
+    semantics without any complex dtype)."""
+    x = jnp.asarray(x)
+    n = int(x.shape[-1])
+    h = n // 2 + 1
+    if n % 2 or n < 4:
+        zr, zi = fft_split(x, jnp.zeros_like(x), FORWARD, leaf)
+        return zr[..., :h], zi[..., :h]
+    zr_in, zi_in = x[..., 0::2], x[..., 1::2]
+    Zr, Zi = fft_split(zr_in, zi_in, FORWARD, leaf)
+    Zr = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
+    Zi = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
+    # conj reversal: Zrev[k] = conj(Z[n/2 - k])
+    Zrr, Zri = Zr[..., ::-1], -Zi[..., ::-1]
+    Er, Ei = 0.5 * (Zr + Zrr), 0.5 * (Zi + Zri)
+    # O = -0.5i * (Z - Zrev)
+    Or_ = 0.5 * (Zi - Zri)
+    Oi = -0.5 * (Zr - Zrr)
+    k = np.arange(h, dtype=np.float64)
+    w = np.exp(-2j * np.pi * k / n)
+    wr = jnp.asarray(w.real.astype(x.dtype))
+    wi = jnp.asarray(w.imag.astype(x.dtype))
+    WOr, WOi = _twiddle_split(Or_, Oi, wr, wi)
+    return Er + WOr, Ei + WOi
+
+
+def irfft_split(Xr, Xi, n: int | None = None,
+                leaf: int = DEFAULT_LEAF_SPLIT):
+    """One-sided (re, im) spectrum -> real [..., n] (inverse of
+    rfft_split; 1/n scaled)."""
+    Xr = jnp.asarray(Xr)
+    Xi = jnp.asarray(Xi)
+    h = int(Xr.shape[-1])
+    if n is None:
+        n = 2 * (h - 1)
+    if n % 2 or n < 4:
+        tr = Xr[..., 1 : n - h + 1][..., ::-1]
+        ti = -Xi[..., 1 : n - h + 1][..., ::-1]
+        fr = jnp.concatenate([Xr[..., :h], tr], axis=-1)
+        fi = jnp.concatenate([Xi[..., :h], ti], axis=-1)
+        yr, _ = fft_split(fr, fi, Direction.INVERSE, leaf)
+        return yr
+    Xrr, Xri = Xr[..., ::-1], -Xi[..., ::-1]
+    Er, Ei = 0.5 * (Xr + Xrr), 0.5 * (Xi + Xri)
+    k = np.arange(h, dtype=np.float64)
+    w = np.exp(2j * np.pi * k / n)  # inverse basis
+    wr = jnp.asarray(w.real.astype(Xr.dtype))
+    wi = jnp.asarray(w.imag.astype(Xr.dtype))
+    Dr, Di = 0.5 * (Xr - Xrr), 0.5 * (Xi - Xri)
+    Or_, Oi = _twiddle_split(Dr, Di, wr, wi)
+    # Z = E + i*O
+    Zr = (Er - Oi)[..., : n // 2]
+    Zi = (Ei + Or_)[..., : n // 2]
+    zr, zi = fft_split(Zr, Zi, Direction.INVERSE, leaf)
+    out = jnp.stack([zr, zi], axis=-1)
+    return out.reshape(*out.shape[:-2], n)
+
+
+def spectral_filter_split(xr, xi, hr, hi, leaf: int = DEFAULT_LEAF_SPLIT):
+    """The fused FFT -> H -> IFFT sandwich (SURVEY.md §3.4) on split
+    planes — the flagship single-chip pipeline step."""
+    Xr, Xi = stockham_fft_split_unscaled(xr, xi, FORWARD, leaf)
+    Yr, Yi = _twiddle_split(Xr, Xi, hr, hi)
+    n = int(jnp.asarray(xr).shape[-1])
+    yr, yi = stockham_fft_split_unscaled(Yr, Yi, Direction.INVERSE, leaf)
+    s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+    return yr * s, yi * s

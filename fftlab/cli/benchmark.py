@@ -1,0 +1,45 @@
+"""Cross-algorithm benchmark table (benchmarks/benchmark_all.c analog).
+
+Usage: python -m fftlab.cli.benchmark [--sizes 64,1024,16384] [--batch N]
+       [--f64] [--algos radix2_dit,stockham_mxu]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main() -> None:
+    from fftlab.bench.harness import (
+        benchmark_suite,
+        complexity_exponent,
+        print_table,
+    )
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sizes", default="16,64,256,1024,4096,16384")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--f64", action="store_true",
+                    help="complex128 (CPU oracle mode)")
+    ap.add_argument("--algos", default=None)
+    args = ap.parse_args()
+
+    sizes = tuple(int(s) for s in args.sizes.split(","))
+    algos = args.algos.split(",") if args.algos else None
+    dtype = np.complex128 if args.f64 else np.complex64
+    results = benchmark_suite(sizes, algos, args.batch, dtype)
+    print(print_table(results))
+
+    by_algo: dict[str, list] = {}
+    for r in results:
+        by_algo.setdefault(r.algorithm, []).append(r)
+    print("\nempirical complexity exponents (benchmark_all.c:240-266):")
+    for name, rs in by_algo.items():
+        if len(rs) >= 3:
+            print(f"  {name:<16} t ~ n^{complexity_exponent(rs):.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""v2 feature tour: auto-selection, plan API, hardware caps.
+
+Analog of examples/demo_v2_features.c: auto-selection over
+{64, 256, 1024, 4096, 16384, 97, 360, 1000} (:54-92) and the
+hardware-capability printout (:202-222).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from fftlab import fft, plan_dft_1d
+    from fftlab.plan.hardware import print_hardware_info
+    from fftlab.plan.planner import estimate_algorithm, reference_heuristic
+    from fftlab.plan.flags import PlanConfig
+    from fftlab.utils.signals import generate_complex_noise
+
+    print("=== fftlab v2 feature tour ===\n")
+    print_hardware_info()
+
+    print("\nAuto-selection (demo_v2_features.c:54-92 sizes):")
+    cfg = PlanConfig()
+    for n in (64, 256, 1024, 4096, 16384, 97, 360, 1000):
+        algo = estimate_algorithm(n, cfg)
+        ref = reference_heuristic(n)
+        x = generate_complex_noise(n)
+        X = fft(x)
+        err = float(np.max(np.abs(np.asarray(X) - np.fft.fft(x))))
+        print(f"  n={n:<7} fftlab->{algo:<14} (C reference would pick "
+              f"{ref:<12}) max err vs numpy: {err:.2e}")
+
+    print("\nPlan API (plan once, execute many):")
+    plan = plan_dft_1d(1024)
+    print(f"  {plan.describe()}")
+    x = generate_complex_noise(1024, batch=(4,))
+    X = plan.execute(np.asarray(x, dtype=np.complex64))
+    print(f"  executed batch {x.shape} -> {X.shape} on "
+          f"{jax.devices()[0].platform}")
+
+
+if __name__ == "__main__":
+    main()

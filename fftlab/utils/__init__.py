@@ -14,6 +14,15 @@ from fftlab.utils.signals import (
     generate_noise,
     generate_multi_tone,
 )
+from fftlab.utils.signals import zero_pad, frequency_shift
+from fftlab.utils.io import (
+    save_complex_signal,
+    load_complex_signal,
+    save_signal_npz,
+    load_signal_npz,
+    export_gnuplot_script,
+)
+from fftlab.utils.plotting import ascii_spectrum, ascii_image
 from fftlab.utils.metrics import (
     magnitude,
     phase,

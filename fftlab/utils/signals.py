@@ -77,3 +77,20 @@ def generate_complex_noise(n: int, seed: int = 42, batch=()) -> np.ndarray:
     rng = np.random.default_rng(seed)
     shape = tuple(batch) + (n,)
     return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+def zero_pad(x, total: int) -> np.ndarray:
+    """Zero-pad a 1D signal to `total` samples (fft_utils.c:239-247)."""
+    x = np.asarray(x)
+    if total < x.shape[-1]:
+        raise ValueError(f"cannot pad {x.shape[-1]} samples down to {total}")
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, total - x.shape[-1])]
+    return np.pad(x, pad)
+
+
+def frequency_shift(x, shift_hz: float, sample_rate: float) -> np.ndarray:
+    """Modulate by exp(2*pi*i*f0*t) — spectrum shift (fft_utils.c:250-255)."""
+    x = np.asarray(x)
+    n = x.shape[-1]
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    return x * np.exp(2j * np.pi * shift_hz * t)
