@@ -1,0 +1,238 @@
+"""Single-VMEM-residency batched FFT kernels (Pallas/Mosaic).
+
+Each grid program transforms one batch row of length n = m*128
+(8 <= m <= 128, i.e. n in [1024, 16384] — the DSP hot-path sizes:
+STFT frames, overlap-save blocks, filter sandwiches) entirely in VMEM:
+
+    view x as B[j2, j1] (m, 128), j = j1 + 128*j2
+    C  = F_m @ B            # column FFTs over j2 — MXU (m,m)@(m,128)
+    C *= W_n^{j1*k2}        # inter-stage twiddle — VPU
+    D  = C @ F_128^T        # row FFTs over j1 — MXU (m,128)@(128,128)
+    out = D^T               # (128, m); flattens to natural order since
+                            # k = k2 + m*k1 == row-major index of D^T
+
+All data is split re/im float32 (TPU has no complex registers); each
+complex matmul is 4 real MXU dots at HIGHEST precision. The fused filter
+kernel continues in the same residency: multiply by H (matrix form),
+then the inverse four-step (conjugated tables, transposed view), 1/n.
+
+One HBM round trip total — vs one per stage (plus the digit-reversal
+transpose) on the XLA einsum path. The reference's analog of this fusion
+level is the (empty) custom butterfly_kernel TODO at fft_cuda.cu:264-266.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fftlab.core.twiddle import dft_matrix_np, stage_twiddle_np
+from fftlab.core.types import Direction, FORWARD, is_power_of_two
+
+N1 = 128  # lane-dimension radix: one MXU tile wide
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def supported_size(n: int) -> bool:
+    """n = m*128 with 8 <= m <= 128 and m a power of two."""
+    if n % N1:
+        return False
+    m = n // N1
+    return 8 <= m <= 128 and is_power_of_two(m)
+
+
+def _cdot(ar, ai, br, bi):
+    """(ar+i*ai) @ (br+i*bi) as 4 real MXU dots."""
+    rr = jnp.dot(ar, br, precision=_P) - jnp.dot(ai, bi, precision=_P)
+    ri = jnp.dot(ar, bi, precision=_P) + jnp.dot(ai, br, precision=_P)
+    return rr, ri
+
+
+def _tables(n: int, direction: Direction, dtype=np.float32):
+    """Host-side constant tables for the kernel: F_m, F_128, W_n^{j1*k2}."""
+    m = n // N1
+    Fm = dft_matrix_np(m, direction)
+    F1 = dft_matrix_np(N1, direction)
+    # tw[k2, j1] = W_n^{j1*k2}: stage_twiddle_np(r=m, m=N1) gives
+    # T[a, b] = W_{m*N1}^{a*b} with a over k2 (m) and b over j1 (N1).
+    tw = stage_twiddle_np(m, N1, direction)
+    c = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(dtype))
+    return (c(Fm.real), c(Fm.imag), c(F1.real), c(F1.imag),
+            c(tw.real), c(tw.imag))
+
+
+def _fwd_body(xr, xi, tabs):
+    """The forward four-step on one (m, 128) block; returns (128, m)."""
+    Fmr, Fmi, F1r, F1i, twr, twi = tabs
+    # column FFTs: C[k2, j1] = sum_j2 F_m[k2, j2] * B[j2, j1]
+    cr, ci = _cdot(Fmr, Fmi, xr, xi)
+    # twiddle
+    tr = cr * twr - ci * twi
+    ti = cr * twi + ci * twr
+    # row FFTs: D[k2, k1] = sum_j1 C[k2, j1] * F_128[k1, j1]
+    dr, di = _cdot(tr, ti, F1r.T, F1i.T)
+    return dr.T, di.T  # (128, m): X[k] = out.reshape(n)[k]
+
+
+def _inv_body(sr, si, tabs_inv, n: int):
+    """Inverse four-step on the (128, m) spectrum matrix S[k1, k2]
+    (= forward output / filtered spectrum); returns (m, 128) scaled 1/n."""
+    Fmr, Fmi, F1r, F1i, twr, twi = tabs_inv
+    # Inverse with roles swapped (n1'=m, n2'=128): B'[j2', j1'] with
+    # j2' in [128), j1' in [m) is exactly S (128, m).
+    cr, ci = _cdot(F1r, F1i, sr, si)                # (128,128)@(128,m)
+    # tw'[k2', j1'] = W_n^{-j1'*k2'} = twiddle with axes (128, m) = tw^T
+    tr = cr * twr.T - ci * twi.T
+    ti = cr * twi.T + ci * twr.T
+    dr, di = _cdot(tr, ti, Fmr.T, Fmi.T)            # (128,m)@(m,m)
+    s = 1.0 / n
+    return dr.T * s, di.T * s  # (m, 128): y[j] = out.reshape(n)[j]
+
+
+def _fft_kernel(xr_ref, xi_ref, Fmr, Fmi, F1r, F1i, twr, twi,
+                or_ref, oi_ref):
+    tabs = (Fmr[...], Fmi[...], F1r[...], F1i[...], twr[...], twi[...])
+    yr, yi = _fwd_body(xr_ref[0], xi_ref[0], tabs)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _filter_kernel(xr_ref, xi_ref,
+                   Fmr, Fmi, F1r, F1i, twr, twi,
+                   Gmr, Gmi, G1r, G1i, tvr, tvi,
+                   hr_ref, hi_ref,
+                   or_ref, oi_ref):
+    fwd = (Fmr[...], Fmi[...], F1r[...], F1i[...], twr[...], twi[...])
+    inv = (Gmr[...], Gmi[...], G1r[...], G1i[...], tvr[...], tvi[...])
+    sr, si = _fwd_body(xr_ref[0], xi_ref[0], fwd)   # (128, m)
+    hr, hi = hr_ref[...], hi_ref[...]               # (128, m) matrix form
+    gr = sr * hr - si * hi
+    gi = sr * hi + si * hr
+    yr, yi = _inv_body(gr, gi, inv, xr_ref.shape[-2] * N1)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _specs(m: int, n_tables: int):
+    """Grid/block specs: batch-gridded rows + replicated constant tables."""
+    row_in = pl.BlockSpec((1, m, N1), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const2 = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return row_in, [const2() for _ in range(n_tables)]
+
+
+@functools.partial(jax.jit, static_argnames=("direction", "interpret"))
+def _pallas_fft_impl(xr, xi, *, direction: Direction, interpret: bool):
+    batch = xr.shape[:-1]
+    n = int(xr.shape[-1])
+    m = n // N1
+    B = int(np.prod(batch)) if batch else 1
+    xr3 = xr.reshape(B, m, N1)
+    xi3 = xi.reshape(B, m, N1)
+    tabs = _tables(n, direction, xr.dtype)
+    row_in, consts = _specs(m, len(tabs))
+    row_out = pl.BlockSpec((1, N1, m), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        _fft_kernel,
+        grid=(B,),
+        in_specs=[row_in, row_in] + consts,
+        out_specs=(row_out, row_out),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N1, m), xr.dtype),
+            jax.ShapeDtypeStruct((B, N1, m), xr.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * (m + N1), transcendentals=0,
+            bytes_accessed=4 * 4 * n,
+        ),
+        interpret=interpret,
+    )(xr3, xi3, *tabs)
+    yr = yr.reshape(*batch, n)
+    yi = yi.reshape(*batch, n)
+    if direction == Direction.INVERSE:
+        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+        return yr * s, yi * s
+    return yr, yi
+
+
+def pallas_fft_split(xr, xi, direction=FORWARD, interpret: bool = False):
+    """Batched FFT on split planes via the VMEM-resident kernel.
+
+    xr, xi: float32 [..., n] with n = m*128, m in {8..128} pow2.
+    Forward unscaled / inverse 1/n (reference convention)."""
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_size(n):
+        raise ValueError(
+            f"pallas_fft_split supports n = m*128, m in 8..128 pow2; got {n}"
+        )
+    return _pallas_fft_impl(
+        xr, xi, direction=Direction(int(direction)), interpret=bool(interpret)
+    )
+
+
+def pallas_fft(x, direction=FORWARD, interpret: bool = False):
+    """Complex-dtype convenience wrapper (CPU/tests; TPU callers should
+    pass split planes directly — this env's TPU rejects complex)."""
+    x = jnp.asarray(x)
+    yr, yi = pallas_fft_split(
+        jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32),
+        direction, interpret,
+    )
+    return jax.lax.complex(yr, yi)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_filter_impl(xr, xi, hr2, hi2, *, interpret: bool):
+    batch = xr.shape[:-1]
+    n = int(xr.shape[-1])
+    m = n // N1
+    B = int(np.prod(batch)) if batch else 1
+    xr3 = xr.reshape(B, m, N1)
+    xi3 = xi.reshape(B, m, N1)
+    fwd = _tables(n, Direction.FORWARD, xr.dtype)
+    inv = _tables(n, Direction.INVERSE, xr.dtype)
+    row_in, consts = _specs(m, len(fwd) + len(inv) + 2)
+    yr, yi = pl.pallas_call(
+        _filter_kernel,
+        grid=(B,),
+        in_specs=[row_in, row_in] + consts,
+        out_specs=(row_in, row_in),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, m, N1), xr.dtype),
+            jax.ShapeDtypeStruct((B, m, N1), xr.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=16 * n * (m + N1), transcendentals=0,
+            bytes_accessed=4 * 4 * n,
+        ),
+        interpret=interpret,
+    )(xr3, xi3, *fwd, *inv, hr2, hi2)
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+def pallas_spectral_filter(xr, xi, hr, hi, interpret: bool = False):
+    """Fused FFT -> H -> IFFT in ONE VMEM residency (the SURVEY.md §3.4
+    sandwich as a single kernel).
+
+    hr, hi: the frequency response H[k] over the full n bins (split).
+    Equivalent to ifft(fft(x) * H) with 1/n inverse scaling."""
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_size(n):
+        raise ValueError(f"unsupported n={n} (need m*128, m in 8..128 pow2)")
+    m = n // N1
+    # Matrix form of H matching the forward output layout S[k1, k2]:
+    # H2[k1, k2] = H[k2 + m*k1] = H.reshape(128, m) row-major.
+    hr2 = jnp.asarray(hr).reshape(N1, m)
+    hi2 = jnp.asarray(hi).reshape(N1, m)
+    return _pallas_filter_impl(xr, xi, hr2, hi2, interpret=bool(interpret))

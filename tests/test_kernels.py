@@ -1,0 +1,111 @@
+"""Pallas kernel tests (interpret mode — the sanitizer analog from
+SURVEY.md §5: `interpret=True` is the race-free debugging path)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fftlab.core.types import Direction
+from fftlab.kernels.fft_vmem import (
+    pallas_fft,
+    pallas_fft_split,
+    pallas_spectral_filter,
+    supported_size,
+)
+
+
+def _snr(got, want):
+    return 10 * np.log10(
+        np.sum(np.abs(want) ** 2) / max(np.sum(np.abs(got - want) ** 2), 1e-300)
+    )
+
+
+class TestPallasFft:
+    def test_supported_size(self):
+        assert supported_size(1024) and supported_size(16384)
+        assert not supported_size(512)      # m=4 < 8
+        assert not supported_size(100)      # not multiple of 128
+        assert not supported_size(1536)     # m=12 not pow2
+        assert not supported_size(32768)    # m=256 > 128
+
+    @pytest.mark.parametrize("n", [1024, 2048, 8192, 16384])
+    def test_forward_matches_numpy(self, n):
+        rng = np.random.default_rng(n)
+        xr = rng.standard_normal((2, n)).astype(np.float32)
+        xi = rng.standard_normal((2, n)).astype(np.float32)
+        yr, yi = pallas_fft_split(xr, xi, interpret=True)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        assert _snr(got, want) > 110.0
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(1)
+        n = 4096
+        xr = rng.standard_normal((n,)).astype(np.float32)
+        xi = rng.standard_normal((n,)).astype(np.float32)
+        yr, yi = pallas_fft_split(xr, xi, interpret=True)
+        br, bi = pallas_fft_split(yr, yi, Direction.INVERSE, interpret=True)
+        np.testing.assert_allclose(np.asarray(br), xr, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-4)
+
+    def test_complex_wrapper(self):
+        rng = np.random.default_rng(2)
+        x = (rng.standard_normal(1024) + 1j * rng.standard_normal(1024))
+        got = np.asarray(pallas_fft(x, interpret=True))
+        assert _snr(got, np.fft.fft(x)) > 110.0
+
+    def test_multi_batch_dims(self):
+        rng = np.random.default_rng(3)
+        xr = rng.standard_normal((2, 3, 1024)).astype(np.float32)
+        xi = np.zeros_like(xr)
+        yr, yi = pallas_fft_split(xr, xi, interpret=True)
+        assert yr.shape == (2, 3, 1024)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert _snr(got, np.fft.fft(xr.astype(np.float64))) > 110.0
+
+    def test_unsupported_size_raises(self):
+        with pytest.raises(ValueError):
+            pallas_fft_split(jnp.zeros(100), jnp.zeros(100))
+
+    def test_matches_xla_split_path(self):
+        from fftlab.algos.split_stockham import fft_split
+
+        rng = np.random.default_rng(4)
+        xr = rng.standard_normal((2, 2048)).astype(np.float32)
+        xi = rng.standard_normal((2, 2048)).astype(np.float32)
+        pr, pi = pallas_fft_split(xr, xi, interpret=True)
+        sr, si = fft_split(xr, xi)
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(sr),
+                                   rtol=1e-3, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(pi), np.asarray(si),
+                                   rtol=1e-3, atol=2e-2)
+
+
+class TestPallasSpectralFilter:
+    @pytest.mark.parametrize("n", [1024, 4096])
+    def test_matches_unfused_sandwich(self, n):
+        rng = np.random.default_rng(n)
+        xr = rng.standard_normal((2, n)).astype(np.float32)
+        xi = rng.standard_normal((2, n)).astype(np.float32)
+        H = np.fft.fft(rng.standard_normal(n))
+        fr, fi = pallas_spectral_filter(
+            xr, xi, H.real.astype(np.float32), H.imag.astype(np.float32),
+            interpret=True,
+        )
+        got = np.asarray(fr) + 1j * np.asarray(fi)
+        want = np.fft.ifft(
+            np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64)) * H
+        )
+        assert _snr(got, want) > 105.0
+
+    def test_identity_response(self):
+        rng = np.random.default_rng(9)
+        n = 1024
+        xr = rng.standard_normal((n,)).astype(np.float32)
+        xi = rng.standard_normal((n,)).astype(np.float32)
+        fr, fi = pallas_spectral_filter(
+            xr, xi, np.ones(n, np.float32), np.zeros(n, np.float32),
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(fr), xr, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(fi), xi, atol=1e-4)
