@@ -57,4 +57,10 @@ def build_registry() -> dict:
         AlgoSpec("iterative", iterative.iterative_fft, _pow2, "annotated pedagogical DIT"),
         AlgoSpec("stockham_mxu", stockham.stockham_fft, stockham.supports, "flagship MXU mixed-radix"),
     ]
+    from fftlab.kernels.fft_vmem import pallas_fft, supported_size
+
+    specs.append(AlgoSpec(
+        "pallas_vmem", pallas_fft, supported_size,
+        "single-VMEM-residency four-step Pallas kernel (n = m*128)",
+    ))
     return {s.name: s for s in specs}

