@@ -14,3 +14,4 @@ from fftlab.kernels.fft_vmem import (
     pallas_spectral_filter,
     supported_size,
 )
+from fftlab.kernels.stft_vmem import pallas_stft_split
