@@ -58,18 +58,28 @@ def main() -> None:
         }))
         return
 
-    out = fn(xr, xi)  # compile + warm at full batch
-    jax.block_until_ready(out)
-    # Pipeline all iterations and sync once: the device link has tens of
-    # ms of round-trip latency, so per-iteration syncs would measure the
-    # tunnel, not the chip. Median over 3 outer repeats.
-    times = []
-    for _ in range(3):
+    # Timing protocol for the tunneled device: (a) inputs VARY per
+    # iteration (the runtime memoizes repeated identical computations),
+    # (b) completion is forced by a one-element READBACK (block_until_
+    # ready can return early on this backend), and (c) the per-iteration
+    # cost is the SLOPE between two batch sizes, cancelling the fixed
+    # dispatch/readback round-trip latency.
+    variants = [(xr + float(i) * 1e-3, xi - float(i) * 1e-3)
+                for i in range(iters)]
+    jax.block_until_ready(variants)
+    _ = np.asarray(fn(*variants[0])[0][:1, :1])  # compile + warm + sync
+
+    def run(k: int) -> float:
         t0 = time.perf_counter()
-        outs = [fn(xr, xi) for _ in range(iters)]
-        jax.block_until_ready(outs[-1])
-        times.append((time.perf_counter() - t0) / iters)
-    dt = float(np.median(times))
+        outs = [fn(*variants[i % iters]) for i in range(k)]
+        _ = np.asarray(outs[-1][0][:1, :1])
+        return time.perf_counter() - t0
+
+    slopes = []
+    for _ in range(3):
+        k1, k2 = max(iters // 3, 1), iters
+        slopes.append((run(k2) - run(k1)) / (k2 - k1))
+    dt = float(np.median(slopes))
     gsps = batch * n / dt / 1e9
 
     baseline_gsps = (1 << 20) / 4.5e-3 / 1e9  # RTX 3090 cuFFT anchor

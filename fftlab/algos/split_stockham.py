@@ -59,14 +59,15 @@ def _tables(r: int, direction: Direction, dtype):
     )
 
 
-def _contract_split(xr, xi, Fr, Fi, axis_from_end: int):
+def _contract_split(xr, xi, Fr, Fi, axis_from_end: int, precision=None):
     """Complex contraction of one digit axis, expanded to real einsums."""
     if axis_from_end == 0:
         eq = "...a,ba->...b"
     else:
         tail = string.ascii_lowercase[2 : 2 + axis_from_end]
         eq = f"...a{tail},ba->...b{tail}"
-    ein = functools.partial(jnp.einsum, eq, precision=_PRECISION)
+    ein = functools.partial(jnp.einsum, eq,
+                            precision=precision or _PRECISION)
     yr = ein(xr, Fr) - ein(xi, Fi)
     yi = ein(xr, Fi) + ein(xi, Fr)
     return yr, yi
@@ -80,8 +81,12 @@ def _twiddle_split(xr, xi, twr, twi):
 
 
 def stockham_fft_split_unscaled(xr, xi, direction=FORWARD,
-                                leaf: int = DEFAULT_LEAF_SPLIT):
-    """Forward/backward transform on split planes, no inverse scaling."""
+                                leaf: int = DEFAULT_LEAF_SPLIT,
+                                precision=None):
+    """Forward/backward transform on split planes, no inverse scaling.
+
+    `precision` overrides the MXU matmul precision (default HIGHEST;
+    see algos/lowprec.py for the accuracy/speed trade)."""
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
     if xr.shape != xi.shape:
@@ -95,7 +100,7 @@ def stockham_fft_split_unscaled(xr, xi, direction=FORWARD,
     K = len(factors)
     if K == 1:
         Fr, Fi = _tables(n, direction, dtype)
-        return _contract_split(xr, xi, Fr, Fi, 0)
+        return _contract_split(xr, xi, Fr, Fi, 0, precision)
 
     batch = xr.shape[:-1]
     bnd = len(batch)
@@ -104,7 +109,7 @@ def stockham_fft_split_unscaled(xr, xi, direction=FORWARD,
     rem = n
     for i, r in enumerate(factors):
         Fr, Fi = _tables(r, direction, dtype)
-        xr, xi = _contract_split(xr, xi, Fr, Fi, K - 1 - i)
+        xr, xi = _contract_split(xr, xi, Fr, Fi, K - 1 - i, precision)
         if i < K - 1:
             m = rem // r
             tw = stage_twiddle_np(r, m, direction).reshape(r, *factors[i + 1 :])
@@ -118,7 +123,8 @@ def stockham_fft_split_unscaled(xr, xi, direction=FORWARD,
     return xr, xi
 
 
-def fft_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT):
+def fft_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT,
+              precision=None):
     """Split-complex FFT over the last axis: (re, im) -> (re, im).
 
     Forward unscaled; inverse scaled by 1/n (reference convention,
@@ -126,7 +132,7 @@ def fft_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT):
     """
     direction = Direction(int(direction))
     n = int(jnp.asarray(xr).shape[-1])
-    yr, yi = stockham_fft_split_unscaled(xr, xi, direction, leaf)
+    yr, yi = stockham_fft_split_unscaled(xr, xi, direction, leaf, precision)
     if direction == Direction.INVERSE:
         s = jnp.asarray(1.0 / n, dtype=yr.dtype)
         return yr * s, yi * s

@@ -39,15 +39,27 @@ def _iters_for(n: int) -> int:
 
 
 def time_fn(fn, args, iters: int, repeats: int = 3) -> float:
-    """Median seconds/iteration; pipelined dispatch, one sync per repeat."""
-    import jax
+    """Median seconds/iteration; pipelined dispatch, one sync per repeat.
 
-    jax.block_until_ready(fn(*args))  # compile + warm
+    Inputs are perturbed per iteration: the device runtime memoizes
+    repeated identical computations, which would fake the timing.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def perturb(a, i):
+        if isinstance(a, jnp.ndarray) and jnp.issubdtype(a.dtype, jnp.inexact):
+            return a + jnp.asarray(i, dtype=jnp.result_type(a.real)).astype(a.dtype)
+        return a
+
+    argsets = [tuple(perturb(a, i) for a in args) for i in range(iters)]
+    jax.block_until_ready(argsets)
+    jax.block_until_ready(fn(*argsets[0]))  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        jax.block_until_ready(outs[-1])
+        outs = [fn(*a) for a in argsets]
+        jax.block_until_ready(outs)
         times.append((time.perf_counter() - t0) / iters)
     return float(np.median(times))
 

@@ -1,0 +1,87 @@
+"""Tests for auxiliary subsystems: tracing, multihost glue, low-precision
+experiments, wisdom persistence (SURVEY.md §5 coverage)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from fftlab.algos.lowprec import fft_split_lowprec, snr_vs_oracle
+from fftlab.dist.multihost import (
+    ensure_initialized,
+    host_local_mesh_axes,
+    process_info,
+)
+from fftlab.utils.trace import Timer, span
+
+
+class TestTrace:
+    def test_timer(self):
+        t = Timer()
+        t.start()
+        time.sleep(0.01)
+        dt = t.stop()
+        assert 0.005 < dt < 1.0
+        assert t.elapsed_ms >= 5.0
+        assert len(t.laps) == 1
+
+    def test_span_records(self):
+        timers = {}
+        with span("work", timers, sync=False):
+            time.sleep(0.005)
+        assert "work" in timers and timers["work"].total_s > 0
+
+
+class TestMultihost:
+    def test_single_host_noop(self):
+        assert ensure_initialized() is False  # no coordinator configured
+
+    def test_process_info(self):
+        info = process_info()
+        assert info["process_count"] == 1
+        assert info["local_devices"] == info["global_devices"] == 8
+
+    def test_mesh_axes(self):
+        axes = host_local_mesh_axes()
+        assert axes["dp"] * axes["sp"] == 8
+
+
+class TestLowPrec:
+    def test_modes_match_oracle_on_cpu(self):
+        # CPU einsum ignores MXU precision — all float modes exact-ish.
+        r = snr_vs_oracle(n=512, modes=("f32", "bf16"))
+        assert r["f32"] > 100 and r["bf16"] > 100
+        if "q15" in r:
+            assert 20 < r["q15"] < 60  # the Q15-class regime
+
+    def test_bad_mode_raises(self):
+        with pytest.raises(ValueError):
+            fft_split_lowprec(np.zeros(8), np.zeros(8), mode="fp4")
+
+    def test_explicit_precision_plumbs_through(self):
+        import jax
+
+        from fftlab.algos.split_stockham import fft_split
+
+        rng = np.random.default_rng(0)
+        xr = rng.standard_normal((256,)).astype(np.float32)
+        xi = rng.standard_normal((256,)).astype(np.float32)
+        yr, yi = fft_split(xr, xi, precision=jax.lax.Precision.DEFAULT)
+        want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert np.max(np.abs(got - want)) < 1e-2
+
+
+class TestWisdom:
+    def test_record_lookup_roundtrip(self, tmp_path):
+        from fftlab.plan import wisdom
+
+        wisdom.record(12345, "f32", "stockham_mxu", 0.42)
+        got = wisdom.lookup(12345, "f32")
+        assert got is not None and got["algorithm"] == "stockham_mxu"
+        p = str(tmp_path / "wisdom.json")
+        wisdom.export_wisdom(p)
+        wisdom.forget()
+        assert wisdom.lookup(12345, "f32") is None
+        wisdom.import_wisdom(p)
+        assert wisdom.lookup(12345, "f32")["algorithm"] == "stockham_mxu"
