@@ -1,0 +1,40 @@
+# fftlab build/test/bench entry points (reference Makefile analog:
+# all/test/benchmark/lint targets, platform-agnostic).
+
+PY ?= python
+
+.PHONY: all native test test-fast bench demos lint clean
+
+all: native
+
+# C++ host runtime (WAV IO, ring buffer, Q15 FFT) -> libfftlab_native.so
+native:
+	$(MAKE) -C native
+
+# Full suite on 8 virtual CPU devices (conftest forces the platform).
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -k "not properties"
+
+# Headline JSON benchmark (runs on the default JAX device).
+bench:
+	$(PY) bench.py
+
+# Cross-algorithm table.
+bench-table:
+	$(PY) -m fftlab.cli.benchmark
+
+demos:
+	$(PY) -m fftlab.cli.features
+	$(PY) -m fftlab.cli.pitch
+	$(PY) -m fftlab.cli.filter
+	$(PY) examples/minimal.py
+
+lint:
+	$(PY) -m compileall -q fftlab tests bench.py __graft_entry__.py
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

@@ -33,8 +33,17 @@ from fftlab.plan.api import (
 )
 from fftlab.algos.real_fft import rfft, irfft
 from fftlab.algos.fft2d import fft2, ifft2, fftshift, ifftshift
+from fftlab.algos.split_stockham import (
+    fft_split,
+    ifft_split,
+    rfft_split,
+    irfft_split,
+    spectral_filter_split,
+    to_split,
+    from_split,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Direction",
@@ -54,4 +63,11 @@ __all__ = [
     "ifft2",
     "fftshift",
     "ifftshift",
+    "fft_split",
+    "ifft_split",
+    "rfft_split",
+    "irfft_split",
+    "spectral_filter_split",
+    "to_split",
+    "from_split",
 ]
