@@ -212,3 +212,148 @@ def spectral_filter_split(xr, xi, hr, hi, leaf: int = DEFAULT_LEAF_SPLIT):
     yr, yi = stockham_fft_split_unscaled(Yr, Yi, Direction.INVERSE, leaf)
     s = jnp.asarray(1.0 / n, dtype=yr.dtype)
     return yr * s, yi * s
+
+
+# ---------------------------------------------------------------------------
+# Transpose-free filter sandwich (DIF forward + mirrored DIT inverse)
+# ---------------------------------------------------------------------------
+#
+# The forward pipeline above is decimation-in-frequency: its natural
+# output order is digit-reversed, fixed by one big HBM transpose. For the
+# FFT -> H -> IFFT sandwich that transpose (and its mirror image on the
+# inverse side) is pure waste: the pointwise multiply doesn't care about
+# bin order. So the fused filter runs the forward WITHOUT the final
+# transpose, multiplies by a host-side digit-reversed copy of H, and
+# inverts with the exact algebraic inverse of the stage pipeline — the
+# stages applied backwards with conjugated tables (a DIT-style inverse
+# that consumes digit-reversed input). Zero transposes end to end.
+
+
+def _fft_split_digitrev(xr, xi, direction, factors, precision=None):
+    """Forward stages only — output [..., n] in digit-reversed order
+    (axes (k_0..k_{K-1}) flattened; spectrum bin k = k_0 + f_0*(k_1+...))."""
+    batch = xr.shape[:-1]
+    dtype = np.dtype(xr.dtype)
+    K = len(factors)
+    n = int(np.prod(factors))
+    xr = xr.reshape(*batch, *factors)
+    xi = xi.reshape(*batch, *factors)
+    rem = n
+    for i, r in enumerate(factors):
+        Fr, Fi = _tables(r, direction, dtype)
+        xr, xi = _contract_split(xr, xi, Fr, Fi, K - 1 - i, precision)
+        if i < K - 1:
+            m = rem // r
+            tw = stage_twiddle_np(r, m, direction).reshape(r, *factors[i + 1:])
+            xr, xi = _twiddle_split(
+                xr, xi,
+                jnp.asarray(tw.real.astype(dtype)),
+                jnp.asarray(tw.imag.astype(dtype)),
+            )
+            rem = m
+    return xr.reshape(*batch, n), xi.reshape(*batch, n)
+
+
+def _ifft_split_from_digitrev(yr, yi, direction, factors, precision=None):
+    """Exact inverse of `_fft_split_digitrev`: stages applied in reverse
+    with conjugated tables. Consumes digit-reversed order, emits natural
+    order. Unscaled (caller applies 1/n for a true inverse)."""
+    inv_dir = Direction(-int(direction))
+    batch = yr.shape[:-1]
+    dtype = np.dtype(yr.dtype)
+    K = len(factors)
+    n = int(np.prod(factors))
+    yr = yr.reshape(*batch, *factors)
+    yi = yi.reshape(*batch, *factors)
+    rem_sizes = []
+    rem = n
+    for r in factors:
+        rem_sizes.append(rem)
+        rem //= r
+    for i in range(K - 1, -1, -1):
+        r = factors[i]
+        if i < K - 1:
+            m = rem_sizes[i] // r
+            tw = stage_twiddle_np(r, m, inv_dir).reshape(r, *factors[i + 1:])
+            yr, yi = _twiddle_split(
+                yr, yi,
+                jnp.asarray(tw.real.astype(dtype)),
+                jnp.asarray(tw.imag.astype(dtype)),
+            )
+        Fr, Fi = _tables(r, inv_dir, dtype)
+        yr, yi = _contract_split(yr, yi, Fr, Fi, K - 1 - i, precision)
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+@functools.lru_cache(maxsize=None)
+def digitrev_bins(factors: tuple) -> np.ndarray:
+    """bins[p] = the spectrum bin held at row-major position p of the
+    digit-reversed layout: p <-> digits (k_0..k_{K-1}) row-major, and
+    bin = k_0 + f_0*(k_1 + f_1*(k_2 + ...)). So
+    digitrev_output[..., p] == spectrum[..., bins[p]], and
+    H[..., bins] is H in digit-reversed layout."""
+    n = int(np.prod(factors))
+    weights = []
+    w = 1
+    for f in factors:
+        weights.append(w)
+        w *= f
+    pos_strides = []
+    s = 1
+    for f in reversed(factors):
+        pos_strides.append(s)
+        s *= f
+    pos_strides = pos_strides[::-1]
+    rem = np.arange(n)
+    bins = np.zeros(n, dtype=np.int64)
+    for i in range(len(factors)):
+        k_i = rem // pos_strides[i]
+        rem = rem % pos_strides[i]
+        bins += k_i * weights[i]
+    return bins
+
+
+def permute_response(hr, hi, n: int, leaf: int = DEFAULT_LEAF_SPLIT):
+    """Digit-reverse a frequency response at PLAN TIME (host-side).
+
+    A runtime gather of H costs more than the transposes the fused path
+    saves — permute once here and call `spectral_filter_split_fused`
+    with `h_permuted=True`."""
+    factors = plan_factors(n, leaf)
+    if len(factors) == 1:
+        return np.asarray(hr), np.asarray(hi)
+    bins = digitrev_bins(factors)
+    return (np.ascontiguousarray(np.asarray(hr)[..., bins]),
+            np.ascontiguousarray(np.asarray(hi)[..., bins]))
+
+
+def spectral_filter_split_fused(xr, xi, hr, hi,
+                                leaf: int = DEFAULT_LEAF_SPLIT,
+                                precision=None, h_permuted: bool = False):
+    """FFT -> H -> IFFT with ZERO transposes: the pointwise multiply is
+    done in digit-reversed bin order on a digit-reversed H.
+
+    Pass H pre-permuted via `permute_response` + `h_permuted=True`
+    whenever H is a plan-time constant; permuting a traced H at runtime
+    is a full-size gather and erases the fusion win."""
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    factors = plan_factors(n, leaf)
+    if len(factors) == 1:
+        return spectral_filter_split(xr, xi, hr, hi, leaf)
+    if h_permuted:
+        hr_p = jnp.asarray(hr)
+        hi_p = jnp.asarray(hi)
+    elif isinstance(hr, jax.core.Tracer) or isinstance(hi, jax.core.Tracer):
+        bins = jnp.asarray(digitrev_bins(factors))
+        hr_p = jnp.asarray(hr)[..., bins]
+        hi_p = jnp.asarray(hi)[..., bins]
+    else:
+        hr_p, hi_p = map(jnp.asarray, permute_response(hr, hi, n, leaf))
+    Yr, Yi = _fft_split_digitrev(xr, xi, FORWARD, factors, precision)
+    Gr = Yr * hr_p - Yi * hi_p
+    Gi = Yr * hi_p + Yi * hr_p
+    zr, zi = _ifft_split_from_digitrev(Gr, Gi, FORWARD, factors, precision)
+    s = jnp.asarray(1.0 / n, dtype=zr.dtype)
+    return zr * s, zi * s

@@ -135,3 +135,30 @@ def design_fir(num_taps: int, params: FilterParams, cfft=None) -> np.ndarray:
     imp = np.real(imp)
     imp = np.roll(imp, n // 2)  # linear-phase centering
     return imp * hamming(n, periodic=False)
+
+
+def fft_filter_split(xr, xi, params: FilterParams):
+    """TPU fast-path block filter on split re/im planes: the fused
+    zero-transpose FFT -> H -> IFFT sandwich (split_stockham.
+    spectral_filter_split_fused) with a plan-time real response H.
+
+    Returns (yr, yi). For a pair of REAL channels pack them as
+    (xr=ch0, xi=ch1): a real H is Hermitian-symmetric, so filtering
+    commutes with Re/Im extraction and yr/yi are the two filtered
+    channels — two real filters for the price of one complex one.
+    """
+    import jax.numpy as jnp
+
+    from fftlab.algos.split_stockham import (
+        permute_response,
+        spectral_filter_split_fused,
+    )
+
+    xr = jnp.asarray(xr)
+    n = int(xr.shape[-1])
+    h = design_response(n, params)
+    rdtype = xr.dtype
+    hr_p, hi_p = permute_response(h.astype(rdtype), np.zeros(n, rdtype), n)
+    return spectral_filter_split_fused(
+        xr, xi, jnp.asarray(hr_p), jnp.asarray(hi_p), h_permuted=True,
+    )

@@ -243,3 +243,48 @@ def pallas_spectral_filter(xr, xi, hr, hi, interpret: bool = False):
     hr2 = jnp.asarray(hr).reshape(N1, m)
     hi2 = jnp.asarray(hi).reshape(N1, m)
     return _pallas_filter_impl(xr, xi, hr2, hi2, interpret=bool(interpret))
+
+
+# ---------------------------------------------------------------------------
+# Differentiability: custom VJP (Pallas kernels are not traced by AD)
+# ---------------------------------------------------------------------------
+#
+# The DFT is linear, so the VJP of the unscaled forward transform is the
+# unscaled transform in the opposite direction applied to the cotangent
+# (F^T = F for the symmetric DFT matrix; the adjoint of the INVERSE's
+# 1/n scaling is the same scalar). This makes the kernel usable inside
+# jax.grad pipelines (e.g. learned spectral filters).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_fft_split_ad(xr, xi, direction=FORWARD, interpret: bool = False):
+    """`pallas_fft_split` with a custom VJP (differentiable)."""
+    return pallas_fft_split(xr, xi, direction, interpret)
+
+
+def _fft_ad_fwd(xr, xi, direction, interpret):
+    return pallas_fft_split(xr, xi, direction, interpret), None
+
+
+def _fft_ad_bwd(direction, interpret, _, g):
+    gr, gi = g
+    n = int(gr.shape[-1])
+    d = Direction(int(direction))
+    # Adjoint of the real-matrix pipeline [[Fr, -Fi], [Fi, Fr]] is its
+    # transpose = the same structure built from F^T = F with Fi negated:
+    # exactly the opposite-direction transform.
+    opp = Direction(-int(d))
+    br, bi = pallas_fft_split(gr, gi, opp, interpret)
+    if opp == Direction.INVERSE:
+        # pallas INVERSE scaled by 1/n, but the adjoint of the unscaled
+        # FORWARD is the unscaled opposite transform: undo the 1/n.
+        s = jnp.asarray(float(n), dtype=br.dtype)
+        br, bi = br * s, bi * s
+    else:
+        # Adjoint of the INVERSE (which included 1/n): scale by 1/n.
+        s = jnp.asarray(1.0 / n, dtype=br.dtype)
+        br, bi = br * s, bi * s
+    return br, bi
+
+
+pallas_fft_split_ad.defvjp(_fft_ad_fwd, _fft_ad_bwd)

@@ -7,6 +7,7 @@ import pytest
 
 from fftlab.algos.split_stockham import (
     fft_split,
+    spectral_filter_split_fused,
     ifft_split,
     irfft_split,
     rfft_split,
@@ -96,3 +97,80 @@ class TestSpectralFilterSplit:
         got = from_split(yr, yi)
         want = np.fft.ifft(np.fft.fft(xr + 1j * xi) * H)
         np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+class TestFusedFilter:
+    @pytest.mark.parametrize("n", [1024, 4096, 131072])
+    def test_matches_oracle(self, n):
+        rng = np.random.default_rng(n)
+        xr = rng.standard_normal((2, n)).astype(np.float32)
+        xi = rng.standard_normal((2, n)).astype(np.float32)
+        H = np.fft.fft(rng.standard_normal(n))
+        yr, yi = spectral_filter_split_fused(
+            xr, xi,
+            jnp.asarray(H.real.astype(np.float32)),
+            jnp.asarray(H.imag.astype(np.float32)),
+        )
+        got = from_split(yr, yi)
+        want = np.fft.ifft(
+            np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64)) * H
+        )
+        snr = 10 * np.log10(
+            np.sum(np.abs(want) ** 2) / np.sum(np.abs(got - want) ** 2)
+        )
+        assert snr > 110.0, f"n={n}: SNR {snr:.1f} dB"
+
+    def test_single_factor_falls_back(self):
+        rng = np.random.default_rng(1)
+        n = 64  # single leaf factor
+        xr = rng.standard_normal((n,)).astype(np.float32)
+        xi = np.zeros(n, dtype=np.float32)
+        yr, yi = spectral_filter_split_fused(
+            xr, xi, np.ones(n, np.float32), np.zeros(n, np.float32)
+        )
+        np.testing.assert_allclose(np.asarray(yr), xr, atol=1e-4)
+
+    def test_digitrev_bins_is_permutation(self):
+        from fftlab.algos.split_stockham import digitrev_bins
+
+        for factors in [(4, 8), (8, 4, 2), (64, 64, 32)]:
+            b = digitrev_bins(factors)
+            assert sorted(b) == list(range(int(np.prod(factors))))
+
+    def test_digitrev_roundtrip_identity(self):
+        from fftlab.algos.split_stockham import (
+            _fft_split_digitrev,
+            _ifft_split_from_digitrev,
+        )
+        from fftlab.algos.stockham import plan_factors
+        from fftlab.core.types import FORWARD
+
+        rng = np.random.default_rng(2)
+        n = 8192
+        factors = plan_factors(n, 128)
+        xr = rng.standard_normal((n,)).astype(np.float64)
+        xi = rng.standard_normal((n,)).astype(np.float64)
+        Yr, Yi = _fft_split_digitrev(jnp.asarray(xr), jnp.asarray(xi),
+                                     FORWARD, factors)
+        br, bi = _ifft_split_from_digitrev(Yr, Yi, FORWARD, factors)
+        np.testing.assert_allclose(np.asarray(br) / n, xr, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(bi) / n, xi, atol=1e-10)
+
+    def test_digitrev_layout_matches_bins(self):
+        from fftlab.algos.split_stockham import (
+            _fft_split_digitrev,
+            digitrev_bins,
+        )
+        from fftlab.algos.stockham import plan_factors
+        from fftlab.core.types import FORWARD
+
+        rng = np.random.default_rng(3)
+        n = 2048
+        factors = plan_factors(n, 32)  # multiple unequal factors
+        x = rng.standard_normal(n)
+        Yr, Yi = _fft_split_digitrev(
+            jnp.asarray(x), jnp.asarray(np.zeros(n)), FORWARD, factors
+        )
+        got = np.asarray(Yr) + 1j * np.asarray(Yi)
+        want = np.fft.fft(x)[digitrev_bins(factors)]
+        np.testing.assert_allclose(got, want, atol=1e-8)
