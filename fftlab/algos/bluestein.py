@@ -54,3 +54,9 @@ def bluestein_fft(x, direction=FORWARD, pow2_fft=None):
     # Demodulate (bluestein.c:139-141) and apply the API's inverse 1/n.
     y = conv[..., :n] * const(c, x)
     return inverse_scale(y, n, direction)
+
+
+if __name__ == "__main__":
+    from fftlab.algos._common import run_module_demo
+
+    run_module_demo("bluestein_fft", bluestein_fft)

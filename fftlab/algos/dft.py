@@ -99,3 +99,9 @@ def dft_bin(x, k, direction=FORWARD):
     j = np.arange(n, dtype=np.int64)
     row = np.exp(2j * np.pi * float(int(Direction(int(direction)))) * np.mod(j * int(k), n) / n)
     return jnp.einsum("...j,j->...", x, const(row, x))
+
+
+if __name__ == "__main__":
+    from fftlab.algos._common import run_module_demo
+
+    run_module_demo("naive_dft (oracle)", naive_dft, sizes=(16, 64, 256))

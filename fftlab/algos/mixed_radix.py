@@ -97,3 +97,9 @@ def mixed_radix_fft_recursive(x, direction=FORWARD):
     """Alias mirroring the reference's recursive entry point
     (fft_algorithms.h:40, mixed_radix.c:140)."""
     return mixed_radix_fft(x, direction)
+
+
+if __name__ == "__main__":
+    from fftlab.algos._common import run_module_demo
+
+    run_module_demo("mixed_radix_fft", mixed_radix_fft)

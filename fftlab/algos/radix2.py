@@ -90,3 +90,9 @@ def ifft_radix2_dit(x):
     from fftlab.core.types import INVERSE
 
     return radix2_dit(x, INVERSE)
+
+
+if __name__ == "__main__":
+    from fftlab.algos._common import run_module_demo
+
+    run_module_demo("radix2_dit", radix2_dit)

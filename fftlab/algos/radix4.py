@@ -47,3 +47,9 @@ def radix4_fft(x, direction=FORWARD):
         x = jnp.einsum("ap,...pj->...aj", const(F4, x), t)
     x = x.reshape(*batch, n)
     return inverse_scale(x, n, direction)
+
+
+if __name__ == "__main__":
+    from fftlab.algos._common import run_module_demo
+
+    run_module_demo("radix4_fft", radix4_fft)

@@ -60,3 +60,9 @@ def split_radix_fft(x, direction=FORWARD, leaf: int = 32):
         raise ValueError(f"split-radix FFT requires power-of-two size, got n={n}")
     y = _rec(x, n, direction, leaf)
     return inverse_scale(y, n, direction)
+
+
+if __name__ == "__main__":
+    from fftlab.algos._common import run_module_demo
+
+    run_module_demo("split_radix_fft", split_radix_fft)

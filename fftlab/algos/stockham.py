@@ -138,3 +138,9 @@ def stockham_fft(x, direction=FORWARD, leaf: int = DEFAULT_LEAF):
 
 def supports(n: int, leaf: int = DEFAULT_LEAF) -> bool:
     return n >= 1 and max_prime_factor(n) <= leaf
+
+
+if __name__ == "__main__":
+    from fftlab.algos._common import run_module_demo
+
+    run_module_demo("stockham_fft", stockham_fft)

@@ -23,21 +23,35 @@ def main() -> None:
     ap.add_argument("--live", action="store_true")
     ap.add_argument("--fft-size", type=int, default=2048)
     ap.add_argument("--hop", type=int, default=512)
+    ap.add_argument("--wav", default=None,
+                    help="analyze a WAV file (native reader) instead of "
+                         "the synthetic sweep")
     args = ap.parse_args()
 
-    cfg = AnalyzerConfig(fft_size=args.fft_size, hop=args.hop)
-    an = RealtimeAnalyzer(cfg)
-    fs = cfg.sample_rate
-    freqs = rfftfreq(cfg.fft_size, 1.0 / fs)
+    if args.wav:
+        from fftlab.native.wav import read_wav
 
-    # Time-varying signal: sweeping fundamental + fixed harmonics
-    # (realtime_analyzer.c:149-178).
-    total = args.frames * cfg.hop * 4
-    t = np.arange(total) / fs
-    f0 = 440.0 + 400.0 * np.sin(2 * np.pi * 0.5 * t)
-    phase = 2 * np.pi * np.cumsum(f0) / fs
-    sig = (np.sin(phase) + 0.5 * np.sin(2 * phase)
-           + 0.25 * np.sin(3 * phase)).astype(np.float32)
+        sig, fs = read_wav(args.wav)
+        if sig.ndim == 2:
+            sig = sig.mean(axis=1)  # downmix to mono
+        sig = sig.astype(np.float32)
+        cfg = AnalyzerConfig(fft_size=args.fft_size, hop=args.hop,
+                             sample_rate=float(fs))
+        total = len(sig)
+    else:
+        cfg = AnalyzerConfig(fft_size=args.fft_size, hop=args.hop)
+        # Time-varying signal: sweeping fundamental + fixed harmonics
+        # (realtime_analyzer.c:149-178).
+        total = args.frames * cfg.hop * 4
+        fs = cfg.sample_rate
+        t = np.arange(total) / fs
+        f0 = 440.0 + 400.0 * np.sin(2 * np.pi * 0.5 * t)
+        phase = 2 * np.pi * np.cumsum(f0) / fs
+        sig = (np.sin(phase) + 0.5 * np.sin(2 * phase)
+               + 0.25 * np.sin(3 * phase)).astype(np.float32)
+
+    an = RealtimeAnalyzer(cfg)
+    freqs = rfftfreq(cfg.fft_size, 1.0 / cfg.sample_rate)
 
     shown = 0
     for i in range(0, total, cfg.hop * 4):
