@@ -7,9 +7,18 @@ the smallest possible fftlab program, no planner, no DSP layer.
 Run: python examples/minimal.py
 """
 
+import os
+import sys
+
 import numpy as np
 
-import fftlab
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fftlab.utils.compat import prefer_cpu_for_complex  # noqa: E402
+
+prefer_cpu_for_complex()
+
+import fftlab  # noqa: E402
 
 N = 8
 

@@ -14,6 +14,9 @@ import numpy as np
 
 
 def main() -> None:
+    from fftlab.utils.compat import prefer_cpu_for_complex
+
+    prefer_cpu_for_complex()
     from fftlab.algos.real_fft import rfftfreq
     from fftlab.dsp.analyzer import AnalyzerConfig, RealtimeAnalyzer
     from fftlab.utils.plotting import ansi_clear, ascii_spectrum

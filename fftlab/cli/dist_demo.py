@@ -13,6 +13,9 @@ import numpy as np
 
 
 def main() -> None:
+    from fftlab.utils.compat import prefer_cpu_for_complex
+
+    prefer_cpu_for_complex()
     import jax
     import jax.numpy as jnp
 

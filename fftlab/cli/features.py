@@ -11,6 +11,9 @@ import numpy as np
 
 
 def main() -> None:
+    from fftlab.utils.compat import prefer_cpu_for_complex
+
+    prefer_cpu_for_complex()
     import jax
 
     from fftlab import fft, plan_dft_1d

@@ -12,6 +12,9 @@ import numpy as np
 
 
 def main() -> None:
+    from fftlab.utils.compat import prefer_cpu_for_complex
+
+    prefer_cpu_for_complex()
     from fftlab.dsp.pitch import detect_pitch
     from fftlab.utils.signals import generate_multi_tone
 

@@ -12,6 +12,9 @@ import numpy as np
 
 
 def main() -> None:
+    from fftlab.utils.compat import prefer_cpu_for_complex
+
+    prefer_cpu_for_complex()
     from fftlab.dsp.spectrum import (
         autocorrelation,
         coherence,
