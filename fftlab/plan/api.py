@@ -164,3 +164,33 @@ def fft(x, direction=FORWARD, algorithm: str | None = None,
 def ifft(x, algorithm: str | None = None, flags: Flags = Flags.ESTIMATE):
     """Inverse FFT with 1/n scaling."""
     return fft(x, INVERSE, algorithm, flags)
+
+
+def plan_dft_1d_sharded(n: int, mesh, axis_name: str = "tp",
+                        direction=FORWARD, n1: int | None = None) -> Plan:
+    """A plan whose execution shards ONE transform across the mesh via
+    the four-step decomposition (all_to_all over ICI).
+
+    The TPU-native successor of `fft_plan_with_nthreads`
+    (fft_auto.c:342-349): where the reference sets an OpenMP thread
+    count, here the parallel resource is a mesh axis of chips.
+    """
+    import functools as _ft
+
+    from fftlab.dist.four_step import four_step_fft_sharded, split_n
+
+    n = int(n)
+    n1_, n2_ = split_n(n, n1)
+    p = mesh.shape[axis_name]
+    if n1_ % p or n2_ % p:
+        raise ValueError(
+            f"mesh axis {axis_name}={p} must divide both factors "
+            f"({n1_}, {n2_}) of n={n}"
+        )
+    fn = _ft.partial(four_step_fft_sharded, mesh=mesh, axis_name=axis_name,
+                     direction=direction, n1=n1_)
+    return Plan(
+        kind="c2c_sharded", n=n, direction=Direction(int(direction)),
+        dtype=np.complex64, algorithm=f"four_step[{axis_name}={p}]",
+        config=PlanConfig(), fn=fn,
+    )

@@ -223,3 +223,23 @@ class TestBatchSharding:
         got = np.asarray(jax.jit(stockham_fft)(xs))
         want = np.asarray(jax.jit(stockham_fft)(x))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+class TestShardedPlan:
+    def test_plan_executes_on_mesh(self, mesh8):
+        from fftlab.plan.api import plan_dft_1d_sharded
+
+        rng = np.random.default_rng(50)
+        n = 4096
+        x = _rand_complex(rng, (n,))
+        plan = plan_dft_1d_sharded(n, mesh8, axis_name="x")
+        assert "four_step[x=8]" == plan.algorithm
+        got = np.asarray(plan.execute(x))
+        np.testing.assert_allclose(got, np.asarray(naive_dft(x)),
+                                   atol=1e-8 * n)
+
+    def test_indivisible_raises(self, mesh8):
+        from fftlab.plan.api import plan_dft_1d_sharded
+
+        with pytest.raises(ValueError):
+            plan_dft_1d_sharded(36, mesh8, axis_name="x")
