@@ -104,3 +104,52 @@ def fused_stage(xr, xi, *, r: int, direction=FORWARD, twiddle: bool = True,
         interpret=interpret,
     )(x4r, x4i, Fr, Fi, twr, twi)
     return yr.reshape(B, n), yi.reshape(B, n)
+
+
+def fft_split_pipeline(xr, xi, direction=FORWARD, factors=(64, 128, 128),
+                       col_tile: int = 8, interpret: bool = False):
+    """Full FFT from fused-stage launches: K-1 Pallas stages (contraction
+    + twiddle in one residency each), an XLA last-axis leaf matmul, and
+    the digit-reversal transpose. Layout/twiddle math identical to
+    algos/split_stockham (each produced digit folds into the batch)."""
+    direction = Direction(int(direction))
+    B, n = xr.shape
+    assert int(np.prod(factors)) == n, (factors, n)
+    rem = n
+    bfold = B
+    for r in factors[:-1]:
+        if (rem // r) % LANES:
+            raise ValueError(
+                f"stage radix {r} leaves M={rem // r} columns; the fused "
+                f"stage needs M % {LANES} == 0 — reorder factors "
+                f"(small radices first)"
+            )
+        xr2 = xr.reshape(bfold, rem)
+        xi2 = xi.reshape(bfold, rem)
+        xr, xi = fused_stage(xr2, xi2, r=r, direction=direction,
+                             twiddle=True, col_tile=col_tile,
+                             interpret=interpret)
+        bfold *= r
+        rem //= r
+    # Leaf: last-axis matmul via XLA (M == 1 territory for the kernel).
+    r = factors[-1]
+    F = dft_matrix_np(r, direction)
+    Fr = jnp.asarray(F.real.astype(xr.dtype))
+    Fi = jnp.asarray(F.imag.astype(xr.dtype))
+    a_r = xr.reshape(bfold, r)
+    a_i = xi.reshape(bfold, r)
+    yr = (jnp.dot(a_r, Fr.T, precision=_P)
+          - jnp.dot(a_i, Fi.T, precision=_P))
+    yi = (jnp.dot(a_r, Fi.T, precision=_P)
+          + jnp.dot(a_i, Fr.T, precision=_P))
+    # Digit reversal.
+    K = len(factors)
+    yr = yr.reshape(B, *factors)
+    yi = yi.reshape(B, *factors)
+    perm = (0,) + tuple(range(K, 0, -1))
+    yr = jnp.transpose(yr, perm).reshape(B, n)
+    yi = jnp.transpose(yi, perm).reshape(B, n)
+    if direction == Direction.INVERSE:
+        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+        return yr * s, yi * s
+    return yr, yi
