@@ -357,3 +357,22 @@ def spectral_filter_split_fused(xr, xi, hr, hi,
     zr, zi = _ifft_split_from_digitrev(Gr, Gi, FORWARD, factors, precision)
     s = jnp.asarray(1.0 / n, dtype=zr.dtype)
     return zr * s, zi * s
+
+
+def fft2_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT):
+    """2D FFT on split planes over the last two axes (row-column
+    decomposition, fft2d.py semantics without complex dtypes)."""
+    direction = Direction(int(direction))
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    rows, cols = int(xr.shape[-2]), int(xr.shape[-1])
+    yr, yi = stockham_fft_split_unscaled(xr, xi, direction, leaf)
+    yr = jnp.swapaxes(yr, -1, -2)
+    yi = jnp.swapaxes(yi, -1, -2)
+    yr, yi = stockham_fft_split_unscaled(yr, yi, direction, leaf)
+    yr = jnp.swapaxes(yr, -1, -2)
+    yi = jnp.swapaxes(yi, -1, -2)
+    if direction == Direction.INVERSE:
+        s = jnp.asarray(1.0 / (rows * cols), dtype=yr.dtype)
+        return yr * s, yi * s
+    return yr, yi

@@ -174,3 +174,28 @@ class TestFusedFilter:
         got = np.asarray(Yr) + 1j * np.asarray(Yi)
         want = np.fft.fft(x)[digitrev_bins(factors)]
         np.testing.assert_allclose(got, want, atol=1e-8)
+
+
+class TestFft2Split:
+    def test_matches_numpy_fft2(self):
+        from fftlab.algos.split_stockham import fft2_split
+
+        rng = np.random.default_rng(0)
+        xr = rng.standard_normal((2, 64, 128)).astype(np.float64)
+        xi = rng.standard_normal((2, 64, 128)).astype(np.float64)
+        yr, yi = fft2_split(xr, xi)
+        got = from_split(yr, yi)
+        want = np.fft.fft2(xr + 1j * xi)
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_inverse_roundtrip(self):
+        from fftlab.algos.split_stockham import fft2_split
+        from fftlab.core.types import Direction
+
+        rng = np.random.default_rng(1)
+        xr = rng.standard_normal((32, 32))
+        xi = rng.standard_normal((32, 32))
+        Yr, Yi = fft2_split(xr, xi)
+        br, bi = fft2_split(Yr, Yi, Direction.INVERSE)
+        np.testing.assert_allclose(np.asarray(br), xr, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-10)
