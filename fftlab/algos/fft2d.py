@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from fftlab.core.types import Direction, FORWARD, INVERSE
+from fftlab.core.types import FORWARD, INVERSE
 
 
 def _default_cfft():

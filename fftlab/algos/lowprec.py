@@ -26,7 +26,7 @@ import numpy as np
 
 import jax
 
-from fftlab.core.types import Direction, FORWARD
+from fftlab.core.types import FORWARD
 
 _PRECISIONS = {
     "f32": jax.lax.Precision.HIGHEST,

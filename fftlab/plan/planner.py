@@ -18,7 +18,7 @@ from __future__ import annotations
 import functools
 import time
 
-from fftlab.algos.mixed_radix import factorize, is_highly_composite, is_prime
+from fftlab.algos.mixed_radix import is_highly_composite, is_prime
 from fftlab.algos.stockham import max_prime_factor
 from fftlab.core.types import is_power_of, is_power_of_two
 from fftlab.plan import wisdom
