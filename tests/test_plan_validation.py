@@ -1,0 +1,69 @@
+"""Plan-layer validation and API-robustness tests (the typed-error
+analog of the reference's exit-on-fail macros, fft_common.h:117-127)."""
+
+import numpy as np
+import pytest
+
+import fftlab
+from fftlab.plan.api import plan_dft_1d, plan_dft_2d, plan_r2c_1d
+from fftlab.plan.flags import Flags, PlanConfig
+from fftlab.plan.planner import estimate_algorithm, measure_algorithm
+
+
+class TestPlanValidation:
+    def test_unknown_algorithm_raises(self):
+        with pytest.raises(KeyError):
+            fftlab.fft(np.zeros(64, np.complex64), algorithm="warp_drive")
+
+    def test_pow2_only_algorithm_on_composite_raises(self):
+        with pytest.raises(Exception):
+            np.asarray(fftlab.fft(np.zeros(100, np.complex64),
+                                  algorithm="radix2_dit"))
+
+    def test_plan_reuse_is_cached(self):
+        p1 = plan_dft_1d(2048)
+        p2 = plan_dft_1d(2048)
+        assert p1 is p2  # lru-cached plan identity = FFTW plan reuse
+
+    def test_plan_describe(self):
+        p = plan_dft_1d(512)
+        assert "512" in p.describe() and "FORWARD" in p.describe()
+        p.destroy()  # no-op, must not break the cached plan
+        assert np.asarray(p.execute(np.ones(512, np.complex64))).shape == (512,)
+
+    def test_r2c_plan_shapes(self):
+        p = plan_r2c_1d(256)
+        out = np.asarray(p.execute(np.ones(256, np.float32)))
+        assert out.shape == (129,)
+
+    def test_2d_plan(self):
+        p = plan_dft_2d(16, 32)
+        out = np.asarray(p.execute(np.ones((16, 32), np.complex64)))
+        assert out.shape == (16, 32)
+        assert abs(out[0, 0] - 512) < 1e-3
+
+    def test_measure_mode_records_wisdom(self):
+        from fftlab.plan import wisdom
+
+        wisdom.forget()
+        name = measure_algorithm(
+            128, fftlab.FORWARD, np.complex64, Flags.MEASURE, PlanConfig(),
+            batch=2, iters=2,
+        )
+        assert wisdom.lookup(128, "f32") is not None
+        assert wisdom.lookup(128, "f32")["algorithm"] == name
+        wisdom.forget()
+
+    def test_wisdom_only_without_wisdom_raises(self):
+        from fftlab.plan import wisdom
+
+        wisdom.forget()
+        with pytest.raises(RuntimeError):
+            measure_algorithm(
+                4096, fftlab.FORWARD, np.complex64, Flags.WISDOM_ONLY,
+                PlanConfig(),
+            )
+
+    def test_estimate_prefers_flagship(self):
+        assert estimate_algorithm(4096, PlanConfig()) == "stockham_mxu"
+        assert estimate_algorithm(100003, PlanConfig()) == "bluestein"
