@@ -1,0 +1,113 @@
+"""Four-step sharded FFT on split re/im planes — the variant that runs
+on complex-less TPU runtimes (this environment's backend rejects complex
+dtypes; a multi-chip deployment of it would too).
+
+Same math and collectives as dist/four_step.py with every complex value
+carried as two real arrays: the all_to_all moves both planes, and the
+per-shard twiddle slice is computed on-device as separate cos/sin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fftlab.algos.split_stockham import stockham_fft_split_unscaled
+from fftlab.core.types import Direction, FORWARD
+from fftlab.dist.four_step import split_n
+
+try:
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _twiddle_cs(n1_local: int, n2: int, n: int, j1_offset,
+                direction: Direction, rdtype):
+    """cos/sin of the four-step twiddle W_n^{j1*k2} for the local slice
+    (exact int32 mod keeps the phase argument small; j1*k2 < n < 2^31)."""
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (n2, n1_local), 1) + j1_offset
+    k2 = jax.lax.broadcasted_iota(jnp.int32, (n2, n1_local), 0)
+    m = (j1 * k2) % n
+    ang = m.astype(rdtype) * np.asarray(
+        2.0 * np.pi * float(int(direction)) / n, dtype=rdtype
+    )
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("direction", "n1", "axis_name", "mesh")
+)
+def _impl(xr, xi, *, direction: Direction, n1: int, axis_name: str,
+          mesh: Mesh):
+    n = int(xr.shape[-1])
+    n2 = n // n1
+    p = mesh.shape[axis_name]
+    batch = xr.shape[:-1]
+    bnd = len(batch)
+    rdtype = xr.dtype
+
+    def local(br, bi):
+        n1_local = n1 // p
+        idx = jax.lax.axis_index(axis_name)
+        cr, ci = stockham_fft_split_unscaled(
+            jnp.swapaxes(br, -1, -2), jnp.swapaxes(bi, -1, -2), direction
+        )  # [..., n1/p, n2]
+        tc, ts = _twiddle_cs(n1_local, n2, n, idx * n1_local, direction,
+                             rdtype)
+        tc = jnp.swapaxes(tc, -1, -2)
+        ts = jnp.swapaxes(ts, -1, -2)
+        yr = cr * tc - ci * ts
+        yi = cr * ts + ci * tc
+        yr = jax.lax.all_to_all(yr, axis_name, split_axis=bnd + 1,
+                                concat_axis=bnd, tiled=True)
+        yi = jax.lax.all_to_all(yi, axis_name, split_axis=bnd + 1,
+                                concat_axis=bnd, tiled=True)
+        dr, di = stockham_fft_split_unscaled(
+            jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2), direction
+        )  # [..., n2/p, n1]
+        return jnp.swapaxes(dr, -1, -2), jnp.swapaxes(di, -1, -2)
+
+    spec = P(*([None] * bnd), None, axis_name)
+    xr2 = xr.reshape(*batch, n2, n1)
+    xi2 = xi.reshape(*batch, n2, n1)
+    yr, yi = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec)
+    )(xr2, xi2)
+    if direction == Direction.INVERSE:
+        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+        yr, yi = yr * s, yi * s
+    return yr, yi
+
+
+def four_step_fft_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
+                                direction=FORWARD, n1: int | None = None,
+                                flatten: bool = True):
+    """Sharded single transform on split planes: [..., n] re/im pair ->
+    spectrum pair. Complex-dtype-free end to end (collectives included).
+
+    `flatten=False` returns the [..., n1, n2] matrix pair still sharded
+    over k2 for fused downstream pointwise stages.
+    """
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    direction = Direction(int(direction))
+    n = int(xr.shape[-1])
+    n1_, n2_ = split_n(n, n1)
+    p = mesh.shape[axis_name]
+    if n1_ % p or n2_ % p:
+        raise ValueError(
+            f"mesh axis {axis_name}={p} must divide both n1={n1_} and n2={n2_}"
+        )
+    yr, yi = _impl(xr, xi, direction=direction, n1=n1_,
+                   axis_name=axis_name, mesh=mesh)
+    if flatten:
+        yr = jax.device_put(yr, NamedSharding(mesh, P()))
+        yi = jax.device_put(yi, NamedSharding(mesh, P()))
+        return (yr.reshape(*xr.shape[:-1], n),
+                yi.reshape(*xr.shape[:-1], n))
+    return yr, yi

@@ -1,0 +1,110 @@
+"""Sharded overlap-save filtering on split re/im planes (complex-free).
+
+The production TPU variant of dist/overlap_save.py. The split signal
+pair doubles as a two-for-one channel packer: a REAL frequency response
+is Hermitian, so filtering commutes with Re/Im extraction — pack two
+real channels as (xr, xi) and both come out filtered independently
+(dsp/filtering.fft_filter_split documents the same trick single-chip).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fftlab.algos.split_stockham import (
+    _twiddle_split,
+    stockham_fft_split_unscaled,
+)
+from fftlab.core.types import Direction, next_power_of_two
+
+try:
+    from jax import shard_map  # type: ignore[attr-defined]
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def _local_os_split(xr, xi, Hr, Hi, chunk: int, nh: int, fft_size: int):
+    hop = fft_size - (nh - 1)
+    n_blocks = -(-chunk // hop)
+    need = (nh - 1) + n_blocks * hop
+    pad = [(0, 0)] * (xr.ndim - 1) + [(0, need - int(xr.shape[-1]))]
+    xr = jnp.pad(xr, pad)
+    xi = jnp.pad(xi, pad)
+    starts = np.arange(n_blocks) * hop
+    idx = starts[:, None] + np.arange(fft_size)[None, :]
+    fr = xr[..., idx]
+    fi = xi[..., idx]
+    Fr, Fi = stockham_fft_split_unscaled(fr, fi, Direction.FORWARD)
+    Gr, Gi = _twiddle_split(Fr, Fi, Hr, Hi)
+    yr, yi = stockham_fft_split_unscaled(Gr, Gi, Direction.INVERSE)
+    s = 1.0 / fft_size
+    yr = (yr * s)[..., nh - 1:]
+    yi = (yi * s)[..., nh - 1:]
+    shape = (*yr.shape[:-2], n_blocks * hop)
+    return (yr.reshape(shape)[..., :chunk],
+            yi.reshape(shape)[..., :chunk])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nh", "fft_size", "axis_name", "mesh")
+)
+def _impl(xr, xi, h, *, nh: int, fft_size: int, axis_name: str,
+          mesh: Mesh):
+    p = mesh.shape[axis_name]
+    n = int(xr.shape[-1])
+    chunk = n // p
+    bnd = xr.ndim - 1
+
+    def local(cr, ci, hrep):
+        hp = jnp.pad(hrep, [(0, fft_size - nh)])
+        Hr, Hi = stockham_fft_split_unscaled(
+            hp, jnp.zeros_like(hp), Direction.FORWARD
+        )
+        if nh > 1:
+            perm = [(i, i + 1) for i in range(p - 1)]
+            har = jax.lax.ppermute(cr[..., chunk - (nh - 1):], axis_name,
+                                   perm=perm)
+            hai = jax.lax.ppermute(ci[..., chunk - (nh - 1):], axis_name,
+                                   perm=perm)
+            cr = jnp.concatenate([har, cr], axis=-1)
+            ci = jnp.concatenate([hai, ci], axis=-1)
+        return _local_os_split(cr, ci, Hr, Hi, chunk, nh, fft_size)
+
+    spec = P(*([None] * bnd), axis_name)
+    return shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, P()),
+        out_specs=(spec, spec),
+    )(xr, xi, h)
+
+
+def overlap_save_filter_sharded_split(xr, xi, h, mesh: Mesh,
+                                      axis_name: str = "sp",
+                                      fft_size: int | None = None):
+    """Causal FIR filtering of a split-complex signal pair, time-sharded
+    with ppermute halo — no complex dtype anywhere.
+
+    xr, xi: [..., n] float planes (or two REAL channels packed as a
+    pair — h's real response is Hermitian, so each plane is filtered
+    independently). h: [nh] real taps. Matches
+    fft_convolution(x, h)[..., :n] on each plane.
+    """
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    h = jnp.asarray(h, dtype=xr.dtype)
+    n, nh = int(xr.shape[-1]), int(h.shape[-1])
+    p = mesh.shape[axis_name]
+    if n % p:
+        raise ValueError(f"n={n} not divisible by {axis_name}={p}")
+    if n // p < nh - 1:
+        raise ValueError(
+            f"chunk {n // p} shorter than filter halo {nh - 1}"
+        )
+    if fft_size is None:
+        fft_size = max(next_power_of_two(4 * nh), 256)
+    return _impl(xr, xi, h, nh=nh, fft_size=fft_size,
+                 axis_name=axis_name, mesh=mesh)
