@@ -21,6 +21,7 @@ arrays and are jit/vmap/shard_map friendly.
 """
 
 from fftlab.core.types import Direction, FORWARD, INVERSE
+from fftlab.plan.filter_plan import FilterPlan
 from fftlab.plan.api import (
     fft,
     ifft,
@@ -70,4 +71,5 @@ __all__ = [
     "spectral_filter_split",
     "to_split",
     "from_split",
+    "FilterPlan",
 ]
