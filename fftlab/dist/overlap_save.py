@@ -53,14 +53,11 @@ def _local_overlap_save(xp, H, chunk: int, nh: int, fft_size: int):
     xp: [..., (nh-1) + chunk (+ right pad)] complex; returns [..., chunk]:
     y[t] = sum_tau h[tau] * x[chunk_start + t - tau].
     """
+    from fftlab.core.framing import frame_signal_strided
+
     hop = fft_size - (nh - 1)
     n_blocks = -(-chunk // hop)
-    need = (nh - 1) + n_blocks * hop
-    pad = [(0, 0)] * (xp.ndim - 1) + [(0, need - int(xp.shape[-1]))]
-    xp = jnp.pad(xp, pad)
-    starts = np.arange(n_blocks) * hop
-    idx = starts[:, None] + np.arange(fft_size)[None, :]
-    frames = xp[..., idx]  # [..., n_blocks, fft_size]
+    frames = frame_signal_strided(xp, fft_size, hop, n_blocks)
     y = _cfft_inv_unscaled(_cfft_fwd(frames) * H) * (1.0 / fft_size)
     y = y[..., nh - 1 :]  # discard the aliased head of each block
     return y.reshape(*y.shape[:-2], n_blocks * hop)[..., :chunk]

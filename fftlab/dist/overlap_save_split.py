@@ -29,16 +29,12 @@ except ImportError:  # pragma: no cover
 
 
 def _local_os_split(xr, xi, Hr, Hi, chunk: int, nh: int, fft_size: int):
+    from fftlab.core.framing import frame_signal_strided
+
     hop = fft_size - (nh - 1)
     n_blocks = -(-chunk // hop)
-    need = (nh - 1) + n_blocks * hop
-    pad = [(0, 0)] * (xr.ndim - 1) + [(0, need - int(xr.shape[-1]))]
-    xr = jnp.pad(xr, pad)
-    xi = jnp.pad(xi, pad)
-    starts = np.arange(n_blocks) * hop
-    idx = starts[:, None] + np.arange(fft_size)[None, :]
-    fr = xr[..., idx]
-    fi = xi[..., idx]
+    fr = frame_signal_strided(xr, fft_size, hop, n_blocks)
+    fi = frame_signal_strided(xi, fft_size, hop, n_blocks)
     Fr, Fi = stockham_fft_split_unscaled(fr, fi, Direction.FORWARD)
     Gr, Gi = _twiddle_split(Fr, Fi, Hr, Hi)
     yr, yi = stockham_fft_split_unscaled(Gr, Gi, Direction.INVERSE)

@@ -49,9 +49,9 @@ def _stft_sharded_impl(x, w, *, fft_size: int, hop: int, axis_name: str,
             xp = jnp.concatenate([xl, head], axis=-1)
         else:
             xp = xl
-        starts = np.arange(chunk // hop) * hop
-        idx = starts[:, None] + np.arange(fft_size)[None, :]
-        frames = xp[..., idx] * wl
+        from fftlab.core.framing import frame_signal_strided
+
+        frames = frame_signal_strided(xp, fft_size, hop, chunk // hop) * wl
         cdtype = complex_dtype_for(frames.dtype)
         X = stockham_fft_unscaled(frames.astype(cdtype), Direction.FORWARD)
         return X[..., :bins]

@@ -39,11 +39,13 @@ def _welch_sharded_impl(x, w, *, window_size: int, hop: int, n_seg: int,
     h = window_size // 2 + 1
 
     def local(xl, wl):
+        from fftlab.core.framing import frame_signal_strided
+
         dev = jax.lax.axis_index(axis_name)
         base = dev * per
-        starts = jnp.arange(per) * hop + base * hop
-        idx = starts[:, None] + jnp.arange(window_size)[None, :]
-        segs = xl[idx] * wl[None, :]
+        span = (per - 1) * hop + window_size
+        xs = jax.lax.dynamic_slice_in_dim(xl, base * hop, span)
+        segs = frame_signal_strided(xs, window_size, hop, per) * wl[None, :]
         cdtype = complex_dtype_for(segs.dtype)
         X = stockham_fft_unscaled(segs.astype(cdtype), Direction.FORWARD)
         psd = (jnp.real(X) ** 2 + jnp.imag(X) ** 2)[:, :h]

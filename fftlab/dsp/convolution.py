@@ -111,14 +111,12 @@ def overlap_save(x, h, block: int | None = None, cfft=None):
     cdtype = complex_dtype_for(jnp.result_type(x, h))
     H = cfft(_pad_last(h.astype(cdtype), fft_size), Direction.FORWARD)
 
-    # Left-pad with the (nh-1)-sample halo; right-pad to cover all blocks.
-    total = (nh - 1) + n_blocks * hop
-    pad = [(0, 0)] * (x.ndim - 1) + [(nh - 1, total - (nh - 1) - nx)]
+    # Left-pad with the (nh-1)-sample halo; the strided framer right-pads.
+    from fftlab.core.framing import frame_signal_strided
+
+    pad = [(0, 0)] * (x.ndim - 1) + [(nh - 1, 0)]
     xp = jnp.pad(x.astype(cdtype), pad)
-    # Form overlapping frames [..., n_blocks, fft_size] with one gather.
-    starts = np.arange(n_blocks) * hop
-    idx = starts[:, None] + np.arange(fft_size)[None, :]
-    frames = xp[..., idx]  # gather: blocks overlap by nh-1
+    frames = frame_signal_strided(xp, fft_size, hop, n_blocks)
     Y = cfft(frames, Direction.FORWARD) * H
     y = cfft(Y, Direction.INVERSE)[..., nh - 1 :]  # keep valid tail of each block
     y = y.reshape(*y.shape[:-2], n_blocks * hop)[..., :n_out]

@@ -62,11 +62,11 @@ def welch_psd(x, sample_rate: float = 1.0, window_size: int = 256,
     """
     x = jnp.asarray(x)
     n = int(x.shape[-1])
+    from fftlab.core.framing import frame_signal_strided
+
     hop = max(int(window_size * (1.0 - overlap)), 1)
     n_seg = max((n - window_size) // hop + 1, 1)
-    starts = np.arange(n_seg) * hop
-    idx = starts[:, None] + np.arange(window_size)[None, :]
-    segments = x[..., idx]  # [..., n_seg, window_size]
+    segments = frame_signal_strided(x, window_size, hop, n_seg)
     freqs, p = periodogram(segments, sample_rate, window, cfft)
     return freqs, jnp.mean(p, axis=-2)
 
@@ -127,14 +127,14 @@ def coherence(x, y, sample_rate: float = 1.0, window_size: int = 256,
     n_seg = max((n - window_size) // hop + 1, 1)
     if n_seg < 2:
         raise ValueError("coherence needs >= 2 Welch segments for averaging")
-    starts = np.arange(n_seg) * hop
-    idx = starts[:, None] + np.arange(window_size)[None, :]
+    from fftlab.core.framing import frame_signal_strided
+
     w = get_window(window, window_size)
     cdtype = complex_dtype_for(jnp.result_type(x, y))
     wk = jnp.asarray(w)
 
     def seg_fft(s):
-        sw = s[..., idx] * wk
+        sw = frame_signal_strided(s, window_size, hop, n_seg) * wk
         return cfft(sw.astype(cdtype), Direction.FORWARD)
 
     X = seg_fft(x)

@@ -21,19 +21,17 @@ from fftlab.core.window import get_window
 
 
 def frame_signal(x, frame_size: int, hop: int, pad: bool = True):
-    """[..., n] -> [..., n_frames, frame_size] via one gather."""
+    """[..., n] -> [..., n_frames, frame_size], gather-free (slice +
+    concat framing; elementwise gathers are ~10x slower on TPU)."""
+    from fftlab.core.framing import frame_signal_strided
+
     x = jnp.asarray(x)
     n = int(x.shape[-1])
     if pad:
         n_frames = max(-(-max(n - frame_size, 0) // hop) + 1, 1)
-        total = (n_frames - 1) * hop + frame_size
-        padding = [(0, 0)] * (x.ndim - 1) + [(0, total - n)]
-        x = jnp.pad(x, padding)
     else:
         n_frames = (n - frame_size) // hop + 1
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(frame_size)[None, :]
-    return x[..., idx]
+    return frame_signal_strided(x, frame_size, hop, n_frames)
 
 
 def stft(x, fft_size: int = 2048, hop: int = 512, window="hann", cfft=None):

@@ -76,19 +76,17 @@ class FilterPlan:
         )
         from fftlab.core.types import Direction
 
+        from fftlab.core.framing import frame_signal_strided
+
         nh, fft_size = self.nh, self.fft_size
         hop = fft_size - (nh - 1)
         total = int(xr.shape[-1])
         valid = total - (nh - 1)
         n_blocks = -(-valid // hop)
-        need = (nh - 1) + n_blocks * hop
-        pad = [(0, 0)] * (xr.ndim - 1) + [(0, need - total)]
-        xr = jnp.pad(xr, pad)
-        xi = jnp.pad(xi, pad)
-        starts = np.arange(n_blocks) * hop
-        idx = starts[:, None] + np.arange(fft_size)[None, :]
         Fr, Fi = stockham_fft_split_unscaled(
-            xr[..., idx], xi[..., idx], Direction.FORWARD
+            frame_signal_strided(xr, fft_size, hop, n_blocks),
+            frame_signal_strided(xi, fft_size, hop, n_blocks),
+            Direction.FORWARD,
         )
         Gr, Gi = _twiddle_split(Fr, Fi, self._Hr, self._Hi)
         yr, yi = stockham_fft_split_unscaled(Gr, Gi, Direction.INVERSE)
