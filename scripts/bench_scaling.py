@@ -1,0 +1,96 @@
+"""Weak-scaling benchmark of the sharded overlap-save filter pipeline
+(BASELINE.json north star: samples/s at 1 chip vs N, >= 85% efficiency).
+
+Weak scaling: the per-device signal length is FIXED; the mesh grows.
+Perfect scaling doubles total samples/s when the device count doubles —
+the ppermute halo is the only cross-device traffic, so efficiency should
+stay near 1 until the halo/compute ratio bites.
+
+On real multi-chip hardware run as-is; without it, virtual devices
+validate the mechanics (not the bandwidth):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/bench_scaling.py --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (virtual devices)")
+    ap.add_argument("--per-device", type=int, default=1 << 20,
+                    help="samples per device (weak scaling unit)")
+    ap.add_argument("--taps", type=int, default=129)
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from fftlab.dist.mesh import make_mesh_1d
+    from fftlab.dist.overlap_save_split import (
+        overlap_save_filter_sharded_split,
+    )
+
+    devices = jax.devices()
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal(args.taps), jnp.float32)
+    results = []
+    sizes = [p for p in (1, 2, 4, 8, 16, 32) if p <= len(devices)]
+    for p in sizes:
+        mesh = make_mesh_1d("sp", devices=devices[:p])
+        n = args.per_device * p
+        xr = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        xi = jnp.zeros_like(xr)
+        variants = [xr + float(i) * 1e-3 for i in range(args.iters)]
+        jax.block_until_ready(variants)
+
+        def f(v):
+            return overlap_save_filter_sharded_split(
+                v, xi, h, mesh, "sp", fft_size=4096
+            )
+
+        _ = np.asarray(f(variants[0])[0][:1])
+
+        def run(K):
+            t0 = time.perf_counter()
+            outs = [f(variants[i % args.iters]) for i in range(K)]
+            _ = np.asarray(outs[-1][0][:1])
+            return time.perf_counter() - t0
+
+        k2 = args.iters
+        k1 = max(args.iters // 3, 1)
+        slope = (run(k2) - run(k1)) / (k2 - k1)
+        gsps = n / slope / 1e9
+        results.append({"devices": p, "n": n, "ms": round(slope * 1e3, 3),
+                        "gsamples_per_s": round(gsps, 3)})
+        print(f"devices={p:<3} n={n:>10} {slope*1e3:8.2f} ms "
+              f"{gsps:7.3f} GS/s", flush=True)
+
+    if len(results) > 1:
+        base = results[0]["gsamples_per_s"]
+        for r in results[1:]:
+            r["weak_scaling_efficiency"] = round(
+                r["gsamples_per_s"] / (base * r["devices"]), 3
+            )
+            print(f"devices={r['devices']}: weak-scaling efficiency "
+                  f"{r['weak_scaling_efficiency']:.1%}")
+    print(json.dumps({"metric": "overlap_save_weak_scaling",
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
