@@ -166,3 +166,31 @@ def spectral_stats(psd, freqs) -> dict:
         "rolloff_95": rolloff,
         "total_power": total,
     }
+
+
+def welch_psd_split(x, sample_rate: float = 1.0, window_size: int = 256,
+                    overlap: float = 0.5, window="hann"):
+    """TPU-native Welch PSD: real 1D signal in, real PSD out, no complex
+    dtype anywhere (periodograms via dsp.stft.stft_split, which uses the
+    Pallas STFT kernel on TPU when sizes allow).
+
+    Matches `welch_psd` (property-tested)."""
+    from fftlab.dsp.stft import stft_split
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    n = int(x.shape[-1])
+    hop = max(int(window_size * (1.0 - overlap)), 1)
+    n_seg = max((n - window_size) // hop + 1, 1)
+    Xr, Xi = stft_split(x[: (n_seg - 1) * hop + window_size],
+                        window_size, hop, window)
+    w = get_window(window, window_size)
+    h = window_size // 2 + 1
+    p = (Xr * Xr + Xi * Xi)[:n_seg, :h]
+    scale = 1.0 / (sample_rate * window_size * power_gain(w))
+    dbl = np.full(h, 2.0)
+    dbl[0] = 1.0
+    if window_size % 2 == 0:
+        dbl[-1] = 1.0
+    psd = jnp.mean(p, axis=0) * scale * jnp.asarray(dbl, dtype=p.dtype)
+    freqs = np.arange(h) * sample_rate / window_size
+    return freqs, psd

@@ -93,3 +93,46 @@ def spectrogram(x, fft_size: int = 2048, hop: int = 512, window="hann",
         _, out = jax.lax.scan(ema, init, jnp.moveaxis(mag, -2, 0))
         mag = jnp.moveaxis(out, 0, -2)
     return mag
+
+
+def stft_split(x, fft_size: int = 2048, hop: int = 512, window="hann",
+               onesided: bool = True):
+    """TPU-native STFT of a real 1D signal on split planes:
+    returns (re, im) of [n_frames, bins] — no complex dtype anywhere.
+
+    On TPU with kernel-supported sizes this routes to the fused
+    DMA-framing Pallas kernel (kernels/stft_vmem.py, ~8.7x the XLA
+    gather path); otherwise the split-Stockham XLA path with strided
+    framing. Framing convention: frames start at k*hop over the
+    zero-extended signal, n_frames = ceil((n - fft_size)/hop) + 1.
+    """
+    import jax
+
+    from fftlab.core.framing import frame_signal_strided, frames_needed
+    from fftlab.kernels.fft_vmem import supported_size
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    if x.ndim != 1:
+        raise ValueError(f"stft_split expects a 1D signal, got {x.shape}")
+    n = int(x.shape[-1])
+    n_frames = frames_needed(max(n, fft_size), fft_size, hop)
+    use_pallas = (jax.default_backend() == "tpu"
+                  and supported_size(fft_size) and hop % 128 == 0)
+    if use_pallas:
+        from fftlab.kernels.stft_vmem import pallas_stft_split
+
+        need = (n_frames - 1) * hop + fft_size
+        xp = jnp.pad(x, (0, max(need - n, 0)))
+        return pallas_stft_split(xp, fft_size, hop, window,
+                                 onesided=onesided, interpret=False)
+    from fftlab.algos.split_stockham import stockham_fft_split_unscaled
+    from fftlab.core.types import Direction
+
+    frames = frame_signal_strided(x, fft_size, hop, n_frames)
+    w = jnp.asarray(get_window(window, fft_size), dtype=frames.dtype)
+    fr = frames * w
+    Xr, Xi = stockham_fft_split_unscaled(
+        fr, jnp.zeros_like(fr), Direction.FORWARD
+    )
+    bins = fft_size // 2 + 1 if onesided else fft_size
+    return Xr[..., :bins], Xi[..., :bins]

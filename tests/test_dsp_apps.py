@@ -243,3 +243,42 @@ class TestSignalHelpers:
         y = frequency_shift(x, 50.0, fs)
         Y = np.fft.fft(y)
         assert abs(np.argmax(np.abs(Y)) - 150) <= 1
+
+
+class TestSplitAnalysis:
+    def test_stft_split_matches_complex_path(self):
+        from fftlab.dsp.stft import stft_split
+        from fftlab.core.window import hann
+
+        rng = np.random.default_rng(0)
+        n, fft_size, hop = 8192, 512, 128
+        x = rng.standard_normal(n).astype(np.float32)
+        Xr, Xi = stft_split(x, fft_size, hop)
+        got = np.asarray(Xr) + 1j * np.asarray(Xi)
+        n_frames = (n - fft_size) // hop + 1
+        w = hann(fft_size)
+        want = np.stack([
+            np.fft.rfft(x[k * hop : k * hop + fft_size].astype(np.float64) * w)
+            for k in range(n_frames)
+        ])
+        assert got.shape == want.shape
+        snr = 10 * np.log10(np.sum(np.abs(want) ** 2)
+                            / np.sum(np.abs(got - want) ** 2))
+        assert snr > 110.0
+
+    def test_stft_split_validation(self):
+        from fftlab.dsp.stft import stft_split
+
+        with pytest.raises(ValueError):
+            stft_split(np.zeros((2, 100), np.float32))
+
+    def test_welch_split_matches_welch(self):
+        from fftlab.dsp.spectrum import welch_psd, welch_psd_split
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(8192).astype(np.float32)
+        f1, p1 = welch_psd_split(x, sample_rate=100.0, window_size=256)
+        f2, p2 = welch_psd(x, sample_rate=100.0, window_size=256)
+        np.testing.assert_allclose(f1, f2)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   rtol=1e-4, atol=1e-8)
