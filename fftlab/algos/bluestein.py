@@ -60,3 +60,51 @@ if __name__ == "__main__":
     from fftlab.algos._common import run_module_demo
 
     run_module_demo("bluestein_fft", bluestein_fft)
+
+
+def bluestein_fft_split(xr, xi, direction=FORWARD):
+    """Arbitrary-n chirp-z FFT on split re/im planes — no complex dtype
+    anywhere, so prime/odd sizes work on complex-less TPU runtimes.
+
+    Same plan-time constants as `bluestein_fft` (chirp + kernel spectrum
+    in float64), with the internal power-of-two transforms on the
+    split-Stockham MXU path. Forward unscaled / inverse 1/n.
+    """
+    from fftlab.algos.split_stockham import (
+        _twiddle_split,
+        stockham_fft_split_unscaled,
+    )
+
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    direction = Direction(int(direction))
+    n = int(xr.shape[-1])
+    if n == 1:
+        return xr, xi
+    rdtype = np.dtype(xr.dtype)
+
+    m = next_power_of_two(2 * n - 1)
+    c = chirp_np(n, direction)
+    B = bluestein_kernel_spectrum_np(n, m, int(direction))
+    cr = jnp.asarray(c.real.astype(rdtype))
+    ci = jnp.asarray(c.imag.astype(rdtype))
+    Br = jnp.asarray(B.real.astype(rdtype))
+    Bi = jnp.asarray(B.imag.astype(rdtype))
+
+    ar, ai = _twiddle_split(xr, xi, cr, ci)  # a = x * c
+    pad = [(0, 0)] * (xr.ndim - 1) + [(0, m - n)]
+    ar = jnp.pad(ar, pad)
+    ai = jnp.pad(ai, pad)
+
+    Ar, Ai = stockham_fft_split_unscaled(ar, ai, Direction.FORWARD)
+    Cr, Ci = _twiddle_split(Ar, Ai, Br, Bi)
+    vr, vi = stockham_fft_split_unscaled(Cr, Ci, Direction.INVERSE)
+    s = jnp.asarray(1.0 / m, dtype=rdtype)
+    vr = vr * s
+    vi = vi * s
+
+    yr, yi = _twiddle_split(vr[..., :n], vi[..., :n], cr, ci)
+    if direction == Direction.INVERSE:
+        sn = jnp.asarray(1.0 / n, dtype=rdtype)
+        return yr * sn, yi * sn
+    return yr, yi

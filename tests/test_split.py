@@ -199,3 +199,48 @@ class TestFft2Split:
         br, bi = fft2_split(Yr, Yi, Direction.INVERSE)
         np.testing.assert_allclose(np.asarray(br), xr, atol=1e-10)
         np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-10)
+
+
+class TestBluesteinSplit:
+    @pytest.mark.parametrize("n", [7, 97, 251, 360, 1000, 100003])
+    def test_matches_numpy(self, n):
+        from fftlab.algos.bluestein import bluestein_fft_split
+
+        rng = np.random.default_rng(n)
+        xr = rng.standard_normal(n)
+        xi = rng.standard_normal(n)
+        yr, yi = bluestein_fft_split(xr, xi)
+        got = from_split(yr, yi)
+        want = np.fft.fft(xr + 1j * xi)
+        snr = 10 * np.log10(
+            np.sum(np.abs(want) ** 2) / np.sum(np.abs(got - want) ** 2)
+        )
+        assert snr > 200.0, f"n={n}: SNR {snr:.1f}"  # float64 regime
+
+    def test_float32_prime(self):
+        from fftlab.algos.bluestein import bluestein_fft_split
+
+        rng = np.random.default_rng(0)
+        n = 10007
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        yr, yi = bluestein_fft_split(xr, xi)
+        got = from_split(yr, yi)
+        want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        snr = 10 * np.log10(
+            np.sum(np.abs(want) ** 2) / np.sum(np.abs(got - want) ** 2)
+        )
+        assert snr > 95.0, f"SNR {snr:.1f}"
+
+    def test_inverse_roundtrip(self):
+        from fftlab.algos.bluestein import bluestein_fft_split
+        from fftlab.core.types import Direction
+
+        rng = np.random.default_rng(1)
+        n = 97
+        xr = rng.standard_normal(n)
+        xi = rng.standard_normal(n)
+        Yr, Yi = bluestein_fft_split(xr, xi)
+        br, bi = bluestein_fft_split(Yr, Yi, Direction.INVERSE)
+        np.testing.assert_allclose(np.asarray(br), xr, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-10)
