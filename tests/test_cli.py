@@ -28,6 +28,7 @@ def _run(module: str, argv: list[str]):
     ("convolution", ["--nx", "1024", "--nh", "33"]),
     ("analyzer", ["--frames", "1", "--fft-size", "512", "--hop", "128"]),
     ("dist_demo", []),
+    ("serve", ["--taps", "65", "--chunk", "16384"]),
 ])
 def test_cli_demo_runs(capsys, module, argv):
     _run(module, argv)
