@@ -67,3 +67,26 @@ class TestPlanValidation:
     def test_estimate_prefers_flagship(self):
         assert estimate_algorithm(4096, PlanConfig()) == "stockham_mxu"
         assert estimate_algorithm(100003, PlanConfig()) == "bluestein"
+
+
+class TestSplitTuning:
+    def test_tune_and_recall(self):
+        from fftlab.plan import wisdom
+        from fftlab.plan.split_tuning import best_leaf, tune_split_leaf
+
+        wisdom.forget()
+        leaf = tune_split_leaf(4096, leaves=(64, 128), batch=1, iters=2)
+        assert leaf in (64, 128)
+        assert best_leaf(4096) == leaf
+        wisdom.forget()
+        from fftlab.algos.split_stockham import DEFAULT_LEAF_SPLIT
+
+        assert best_leaf(4096) == DEFAULT_LEAF_SPLIT
+
+    def test_prime_unreachable_leaves_fall_back(self):
+        from fftlab.plan.split_tuning import tune_split_leaf
+        from fftlab.algos.split_stockham import DEFAULT_LEAF_SPLIT
+
+        # 10007 is prime > all leaves: nothing measurable.
+        assert tune_split_leaf(10007, leaves=(64, 128),
+                               persist=False) == DEFAULT_LEAF_SPLIT
