@@ -23,6 +23,8 @@ from fftlab.utils.io import (
     export_gnuplot_script,
 )
 from fftlab.utils.plotting import ascii_spectrum, ascii_image
+from fftlab.utils.trace import Timer, span, profiler_trace
+from fftlab.utils.compat import prefer_cpu_for_complex
 from fftlab.utils.metrics import (
     magnitude,
     phase,
