@@ -132,6 +132,14 @@ def fft_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT,
     """
     direction = Direction(int(direction))
     n = int(jnp.asarray(xr).shape[-1])
+    from fftlab.algos.stockham import max_prime_factor
+
+    if n > 1 and max_prime_factor(n) > leaf:
+        # Prime factor beyond the MXU leaf: chirp-z territory
+        # (mirrors the planner's routing, fft_auto.c:136-172 semantics).
+        from fftlab.algos.bluestein import bluestein_fft_split
+
+        return bluestein_fft_split(xr, xi, direction)
     yr, yi = stockham_fft_split_unscaled(xr, xi, direction, leaf, precision)
     if direction == Direction.INVERSE:
         s = jnp.asarray(1.0 / n, dtype=yr.dtype)
