@@ -104,3 +104,57 @@ def overlap_save_filter_sharded_split(xr, xi, h, mesh: Mesh,
         fft_size = max(next_power_of_two(4 * nh), 256)
     return _impl(xr, xi, h, nh=nh, fft_size=fft_size,
                  axis_name=axis_name, mesh=mesh)
+
+
+def overlap_save_filterbank_sharded_split(x, h_bank, mesh: Mesh,
+                                          channel_axis: str = "dp",
+                                          time_axis: str = "sp",
+                                          fft_size: int | None = None):
+    """Complex-free multi-channel filterbank: real channels sharded over
+    `channel_axis`, time over `time_axis` (the BASELINE config-5
+    pipeline on split planes). Channel PAIRS within each shard ride the
+    re/im planes of one transform when they share taps; here each
+    channel keeps its own taps, so planes carry (channel, zero).
+
+    x: [channels, n] real; h_bank: [channels, nh] real.
+    """
+    x = jnp.asarray(x, dtype=jnp.float32)
+    h_bank = jnp.asarray(h_bank, dtype=jnp.float32)
+    c, n = int(x.shape[-2]), int(x.shape[-1])
+    nh = int(h_bank.shape[-1])
+    pc = mesh.shape[channel_axis]
+    pt = mesh.shape[time_axis]
+    if c % pc or n % pt:
+        raise ValueError(f"shape ({c},{n}) not divisible by mesh ({pc},{pt})")
+    if n // pt < nh - 1:
+        raise ValueError(f"chunk {n // pt} shorter than halo {nh - 1}")
+    if fft_size is None:
+        fft_size = max(next_power_of_two(4 * nh), 256)
+    chunk = n // pt
+
+    def local(xl, hl):
+        # xl: [c/pc, n/pt]; hl: [c/pc, nh]
+        hp = jnp.pad(hl, [(0, 0), (0, fft_size - nh)])
+        Hr, Hi = stockham_fft_split_unscaled(
+            hp, jnp.zeros_like(hp), Direction.FORWARD
+        )
+        Hr = Hr[:, None, :]  # broadcast over blocks
+        Hi = Hi[:, None, :]
+        if nh > 1:
+            halo = jax.lax.ppermute(
+                xl[..., chunk - (nh - 1):], time_axis,
+                perm=[(i, i + 1) for i in range(pt - 1)],
+            )
+            xp = jnp.concatenate([halo, xl], axis=-1)
+        else:
+            xp = xl
+        yr, _ = _local_os_split(xp, jnp.zeros_like(xp), Hr, Hi,
+                                chunk, nh, fft_size)
+        return yr
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(channel_axis, time_axis), P(channel_axis, None)),
+        out_specs=P(channel_axis, time_axis),
+    )
+    return jax.jit(fn)(x, h_bank)

@@ -93,3 +93,25 @@ class TestOverlapSaveSplit:
             overlap_save_filter_sharded_split(
                 jnp.zeros(64), jnp.zeros(64), jnp.zeros(65), mesh8, "x"
             )
+
+
+class TestFilterbankSplit:
+    def test_matches_per_channel_convolution(self):
+        from fftlab.dist.mesh import make_mesh
+        from fftlab.dist.overlap_save_split import (
+            overlap_save_filterbank_sharded_split,
+        )
+
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        rng = np.random.default_rng(0)
+        c, n, nh = 4, 4096, 31
+        x = rng.standard_normal((c, n)).astype(np.float32)
+        hb = rng.standard_normal((c, nh)).astype(np.float32)
+        got = np.asarray(
+            overlap_save_filterbank_sharded_split(x, hb, mesh)
+        )
+        for ch in range(c):
+            want = np.convolve(x[ch].astype(np.float64),
+                               hb[ch].astype(np.float64))[:n]
+            np.testing.assert_allclose(got[ch], want, atol=1e-3,
+                                       err_msg=f"channel {ch}")
