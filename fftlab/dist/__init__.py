@@ -17,6 +17,7 @@ no MPI/NCCL anywhere). This package is its multi-chip TPU re-design:
 from fftlab.dist.mesh import make_mesh_1d, shard_batch
 from fftlab.dist.four_step import four_step_fft, four_step_fft_sharded
 from fftlab.dist.four_step_split import four_step_fft_sharded_split
+from fftlab.dist.fft2_sharded import fft2_sharded_split
 from fftlab.dist.overlap_save import overlap_save_filter_sharded
 from fftlab.dist.overlap_save_split import overlap_save_filter_sharded_split
 from fftlab.dist.welch import welch_psd_sharded
@@ -28,6 +29,7 @@ __all__ = [
     "four_step_fft",
     "four_step_fft_sharded",
     "four_step_fft_sharded_split",
+    "fft2_sharded_split",
     "overlap_save_filter_sharded_split",
     "overlap_save_filter_sharded",
     "welch_psd_sharded",

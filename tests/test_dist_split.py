@@ -115,3 +115,47 @@ class TestFilterbankSplit:
                                hb[ch].astype(np.float64))[:n]
             np.testing.assert_allclose(got[ch], want, atol=1e-3,
                                        err_msg=f"channel {ch}")
+
+
+class TestFft2Sharded:
+    def test_matches_numpy_fft2(self, mesh8):
+        from fftlab.dist.fft2_sharded import fft2_sharded_split
+
+        rng = np.random.default_rng(0)
+        xr = rng.standard_normal((64, 128))
+        xi = rng.standard_normal((64, 128))
+        yr, yi = fft2_sharded_split(xr, xi, mesh8, "x")
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        want = np.fft.fft2(xr + 1j * xi)
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_transposed_out(self, mesh8):
+        from fftlab.dist.fft2_sharded import fft2_sharded_split
+
+        rng = np.random.default_rng(1)
+        xr = rng.standard_normal((32, 64))
+        yr, yi = fft2_sharded_split(xr, np.zeros_like(xr), mesh8, "x",
+                                    transposed_out=True)
+        got = (np.asarray(yr) + 1j * np.asarray(yi)).T
+        want = np.fft.fft2(xr)
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_inverse_roundtrip(self, mesh8):
+        from fftlab.core.types import Direction
+        from fftlab.dist.fft2_sharded import fft2_sharded_split
+
+        rng = np.random.default_rng(2)
+        xr = rng.standard_normal((32, 32))
+        xi = rng.standard_normal((32, 32))
+        Yr, Yi = fft2_sharded_split(xr, xi, mesh8, "x")
+        br, bi = fft2_sharded_split(Yr, Yi, mesh8, "x",
+                                    direction=Direction.INVERSE)
+        np.testing.assert_allclose(np.asarray(br), xr, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-10)
+
+    def test_indivisible_raises(self, mesh8):
+        from fftlab.dist.fft2_sharded import fft2_sharded_split
+
+        with pytest.raises(ValueError):
+            fft2_sharded_split(np.zeros((30, 64)), np.zeros((30, 64)),
+                               mesh8, "x")
