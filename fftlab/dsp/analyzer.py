@@ -156,11 +156,12 @@ class RealtimeAnalyzer:
         frames = np.stack([
             buf[i * c.hop : i * c.hop + c.fft_size] for i in range(n_frames)
         ])
-        mags = np.asarray(jnp.abs(rfft(
-            jnp.asarray(frames) *
-            jnp.asarray(get_window(c.window, c.fft_size), dtype=np.float32),
-            self.cfft,
-        )))
+        # Split-plane rfft: no complex dtype -> runs on complex-less TPUs.
+        from fftlab.algos.split_stockham import rfft_split
+
+        w = jnp.asarray(get_window(c.window, c.fft_size), dtype=np.float32)
+        Xr, Xi = rfft_split(jnp.asarray(frames) * w)
+        mags = np.asarray(jnp.sqrt(Xr * Xr + Xi * Xi))
         alpha = 1.0 / c.averaging
         avg = self._avg if self._avg is not None else mags[0]
         for m in mags:  # EMA across frames (realtime_analyzer.c:86-91)
