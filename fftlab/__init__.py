@@ -44,7 +44,7 @@ from fftlab.algos.split_stockham import (
     from_split,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Direction",
