@@ -85,3 +85,33 @@ class TestWisdom:
         assert wisdom.lookup(12345, "f32") is None
         wisdom.import_wisdom(p)
         assert wisdom.lookup(12345, "f32")["algorithm"] == "stockham_mxu"
+
+
+class TestBenchHarness:
+    def test_benchmark_algorithm_result(self):
+        from fftlab.bench.harness import benchmark_algorithm
+
+        r = benchmark_algorithm("radix2_dit", 64, batch=2, iters=2)
+        assert r.roundtrip_ok and r.max_error < 1e-3
+        assert r.ms > 0 and r.gsamples_per_s > 0
+
+    def test_unsupported_size_raises(self):
+        from fftlab.bench.harness import benchmark_algorithm
+
+        with pytest.raises(ValueError):
+            benchmark_algorithm("radix2_dit", 100)
+
+    def test_roofline_accounting(self):
+        from fftlab.bench.harness import roofline
+
+        r = roofline(1 << 20, 16, 5e-3)
+        assert r["bound"] in ("bandwidth", "compute")
+        assert r["effective_gflops"] > 0
+
+    def test_complexity_exponent_nlogn(self):
+        from fftlab.bench.harness import BenchResult, complexity_exponent
+
+        rs = [BenchResult("x", n, 1, n * np.log2(n) * 1e-6, 0, 0, 0, 0, True)
+              for n in (1024, 4096, 16384, 65536)]
+        e = complexity_exponent(rs)
+        assert 1.0 < e < 1.3  # ~n log n
