@@ -63,4 +63,16 @@ def build_registry() -> dict:
         "pallas_vmem", pallas_fft, supported_size,
         "single-VMEM-residency four-step Pallas kernel (n = m*128)",
     ))
+    from fftlab.dist.four_step import four_step_fft
+
+    def _composite(n: int) -> bool:
+        # Needs a nontrivial n = n1*n2 split (any non-prime n > 3).
+        from fftlab.algos.mixed_radix import is_prime
+
+        return n >= 4 and not is_prime(n)
+
+    specs.append(AlgoSpec(
+        "four_step", four_step_fft, _composite,
+        "two-level n1 x n2 decomposition (parallel_fft.c:213-272)",
+    ))
     return {s.name: s for s in specs}

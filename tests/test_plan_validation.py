@@ -90,3 +90,27 @@ class TestSplitTuning:
         # 10007 is prime > all leaves: nothing measurable.
         assert tune_split_leaf(10007, leaves=(64, 128),
                                persist=False) == DEFAULT_LEAF_SPLIT
+
+
+class TestEdgeSizes:
+    @pytest.mark.parametrize("n", [1, 2, 3])
+    def test_tiny_transforms(self, n):
+        x = np.arange(1, n + 1, dtype=np.complex128)
+        got = np.asarray(fftlab.fft(x))
+        np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-12)
+
+    def test_n1_split(self):
+        from fftlab.algos.split_stockham import fft_split
+
+        yr, yi = fft_split(np.ones(1), np.zeros(1))
+        assert float(yr[0]) == 1.0
+
+    def test_registry_four_step(self):
+        from fftlab.algos import build_registry
+
+        reg = build_registry()
+        assert reg["four_step"].supports(100)
+        assert not reg["four_step"].supports(97)  # prime
+        x = np.random.default_rng(0).standard_normal(144) * (1 + 0j)
+        got = np.asarray(reg["four_step"].fn(x))
+        np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-9)
