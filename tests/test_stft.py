@@ -1,0 +1,75 @@
+"""STFT / ISTFT / spectrogram tests (dsp/stft.py — the batched
+re-design of realtime_analyzer.c's hop loop)."""
+
+import numpy as np
+import pytest
+
+from fftlab.core.window import hann
+from fftlab.dsp.stft import (
+    frame_signal,
+    istft,
+    spectrogram,
+    stft,
+    stft_complex,
+)
+
+
+class TestFraming:
+    def test_frame_signal_pad(self):
+        x = np.arange(10, dtype=np.float32)
+        f = np.asarray(frame_signal(x, 4, 2, pad=True))
+        assert f.shape[-1] == 4
+        np.testing.assert_array_equal(f[0], [0, 1, 2, 3])
+        np.testing.assert_array_equal(f[1], [2, 3, 4, 5])
+
+    def test_frame_signal_valid(self):
+        x = np.arange(10, dtype=np.float32)
+        f = np.asarray(frame_signal(x, 4, 3, pad=False))
+        assert f.shape == (3, 4)
+        np.testing.assert_array_equal(f[2], [6, 7, 8, 9])
+
+
+class TestStftIstft:
+    def test_stft_matches_numpy(self):
+        rng = np.random.default_rng(0)
+        n, fft_size, hop = 4096, 512, 256
+        x = rng.standard_normal(n)
+        S = np.asarray(stft(x, fft_size, hop))
+        w = hann(fft_size)
+        want0 = np.fft.rfft(x[:fft_size] * w)
+        np.testing.assert_allclose(S[0], want0, atol=1e-8)
+
+    def test_cola_roundtrip(self):
+        """Hann at 50/75% overlap satisfies COLA: istft(stft(x)) == x."""
+        rng = np.random.default_rng(1)
+        n = 8192
+        x = rng.standard_normal(n)
+        for hop in (256, 128):
+            S = stft(x, 512, hop)
+            y = np.asarray(istft(S, 512, hop, length=n))
+            # Edges lose window support; compare the interior.
+            np.testing.assert_allclose(y[512:-512], x[512:-512], atol=1e-6,
+                                       err_msg=f"hop={hop}")
+
+    def test_stft_complex_full_bins(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(1024) + 1j * rng.standard_normal(1024)
+        S = np.asarray(stft_complex(x, 256, 128))
+        assert S.shape[-1] == 256  # two-sided
+
+    def test_spectrogram_averaging_smooths(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(16384)
+        raw = np.asarray(spectrogram(x, 512, 256, averaging=1))
+        avg = np.asarray(spectrogram(x, 512, 256, averaging=4))
+        assert raw.shape == avg.shape
+        # EMA reduces frame-to-frame variance.
+        assert np.var(np.diff(avg, axis=0)) < np.var(np.diff(raw, axis=0))
+
+    def test_batched_stft(self):
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((3, 4096))
+        S = np.asarray(stft(x, 512, 256))
+        for i in range(3):
+            np.testing.assert_allclose(
+                S[i], np.asarray(stft(x[i], 512, 256)), atol=1e-9)
