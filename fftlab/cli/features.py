@@ -44,6 +44,24 @@ def main() -> None:
     print(f"  executed batch {x.shape} -> {X.shape} on "
           f"{jax.devices()[0].platform}")
 
+    from fftlab.utils.viz import (
+        butterfly_diagram,
+        memory_access_trace,
+        simulate_tile_touches,
+    )
+    from fftlab.algos.recursive import print_recursion_tree
+
+    print("\nButterfly diagram, n=8 (radix2_dit.c:147-173 analog):")
+    print(butterfly_diagram(8))
+    print("\nRecursion tree, n=16 (recursive_fft.c:74-91 analog):")
+    print_recursion_tree(16)
+    print("\nMemory access by stage (iterative_fft.c:101-133 analog):")
+    print(memory_access_trace(1 << 14))
+    t = simulate_tile_touches(1 << 20)
+    print(f"\nVMEM-tile touch model at n=2^20: DIT {t['dit_tile_touches']} "
+          f"vs Stockham {t['stockham_tile_touches']} "
+          f"({t['ratio']:.2f}x) — why the TPU path is Stockham")
+
 
 if __name__ == "__main__":
     main()

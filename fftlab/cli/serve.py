@@ -16,6 +16,7 @@ so the demo is self-contained.
 from __future__ import annotations
 
 import argparse
+import os
 import tempfile
 import time
 
@@ -45,12 +46,14 @@ def main() -> None:
         t = np.arange(fs * 4) / fs
         sig = (0.5 * np.sin(2 * np.pi * 440 * t)
                + 0.4 * np.sin(2 * np.pi * 6000 * t)).astype(np.float32)
-        args.inp = tempfile.mktemp(suffix=".wav")
+        fd, args.inp = tempfile.mkstemp(suffix=".wav")
+        os.close(fd)
         write_wav(args.inp, sig, fs)
         print(f"generated test input {args.inp} "
               f"(440 Hz + 6 kHz, {len(sig)/fs:.1f}s @ {fs} Hz)")
     if args.out is None:
-        args.out = tempfile.mktemp(suffix=".filtered.wav")
+        fd, args.out = tempfile.mkstemp(suffix=".filtered.wav")
+        os.close(fd)
 
     audio, fs = read_wav(args.inp)
     if audio.ndim == 2:

@@ -64,7 +64,12 @@ def fused_stage(xr, xi, *, r: int, direction=FORWARD, twiddle: bool = True,
     B, n = xr.shape
     M = n // r
     cols_total = M // LANES
+    # Largest divisor of cols_total <= col_tile: a non-divisor tile count
+    # would silently leave trailing column tiles unwritten (grid_c is a
+    # floor division), returning uninitialized data.
     ct = min(col_tile, cols_total)
+    while cols_total % ct:
+        ct -= 1
     grid_c = cols_total // ct
     direction = Direction(int(direction))
     F = dft_matrix_np(r, direction)

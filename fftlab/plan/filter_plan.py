@@ -148,10 +148,19 @@ class FilterPlan:
         buf = np.concatenate([self._tail, c])
         keep = self.nh - 1
         self._tail = buf[len(buf) - keep:] if keep else buf[:0]
-        yr, _ = self._jit_blocks(
-            jnp.asarray(buf), jnp.zeros(len(buf), jnp.float32)
-        )
-        return np.asarray(yr)
+        # jax.jit specializes on shape, so variable-size chunks would
+        # trigger a recompile per distinct length — fatal for realtime
+        # streaming. Zero-pad the buffer to a power-of-two block count
+        # (output sample i only reads buf[i : i+nh], so padding at the
+        # end never contaminates the first len(c) outputs we return);
+        # compile count is then O(log max_chunk) for any chunk mix.
+        hop = self.fft_size - keep
+        n_blocks = max(-(-max(len(c), 1) // hop), 1)
+        padded = keep + next_power_of_two(n_blocks) * hop
+        zpad = np.zeros(padded - len(buf), dtype=np.float32)
+        bufp = jnp.asarray(np.concatenate([buf, zpad]))
+        yr, _ = self._jit_blocks(bufp, jnp.zeros(padded, jnp.float32))
+        return np.asarray(yr)[: len(c)]
 
     def _use_pallas(self) -> bool:
         """The fused DMA overlap-save kernel (kernels/os_filter_vmem.py)

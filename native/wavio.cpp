@@ -58,6 +58,12 @@ int parse_header(FILE* f, WavInfo* info) {
       if (fread(&info->fmt, sizeof(FmtChunk), 1, f) != 1) return kErrFormat;
       if (ch.size > sizeof(FmtChunk))
         fseek(f, ch.size - sizeof(FmtChunk), SEEK_CUR);
+      // Only byte-aligned PCM/float widths; anything else (including
+      // 1..7-bit) would divide by bits/8 == 0 downstream.
+      switch (info->fmt.bits_per_sample) {
+        case 8: case 16: case 24: case 32: break;
+        default: return kErrUnsupported;
+      }
       have_fmt = true;
     } else if (memcmp(ch.id, "data", 4) == 0) {
       info->data_offset = ftell(f);

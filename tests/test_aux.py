@@ -115,3 +115,69 @@ class TestBenchHarness:
               for n in (1024, 4096, 16384, 65536)]
         e = complexity_exponent(rs)
         assert 1.0 < e < 1.3  # ~n log n
+
+
+class TestViz:
+    """Pedagogical visualizers (radix2_dit.c:147-173,
+    iterative_fft.c:101-175 analogs)."""
+
+    def test_butterfly_diagram_structure(self):
+        from fftlab.utils.viz import butterfly_diagram
+
+        d = butterfly_diagram(8)
+        # 3 stages for n=8; all 8 outputs present; bitrev input order
+        assert "stage 3" in d and "stage 4" not in d
+        for k in range(8):
+            assert f"X[{k}]" in d
+        first_col = [ln.split()[0] for ln in d.splitlines()[1:9]]
+        assert first_col == [f"x[{v}]" for v in [0, 4, 2, 6, 1, 5, 3, 7]]
+
+    def test_butterfly_diagram_rejects(self):
+        from fftlab.utils.viz import butterfly_diagram
+
+        with pytest.raises(ValueError):
+            butterfly_diagram(12)
+        with pytest.raises(ValueError):
+            butterfly_diagram(64)
+
+    def test_memory_access_trace(self):
+        from fftlab.utils.viz import memory_access_trace
+
+        t = memory_access_trace(1 << 14)
+        assert "pair stride" in t
+        assert t.count("\n") >= 14  # one row per stage + headers
+
+    def test_tile_touch_model(self):
+        from fftlab.utils.viz import simulate_tile_touches
+
+        r = simulate_tile_touches(1 << 20)
+        assert r["tiles"] == (1 << 20) // 1024
+        assert r["dit_tile_touches"] >= r["stockham_tile_touches"]
+        assert r["ratio"] >= 1.0
+
+
+class TestOpenMPParity:
+    """fft_openmp.c:18-53 mapping (docs/parity.md): the three OpenMP
+    parallel-for loops become whole-array ops; numerics match the
+    reference's N=8 radix-2 semantics exactly."""
+
+    def test_n8_matches_oracle_float64(self):
+        import jax.numpy as jnp
+        from fftlab.algos.radix2 import radix2_dit
+
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal(8) + 1j * rng.standard_normal(8)
+        got = np.asarray(radix2_dit(jnp.asarray(x, jnp.complex128)))
+        np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-12)
+
+    def test_stage_is_single_array_op(self):
+        # the "loop parallelism" claim: one whole-array op per stage —
+        # no python-level loop over butterflies in the jaxpr (the HLO
+        # has O(log n) ops, not O(n)).
+        import jax
+        import jax.numpy as jnp
+        from fftlab.algos.stockham import stockham_fft
+
+        n = 1 << 10
+        jaxpr = jax.make_jaxpr(stockham_fft)(jnp.zeros(n, jnp.complex64))
+        assert len(jaxpr.jaxpr.eqns) < 64  # O(log n), not O(n)

@@ -80,3 +80,26 @@ class TestPipeline:
                 jnp.zeros((1, 1 << 20), jnp.float32),
                 factors=(128, 128, 64), interpret=True,
             )
+
+
+class TestNonDivisibleColTile:
+    def test_trailing_tiles_written(self):
+        # Advisor repro (ADVICE.md r1): r=2, n=3072 -> M=1536, 12 column
+        # tiles; col_tile=8 does not divide 12.  The fix picks the
+        # largest divisor (6) so every tile is written.
+        rng = np.random.default_rng(12)
+        n = 3072
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fused_stage(xr, xi, r=2, col_tile=8, interpret=True)
+        got = np.asarray(yr[0]) + 1j * np.asarray(yi[0])
+        assert np.all(np.isfinite(got))
+        # Reference: one radix-2 stage + twiddle on the leading digit.
+        x = (np.asarray(xr[0], np.float64)
+             + 1j * np.asarray(xi[0], np.float64)).reshape(2, n // 2)
+        F = np.exp(-2j * np.pi * np.outer(np.arange(2), np.arange(2)) / 2)
+        y = F @ x
+        tw = np.exp(-2j * np.pi
+                    * np.outer(np.arange(2), np.arange(n // 2)) / n)
+        want = (y * tw).reshape(-1)
+        assert _snr(got, want) > 110.0
