@@ -1,0 +1,121 @@
+"""Backend-hardened device timing: the slope/readback protocol.
+
+This environment's TPU service (a) memoizes repeated identical
+computations — re-running f(x) on the same x can return early, and
+(b) `block_until_ready` can return before the device work is drained;
+only a literal READBACK of output bytes is a reliable fence. Plus every
+host<->device sync costs a ~28 ms round trip. A naive
+warm-up + loop + block timing (the reference's harness shape,
+benchmark_all.c:119-131) therefore measures nothing on this backend.
+
+`slope_time` fixes all three at once:
+  1. inputs VARY per iteration (defeats memoization),
+  2. completion is forced by a one-element numpy readback,
+  3. per-iteration cost is the SLOPE between a short and a long run,
+     cancelling the fixed dispatch + readback round trip.
+
+Every timing consumer (bench.py, plan/planner.py FFT_MEASURE,
+plan/split_tuning.py) shares this implementation; wisdom entries it
+produces carry ``protocol: "slope"``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+PROTOCOL = "slope"
+
+
+def _first_leaf(out: Any):
+    while isinstance(out, (tuple, list)):
+        out = out[0]
+    return out
+
+
+def slope_time(fn: Callable, make_args: Callable[[int], Sequence],
+               iters: int = 6, repeats: int = 3) -> float:
+    """Median per-call seconds of ``fn(*make_args(i))`` under the
+    hardened protocol.
+
+    make_args(i) must return a DIFFERENT argument tuple per i (vary the
+    data, not the shapes — shape changes would recompile).
+    """
+    import jax
+
+    iters = max(int(iters), 2)
+    variants = [tuple(make_args(i)) for i in range(iters)]
+    jax.block_until_ready(variants)
+    # compile + warm + fence
+    _ = np.asarray(_first_leaf(fn(*variants[0]))).ravel()[:1]
+
+    def run(k: int) -> float:
+        t0 = time.perf_counter()
+        outs = [fn(*variants[i % iters]) for i in range(k)]
+        _ = np.asarray(_first_leaf(outs[-1])).ravel()[:1]
+        return time.perf_counter() - t0
+
+    k1, k2 = max(iters // 3, 1), iters
+    slopes = [(run(k2) - run(k1)) / (k2 - k1) for _ in range(repeats)]
+    return float(np.median(slopes))
+
+
+def spread_time(fn: Callable, make_args: Callable[[int], Sequence],
+                iters: int = 6, repeats: int = 5) -> dict:
+    """slope_time plus run-to-run spread for reporting: returns
+    {"median_s", "min_s", "max_s", "repeats"}."""
+    ts = [slope_time(fn, make_args, iters=iters, repeats=1)
+          for _ in range(repeats)]
+    return {
+        "median_s": float(np.median(ts)),
+        "min_s": float(np.min(ts)),
+        "max_s": float(np.max(ts)),
+        "repeats": int(repeats),
+    }
+
+
+def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
+               ks: Sequence[int] = (8, 128), repeats: int = 5) -> float:
+    """Per-application seconds of a shape-preserving `step` measured by
+    chaining k applications inside ONE jitted fori_loop.
+
+    Sturdier than `slope_time` when per-dispatch jitter is large (this
+    environment's tunnel can add hundreds of ms of variance per call):
+    an entire k-iteration sweep costs exactly one dispatch + one
+    readback, and the k_small/k_big slope cancels that fixed cost with
+    (k_big - k_small) iterations of amplified signal. The chain is
+    data-dependent (each iteration consumes the previous output), so
+    XLA cannot collapse it, and each repeat uses fresh inputs so the
+    backend's computation memoization never hits.
+
+    step: tuple-of-arrays -> same-shaped tuple. mk_state(r): fresh
+    input tuple per repeat.
+    """
+    import jax
+    from jax import lax
+
+    ks = sorted(int(k) for k in ks)
+
+    def chained(state, _k):
+        return lax.fori_loop(0, _k, lambda i, s: tuple(step(*s)), state)
+
+    import functools as _ft
+
+    fns = {k: jax.jit(_ft.partial(chained, _k=k)) for k in ks}
+    s0 = tuple(mk_state(0))
+    for k in ks:
+        _ = np.asarray(_first_leaf(fns[k](s0))).ravel()[:1]  # compile+warm
+    slopes = []
+    for r in range(repeats):
+        ts = {}
+        for k in ks:
+            s = tuple(mk_state(1 + r * 7919 + k))
+            jax.block_until_ready(s)
+            t0 = time.perf_counter()
+            out = fns[k](s)
+            _ = np.asarray(_first_leaf(out)).ravel()[:1]
+            ts[k] = time.perf_counter() - t0
+        slopes.append((ts[ks[-1]] - ts[ks[0]]) / (ks[-1] - ks[0]))
+    return float(np.median(slopes))

@@ -1,0 +1,81 @@
+"""Capability-driven kernel routing for the split-plane device path.
+
+The reference dispatches through a backend vtable selected at runtime
+(fft_gpu.c:49-97); round 1 of this framework left the equivalent choice
+to env vars at call sites. This module closes that gap: the planner
+consumes `plan.hardware.detect_hardware()` caps and picks the execution
+path per (platform, n, batch) — the detect -> select flow of
+fft_auto.c:55-93 + :136-172, actually consumed.
+
+Routes (split re/im planes, [..., n] batch-first):
+
+  pallas_vmem      one-residency kernel, TPU, n = m*128 (m 8..128 pow2)
+  pallas_pipeline  fused-stage pipeline for large pow2 n (multi-launch)
+  einsum           the XLA MXU Stockham path (works everywhere)
+
+On non-TPU platforms every route degrades to `einsum` (Pallas compiles
+only for TPU; interpret mode is for tests, not serving). Environment
+overrides: FFTLAB_FORCE_IMPL=<route> wins; FFTLAB_NO_PALLAS disables
+kernel routes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from fftlab.plan.hardware import detect_hardware
+
+ROUTES = ("pallas_vmem", "pallas_pipeline", "einsum")
+
+# Measured on the v5e (docs/performance.md): the one-residency kernel
+# beats the einsum path from 8K up; at 4K multi-row blocking makes it
+# competitive but not a clear win, so the crossover stays at 8192.
+_VMEM_MIN_N = 8192
+
+
+def select_split_impl(n: int, batch: int = 1) -> str:
+    """Route for an n-point split-plane FFT with `batch` rows."""
+    forced = os.environ.get("FFTLAB_FORCE_IMPL")
+    if forced:
+        if forced not in ROUTES:
+            raise ValueError(f"FFTLAB_FORCE_IMPL={forced!r}; want one of {ROUTES}")
+        return forced
+    caps = detect_hardware()
+    if caps.platform != "tpu" or os.environ.get("FFTLAB_NO_PALLAS"):
+        return "einsum"
+    from fftlab.kernels.fft_vmem import supported_size
+
+    if supported_size(n) and n >= _VMEM_MIN_N:
+        return "pallas_vmem"
+    return "einsum"
+
+
+def fft_split_auto(xr, xi, direction=None):
+    """Split-plane FFT through the capability-selected route."""
+    from fftlab.core.types import FORWARD
+
+    if direction is None:
+        direction = FORWARD
+    import jax.numpy as jnp
+
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    batch = 1
+    for d in xr.shape[:-1]:
+        batch *= int(d)
+    route = select_split_impl(n, batch)
+    if route == "pallas_vmem":
+        from fftlab.kernels.fft_vmem import pallas_fft_split
+
+        return pallas_fft_split(xr, xi, direction)
+    if route == "pallas_pipeline":
+        from fftlab.kernels.stage_fused import fft_split_pipeline
+        from fftlab.algos.stockham import plan_factors
+
+        factors = tuple(plan_factors(n, 128))
+        return fft_split_pipeline(xr.reshape(batch, n), xi.reshape(batch, n),
+                                  direction, factors=factors)
+    from fftlab.algos.split_stockham import fft_split
+
+    return fft_split(xr, xi, direction)

@@ -16,7 +16,6 @@ the heuristic is only the ESTIMATE-mode default.
 from __future__ import annotations
 
 import functools
-import time
 
 from fftlab.algos.mixed_radix import is_highly_composite, is_prime
 from fftlab.algos.stockham import max_prime_factor
@@ -70,12 +69,21 @@ def candidate_algorithms(n: int, flags: Flags, config: PlanConfig) -> list[str]:
 
 def measure_algorithm(n: int, direction, dtype, flags: Flags, config: PlanConfig,
                       batch: int = 8, iters: int = 5) -> str:
-    """Time each candidate on the device; record and return the winner."""
+    """Time each candidate on the device; record and return the winner.
+
+    Timing uses the hardened slope/readback protocol
+    (fftlab.bench.timing): inputs vary per iteration (the backend
+    memoizes repeated identical computations), completion is forced by a
+    readback (block_until_ready can return early here), and the
+    per-iteration cost is a two-point slope that cancels dispatch
+    latency. Wisdom entries carry ``protocol: "slope"``. The reference
+    left MEASURE a TODO (fft_auto.c:233-235)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from fftlab.algos import build_registry
+    from fftlab.bench.timing import PROTOCOL, slope_time
 
     reg = build_registry()
     precision = "f64" if np.dtype(dtype) == np.complex128 else "f32"
@@ -89,23 +97,22 @@ def measure_algorithm(n: int, direction, dtype, flags: Flags, config: PlanConfig
     re = jax.random.normal(k1, (batch, n))
     im = jax.random.normal(k2, (batch, n))
     x = jnp.asarray(re + 1j * im, dtype=dtype)
+    variants = [x * (1.0 + 1e-3 * i) for i in range(max(iters, 2))]
     best_name, best_t = None, float("inf")
     for name in candidate_algorithms(n, flags, config):
         fn = jax.jit(functools.partial(reg[name].fn, direction=direction))
         try:
-            fn(x).block_until_ready()  # compile + warm
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                y = fn(x)
-            y.block_until_ready()
-            dt = (time.perf_counter() - t0) / iters * 1e3
+            dt = slope_time(
+                fn, lambda i: (variants[i % len(variants)],), iters=iters
+            ) * 1e3
         except Exception:
             continue
         if dt < best_t:
             best_name, best_t = name, dt
     if best_name is None:
         return estimate_algorithm(n, config)
-    wisdom.record(n, precision, best_name, best_t)
+    wisdom.record(n, precision, best_name, best_t,
+                  extra={"protocol": PROTOCOL})
     return best_name
 
 

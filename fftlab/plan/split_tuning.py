@@ -11,7 +11,7 @@ kind='split' so later processes skip the measurement.
 
 from __future__ import annotations
 
-import time
+
 
 import numpy as np
 
@@ -25,25 +25,14 @@ def _measure_leaf(n: int, leaf: int, batch: int, iters: int) -> float:
     import jax.numpy as jnp
 
     from fftlab.algos.split_stockham import fft_split
+    from fftlab.bench.timing import slope_time
 
     rng = np.random.default_rng(0)
     xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     f = jax.jit(lambda a, b: fft_split(a, b, leaf=leaf))
     variants = [(xr + i * 1e-3, xi) for i in range(iters)]
-    jax.block_until_ready(variants)
-    _ = np.asarray(f(*variants[0])[0][:1, :1])
-
-    def run(k: int) -> float:
-        t0 = time.perf_counter()
-        outs = [f(*variants[i % iters]) for i in range(k)]
-        _ = np.asarray(outs[-1][0][:1, :1])
-        return time.perf_counter() - t0
-
-    k1, k2 = max(iters // 3, 1), iters
-    return float(np.median(
-        [(run(k2) - run(k1)) / (k2 - k1) for _ in range(3)]
-    ))
+    return slope_time(f, lambda i: variants[i % iters], iters=iters)
 
 
 def tune_split_leaf(n: int, leaves=DEFAULT_LEAVES, batch: int = 4,
@@ -67,8 +56,10 @@ def tune_split_leaf(n: int, leaves=DEFAULT_LEAVES, batch: int = 4,
 
         return DEFAULT_LEAF_SPLIT
     if persist:
+        from fftlab.bench.timing import PROTOCOL
+
         wisdom.record(n, "f32", f"leaf={best_leaf}", best_t * 1e3,
-                      kind="split")
+                      kind="split", extra={"protocol": PROTOCOL})
     return best_leaf
 
 

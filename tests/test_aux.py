@@ -181,3 +181,57 @@ class TestOpenMPParity:
         n = 1 << 10
         jaxpr = jax.make_jaxpr(stockham_fft)(jnp.zeros(n, jnp.complex64))
         assert len(jaxpr.jaxpr.eqns) < 64  # O(log n), not O(n)
+
+
+class TestMeasureProtocol:
+    """FFT_MEASURE hardening: slope/readback protocol + sane rankings."""
+
+    def test_wisdom_entry_carries_protocol(self):
+        import jax.numpy as jnp
+        from fftlab.plan import wisdom
+        from fftlab.plan.flags import Flags, PlanConfig
+        from fftlab.plan.planner import measure_algorithm
+        from fftlab.core.types import FORWARD
+
+        wisdom.forget()
+        name = measure_algorithm(256, FORWARD, jnp.complex64,
+                                 Flags.MEASURE, PlanConfig(),
+                                 batch=2, iters=3)
+        entry = wisdom.lookup(256, "f32")
+        assert entry is not None and entry["algorithm"] == name
+        assert entry["protocol"] == "slope"
+        wisdom.forget()
+
+    def test_measured_ranks_naive_dft_slowest(self):
+        # EXHAUSTIVE includes the O(n^2) oracle; at n>=256 a correct
+        # timing protocol must never crown it the winner.
+        import jax.numpy as jnp
+        from fftlab.plan import wisdom
+        from fftlab.plan.flags import Flags, PlanConfig
+        from fftlab.plan.planner import measure_algorithm
+        from fftlab.core.types import FORWARD
+
+        wisdom.forget()
+        name = measure_algorithm(256, FORWARD, jnp.complex64,
+                                 Flags.EXHAUSTIVE, PlanConfig(),
+                                 batch=4, iters=3)
+        assert name not in ("naive_dft", "optimized_dft")
+        wisdom.forget()
+
+    def test_slope_time_monotone_in_work(self):
+        import jax
+        import jax.numpy as jnp
+        from fftlab.bench.timing import slope_time
+
+        big = [jnp.ones((256, 2048), jnp.float32) + i for i in range(4)]
+        small = [jnp.ones((8, 64), jnp.float32) + i for i in range(4)]
+
+        @jax.jit
+        def heavy(a):
+            for _ in range(30):
+                a = jnp.sin(a) * 1.0001
+            return a
+
+        t_small = slope_time(heavy, lambda i: (small[i % 4],), iters=4)
+        t_big = slope_time(heavy, lambda i: (big[i % 4],), iters=4)
+        assert t_big > t_small

@@ -114,3 +114,69 @@ class TestEdgeSizes:
         x = np.random.default_rng(0).standard_normal(144) * (1 + 0j)
         got = np.asarray(reg["four_step"].fn(x))
         np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-9)
+
+
+class TestCapsDispatch:
+    """plan/dispatch.py: hardware caps actually drive kernel choice
+    (fft_auto.c:55-93 detect -> :136-172 select, consumed for real)."""
+
+    def _fake_caps(self, monkeypatch, platform):
+        import fftlab.plan.dispatch as dispatch
+        from fftlab.plan.hardware import HardwareCaps
+
+        caps = HardwareCaps(
+            platform=platform, device_kind=platform, num_devices=1,
+            num_local_devices=1, memory_per_device_bytes=None,
+            supports_f64=platform == "cpu", has_mesh=False,
+        )
+        monkeypatch.setattr(dispatch, "detect_hardware", lambda: caps)
+
+    def test_tpu_routes_pallas_for_supported_sizes(self, monkeypatch):
+        from fftlab.plan.dispatch import select_split_impl
+
+        self._fake_caps(monkeypatch, "tpu")
+        assert select_split_impl(8192) == "pallas_vmem"
+        assert select_split_impl(16384) == "pallas_vmem"
+        # below the measured crossover and unsupported sizes -> einsum
+        assert select_split_impl(4096) == "einsum"
+        assert select_split_impl(1 << 20) == "einsum"
+        assert select_split_impl(1000) == "einsum"
+
+    def test_cpu_always_einsum(self, monkeypatch):
+        from fftlab.plan.dispatch import select_split_impl
+
+        self._fake_caps(monkeypatch, "cpu")
+        assert select_split_impl(8192) == "einsum"
+
+    def test_env_override_wins(self, monkeypatch):
+        from fftlab.plan.dispatch import select_split_impl
+
+        self._fake_caps(monkeypatch, "tpu")
+        monkeypatch.setenv("FFTLAB_FORCE_IMPL", "einsum")
+        assert select_split_impl(8192) == "einsum"
+        monkeypatch.setenv("FFTLAB_FORCE_IMPL", "bogus")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            select_split_impl(8192)
+
+    def test_no_pallas_env(self, monkeypatch):
+        from fftlab.plan.dispatch import select_split_impl
+
+        self._fake_caps(monkeypatch, "tpu")
+        monkeypatch.setenv("FFTLAB_NO_PALLAS", "1")
+        assert select_split_impl(8192) == "einsum"
+
+    def test_auto_route_matches_oracle(self):
+        # On CPU the auto route must run the einsum path and match numpy.
+        import jax.numpy as jnp
+        import numpy as np
+        from fftlab.plan.dispatch import fft_split_auto
+
+        rng = np.random.default_rng(3)
+        xr = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, 512)), jnp.float32)
+        yr, yi = fft_split_auto(xr, xi)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        want = np.fft.fft(np.asarray(xr) + 1j * np.asarray(xi), axis=-1)
+        assert np.allclose(got, want, atol=1e-3)
