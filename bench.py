@@ -1,114 +1,323 @@
-"""Headline benchmark: batched 1M-point complex FFT throughput per chip.
+"""Headline benchmark suite — every published performance claim as a
+reproducible artifact (benchmark_all.c:119-211 analog, hardened for this
+backend).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line. The top-level metric is the batched 1M-point FFT
+throughput (the BASELINE.md north star); `detail` carries the full
+suite, each entry with its SNR gate, run-to-run spread, and roofline
+fraction against the bandwidth measured IN THIS RUN:
 
-Baseline anchor (BASELINE.md): the reference's best published number is a
-1M-pt c2c FFT in 4.5 ms on an RTX 3090 via cuFFT (README.md:205), i.e.
-2^20 / 4.5e-3 = 0.233 Gsamples/s. `vs_baseline` is the speedup over that.
+  bandwidth        elementwise-copy chain  -> effective HBM GB/s
+  fft_1m_batched   batch x 2^20 c2c FFT (split f32, best device path)
+  fft_16m_single   one 2^24 transform (four-step, single chip)
+  serving_filter   fused overlap-save FIR (kernels/os_filter_vmem)
+  stft             Pallas streaming STFT vs the XLA gather-framing path
 
-The transform runs on the split re/im fast path (algos/split_stockham.py)
-— no complex dtype ever reaches the device (TPUs have no native complex;
-this environment's TPU backend rejects complex64 outright).
+Timing = chain_time (fftlab/bench/timing.py): k applications chained in
+one jitted fori_loop, one dispatch+readback per measurement, slope over
+two k values. This is the only protocol that survives the tunnel's
+dispatch jitter; inputs vary per repeat so the backend's computation
+memoization never hits.
 
-Methodology mirrors the reference benchmark harness (benchmark_all.c:
-119-131): warm-up run (compile), timed iterations with device sync,
-median-of-k — plus an accuracy gate: the float32 result must reach
->= 100 dB SNR against the float64 numpy oracle or the run reports failure
-(benchmark_all.c:152-157 analog).
+Baseline anchor (BASELINE.md): the reference's best published number is
+1M points in 4.5 ms on an RTX 3090 via cuFFT = 0.233 GS/s;
+`vs_baseline` is the speedup over that.
+
+Roofline accounting: a 1M-point f32 split c2c transform cannot finish in
+fewer than TWO HBM passes on a 16 MB-VMEM chip (8 MB of data + workspace
+forces n=n1*n2 with two residencies), so the floor is
+t_min = 2 * 16 B/pt * N / BW_measured and
+roofline_fraction = t_min / t_measured.
 """
 
 from __future__ import annotations
 
 import json
-import time
+import sys
 
 import numpy as np
+
+
+def _snr_db(got: np.ndarray, want: np.ndarray) -> float:
+    err = np.sum(np.abs(got - want) ** 2)
+    sig = np.sum(np.abs(want) ** 2)
+    return float(10 * np.log10(sig / max(err, 1e-300)))
+
+
+def _spread(step, mk_state, ks, repeats=4):
+    """chain_time repeated -> {median/min/max ms-per-application}."""
+    from fftlab.bench.timing import chain_time
+
+    ts = chain_time(step, mk_state, ks=ks, repeats=repeats,
+                    return_all=True)
+    return {
+        "ms": round(float(np.median(ts)) * 1e3, 4),
+        "ms_min": round(float(np.min(ts)) * 1e3, 4),
+        "ms_max": round(float(np.max(ts)) * 1e3, 4),
+        "repeats": repeats,
+    }
+
+
+def bench_bandwidth(jnp, on_tpu: bool) -> dict:
+    """Effective HBM bandwidth from an elementwise copy chain."""
+    shape = (16, 1 << 20) if on_tpu else (2, 1 << 14)
+    nbytes = 2 * 2 * 4 * shape[0] * shape[1]  # rd+wr, 2 planes, f32
+
+    rng = np.random.default_rng(0)
+    base_r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    base_i = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def mk(i):  # derive on device: no big host->device transfer per repeat
+        t = jnp.float32(1e-3 * i)
+        return (base_r + t, base_i - t)
+
+    step = lambda a, b: (a * 1.0000001 + 1.0, b * 1.0000001 + 1.0)
+    r = _spread(step, mk, ks=(4, 32), repeats=3)
+    r["gbps"] = round(nbytes / (r["ms"] / 1e3) / 1e9, 1)
+    return r
+
+
+def _measure_path(jax, jnp, fn, path, xr, xi, want, ks, repeats):
+    """SNR-gate + time one candidate FFT path. Returns a result dict."""
+    n = int(xr.shape[-1])
+    gr, gi = jax.jit(fn)(xr[:1], xi[:1])
+    got = np.asarray(gr[0], np.float64) + 1j * np.asarray(gi[0], np.float64)
+    snr = _snr_db(got, want)
+    if snr < 100.0:
+        return {"error": f"accuracy gate failed: {snr:.1f} dB < 100",
+                "snr_db": round(snr, 1), "path": path}
+    scale = jnp.float32(1.0 / np.sqrt(n))  # keep chained magnitudes ~const
+
+    def step(a, b):
+        yr, yi = fn(a, b)
+        return yr * scale, yi * scale
+
+    def mk(i):  # on-device variants (host->device transfer is slow here)
+        t = jnp.float32(1e-3 * i)
+        return (xr + t, xi - t)
+
+    r = _spread(step, mk, ks=ks, repeats=repeats)
+    total = int(np.prod(xr.shape))
+    r["gsps"] = round(total / (r["ms"] / 1e3) / 1e9, 4)
+    r["snr_db"] = round(snr, 1)
+    r["path"] = path
+    return r
+
+
+def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+    """The north-star metric: batched 1M-pt c2c. Measures EVERY candidate
+    device path and crowns the fastest (candidates in `paths`)."""
+    n = 1 << 20 if on_tpu else 1 << 12
+    batch = 16 if on_tpu else 2
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    want = np.fft.fft(np.asarray(xr[0], np.float64)
+                      + 1j * np.asarray(xi[0], np.float64))
+    results = {}
+    for fn, path in _large_fft_candidates(n):
+        try:
+            results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
+                                          want, ks=(2, 10), repeats=4)
+        except Exception as e:
+            results[path] = {"error": str(e)[:140]}
+    ok = [r for r in results.values() if "gsps" in r]
+    if not ok:
+        return {"error": "no path passed", "paths": results}
+    best = max(ok, key=lambda r: r["gsps"])
+    out = dict(best)
+    out["paths"] = results
+    total = batch * n
+    # 2-pass floor at the bandwidth measured this run
+    t_min_ms = 2 * 16.0 * total / (bw_gbps * 1e9) * 1e3
+    out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
+    out["roofline_floor_ms"] = round(t_min_ms, 3)
+    return out
+
+
+def _large_fft_candidates(n: int):
+    """All large-n split paths available on this device (best wins)."""
+    import jax
+
+    cands = []
+    if jax.default_backend() == "tpu":
+        try:
+            from fftlab.kernels.fourstep_vmem import (
+                fft_split_large,
+                supported_large,
+            )
+
+            if supported_large(n):
+                cands.append(((lambda a, b: fft_split_large(a, b)),
+                              "fourstep_vmem"))
+        except ImportError:
+            pass
+    from fftlab.algos.split_stockham import fft_split
+
+    cands.append(((lambda a, b: fft_split(a, b)), "einsum_stockham"))
+    return cands
+
+
+
+
+def bench_fft_16m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+    """One SINGLE large transform (the TP-shard shape, run on one chip);
+    measures every candidate path and crowns the fastest."""
+    n = 1 << 24 if on_tpu else 1 << 14
+    rng = np.random.default_rng(1)
+    xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+    want = np.fft.fft(np.asarray(xr[0], np.float64)
+                      + 1j * np.asarray(xi[0], np.float64))
+    results = {}
+    for fn, path in _large_fft_candidates(n):
+        try:
+            results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
+                                          want, ks=(2, 8), repeats=3)
+        except Exception as e:
+            results[path] = {"error": str(e)[:140]}
+    ok = [r for r in results.values() if "gsps" in r]
+    if not ok:
+        return {"error": "no path passed", "paths": results}
+    best = max(ok, key=lambda r: r["gsps"])
+    out = dict(best)
+    out["paths"] = results
+    t_min_ms = 2 * 16.0 * n / (bw_gbps * 1e9) * 1e3
+    out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
+    return out
+
+
+def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
+    """Fused overlap-save FIR on a long signal (the serving pipeline)."""
+    n = 1 << 23 if on_tpu else 1 << 14
+    nh = 129
+    rng = np.random.default_rng(2)
+    h = rng.standard_normal(nh).astype(np.float32) / nh
+    xr = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    if on_tpu:
+        from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+        fn = lambda a, b: pallas_os_filter_split(a, b, h, fft_size=2048)
+        path = "os_filter_vmem"
+    else:
+        from fftlab.plan.filter_plan import FilterPlan
+
+        plan = FilterPlan(h)
+        fn = lambda a, b: plan._jit_blocks(
+            jnp.pad(a, (nh - 1, 0)), jnp.pad(b, (nh - 1, 0)))
+        path = "xla_blocks"
+
+    yr, yi = jax.jit(fn)(xr, xi)
+    want = np.convolve(np.asarray(xr, np.float64), h.astype(np.float64))[:n]
+    snr = _snr_db(np.asarray(yr, np.float64), want)
+    if snr < 100.0:
+        return {"error": f"accuracy gate failed: {snr:.1f} dB < 100",
+                "snr_db": round(snr, 1), "path": path}
+
+    def step(a, b):
+        zr, zi = fn(a, b)
+        return zr, zi
+
+    def mk(i):
+        t = jnp.float32(1e-3 * i)
+        return (xr + t, xi - t)
+
+    r = _spread(step, mk, ks=(2, 8), repeats=3)
+    r["gsps"] = round(2 * n / (r["ms"] / 1e3) / 1e9, 4)  # 2 real channels
+    r["snr_db"] = round(snr, 1)
+    r["path"] = path
+    return r
+
+
+def bench_stft(jax, jnp, on_tpu: bool) -> dict:
+    """Pallas streaming STFT vs the XLA gather-framing STFT."""
+    n = 1 << 22 if on_tpu else 1 << 14
+    frame, hop = 2048, 512
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+
+    from fftlab.algos.split_stockham import stockham_fft_split_unscaled
+    from fftlab.core.framing import frame_signal_strided, frames_needed
+    from fftlab.core.types import Direction
+    from fftlab.core.window import get_window
+
+    n_frames = frames_needed(n, frame, hop)
+    w = jnp.asarray(get_window("hann", frame), jnp.float32)
+
+    def xla_step(sig):
+        fr = frame_signal_strided(sig, frame, hop, n_frames) * w
+        Xr, Xi = stockham_fft_split_unscaled(
+            fr, jnp.zeros_like(fr), Direction.FORWARD
+        )
+        return (sig + jnp.float32(1e-30) * Xr[0, 0],)
+
+    out = {}
+    try:
+        r = _spread(xla_step, lambda i: (x + jnp.float32(i),),
+                    ks=(2, 8), repeats=3)
+        n_frames = (n - frame) // hop + 1
+        r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
+        out["xla"] = r
+    except Exception as e:  # pragma: no cover
+        out["xla"] = {"error": str(e)[:120]}
+
+    if on_tpu:
+        try:
+            from fftlab.kernels.stft_vmem import pallas_stft_split
+
+            def k_step(sig):
+                fr, fi = pallas_stft_split(sig, frame, hop)
+                return (sig + jnp.float32(1e-30) * fr[0, 0],)
+
+            r = _spread(k_step, lambda i: (x + jnp.float32(i),),
+                        ks=(2, 8), repeats=3)
+            n_frames = (n - frame) // hop + 1
+            r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
+            out["pallas"] = r
+            if "ms" in out.get("xla", {}):
+                out["pallas_speedup_vs_xla"] = round(
+                    out["xla"]["ms"] / r["ms"], 2)
+        except Exception as e:  # pragma: no cover
+            out["pallas"] = {"error": str(e)[:120]}
+    return out
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from fftlab.algos.split_stockham import fft_split
-
-    n = 1 << 20
     platform = jax.devices()[0].platform
-    batch = 16 if platform == "tpu" else 2
-    iters = 10 if platform == "tpu" else 3
-    # The fused-stage Pallas pipeline (kernels/stage_fused.py) measures
-    # within noise of the einsum path at this size (3.34 vs 3.37 GS/s);
-    # the einsum path has proven hang-free on this backend, so the
-    # unattended headline run uses it. Set FFTLAB_BENCH_PIPELINE=1 to
-    # bench the Pallas pipeline instead.
-    import os as _os
+    on_tpu = platform == "tpu"
+    detail: dict = {"platform": platform}
 
-    if platform == "tpu" and _os.environ.get("FFTLAB_BENCH_PIPELINE"):
-        from fftlab.kernels.stage_fused import fft_split_pipeline
+    bw = bench_bandwidth(jnp, on_tpu)
+    detail["bandwidth"] = bw
+    bw_gbps = bw.get("gbps", 285.0)
 
-        def fft_fn(a, b):
-            return fft_split_pipeline(a, b, factors=(64, 128, 128))
-    else:
-        fft_fn = fft_split
+    for name, f in (
+        ("fft_1m_batched", lambda: bench_fft_1m(jax, jnp, on_tpu, bw_gbps)),
+        ("fft_16m_single", lambda: bench_fft_16m(jax, jnp, on_tpu, bw_gbps)),
+        ("serving_filter", lambda: bench_serving_filter(jax, jnp, on_tpu)),
+        ("stft", lambda: bench_stft(jax, jnp, on_tpu)),
+    ):
+        try:
+            detail[name] = f()
+        except Exception as e:
+            detail[name] = {"error": str(e)[:160]}
 
-    rng = np.random.default_rng(0)
-    xr = jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32)
-    xi = jnp.asarray(rng.standard_normal((batch, n)), dtype=jnp.float32)
-    fn = jax.jit(fft_fn)
-
-    # Accuracy gate on one row (float32 SNR regime, simd_fft.c:362 analog).
-    gr, gi = fn(xr[:1], xi[:1])
-    got = np.asarray(gr[0], dtype=np.float64) + 1j * np.asarray(gi[0], dtype=np.float64)
-    want = np.fft.fft(
-        np.asarray(xr[0], dtype=np.float64) + 1j * np.asarray(xi[0], dtype=np.float64)
-    )
-    snr = 10 * np.log10(
-        np.sum(np.abs(want) ** 2) / max(np.sum(np.abs(got - want) ** 2), 1e-300)
-    )
-    if snr < 100.0:
-        print(json.dumps({
-            "metric": "fft_1m_batched_throughput", "value": 0.0,
-            "unit": "Gsamples/s", "vs_baseline": 0.0,
-            "error": f"accuracy gate failed: SNR {snr:.1f} dB < 100 dB",
-        }))
-        return
-
-    # Timing protocol for the tunneled device: (a) inputs VARY per
-    # iteration (the runtime memoizes repeated identical computations),
-    # (b) completion is forced by a one-element READBACK (block_until_
-    # ready can return early on this backend), and (c) the per-iteration
-    # cost is the SLOPE between two batch sizes, cancelling the fixed
-    # dispatch/readback round-trip latency.
-    variants = [(xr + float(i) * 1e-3, xi - float(i) * 1e-3)
-                for i in range(iters)]
-    jax.block_until_ready(variants)
-    _ = np.asarray(fn(*variants[0])[0][:1, :1])  # compile + warm + sync
-
-    def run(k: int) -> float:
-        t0 = time.perf_counter()
-        outs = [fn(*variants[i % iters]) for i in range(k)]
-        _ = np.asarray(outs[-1][0][:1, :1])
-        return time.perf_counter() - t0
-
-    slopes = []
-    for _ in range(3):
-        k1, k2 = max(iters // 3, 1), iters
-        slopes.append((run(k2) - run(k1)) / (k2 - k1))
-    dt = float(np.median(slopes))
-    gsps = batch * n / dt / 1e9
-
+    head = detail.get("fft_1m_batched", {})
+    gsps = head.get("gsps", 0.0)
     baseline_gsps = (1 << 20) / 4.5e-3 / 1e9  # RTX 3090 cuFFT anchor
     print(json.dumps({
         "metric": "fft_1m_batched_throughput",
-        "value": round(gsps, 4),
+        "value": gsps,
         "unit": "Gsamples/s",
-        "vs_baseline": round(gsps / baseline_gsps, 3),
-        "detail": {
-            "batch": batch, "n": n, "ms_per_batch": round(dt * 1e3, 3),
-            "snr_db": round(float(snr), 1), "platform": platform,
-            "baseline": "RTX3090 cuFFT 1M-pt in 4.5ms (README.md:205)",
-        },
+        "vs_baseline": round(gsps / baseline_gsps, 3) if gsps else 0.0,
+        "detail": detail,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -77,7 +77,8 @@ def spread_time(fn: Callable, make_args: Callable[[int], Sequence],
 
 
 def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
-               ks: Sequence[int] = (8, 128), repeats: int = 5) -> float:
+               ks: Sequence[int] = (8, 128), repeats: int = 5,
+               return_all: bool = False):
     """Per-application seconds of a shape-preserving `step` measured by
     chaining k applications inside ONE jitted fori_loop.
 
@@ -118,4 +119,6 @@ def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
             _ = np.asarray(_first_leaf(out)).ravel()[:1]
             ts[k] = time.perf_counter() - t0
         slopes.append((ts[ks[-1]] - ts[ks[0]]) / (ks[-1] - ks[0]))
+    if return_all:
+        return [float(s) for s in slopes]
     return float(np.median(slopes))

@@ -96,11 +96,17 @@ def _inv_body(sr, si, tabs_inv, n: int):
 
 
 def _fft_kernel(xr_ref, xi_ref, Fmr, Fmi, F1r, F1i, twr, twi,
-                or_ref, oi_ref):
+                or_ref, oi_ref, *, rows: int = 1):
+    """`rows` batch rows per grid program: below m=64 a single (m, m) @
+    (m, 128) matmul underfills the MXU and per-program DMA overhead
+    dominates (the measured 4K loss, docs/performance.md r1) — batching
+    R rows per residency amortizes both. The R matmuls share the
+    constant tables and unroll statically."""
     tabs = (Fmr[...], Fmi[...], F1r[...], F1i[...], twr[...], twi[...])
-    yr, yi = _fwd_body(xr_ref[0], xi_ref[0], tabs)
-    or_ref[0] = yr
-    oi_ref[0] = yi
+    for r in range(rows):
+        yr, yi = _fwd_body(xr_ref[r], xi_ref[r], tabs)
+        or_ref[r] = yr
+        oi_ref[r] = yi
 
 
 def _filter_kernel(xr_ref, xi_ref,
@@ -127,21 +133,35 @@ def _specs(m: int, n_tables: int):
     return row_in, [const2() for _ in range(n_tables)]
 
 
+def _rows_per_program(m: int, B: int) -> int:
+    """Batch rows per grid program: small m -> more rows (up to 8) so
+    VMEM residency stays ~512 KB and the MXU sees enough work; divides B
+    so the grid is exact."""
+    target = max(64 // m, 1)  # m=8 -> 8 rows, m=32 -> 2, m>=64 -> 1
+    r = min(target, 8, B)
+    while B % r:
+        r -= 1
+    return max(r, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("direction", "interpret"))
 def _pallas_fft_impl(xr, xi, *, direction: Direction, interpret: bool):
     batch = xr.shape[:-1]
     n = int(xr.shape[-1])
     m = n // N1
     B = int(np.prod(batch)) if batch else 1
+    R = _rows_per_program(m, B)
     xr3 = xr.reshape(B, m, N1)
     xi3 = xi.reshape(B, m, N1)
     tabs = _tables(n, direction, xr.dtype)
-    row_in, consts = _specs(m, len(tabs))
-    row_out = pl.BlockSpec((1, N1, m), lambda b: (b, 0, 0),
+    row_in = pl.BlockSpec((R, m, N1), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    consts = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tabs]
+    row_out = pl.BlockSpec((R, N1, m), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
-        _fft_kernel,
-        grid=(B,),
+        functools.partial(_fft_kernel, rows=R),
+        grid=(B // R,),
         in_specs=[row_in, row_in] + consts,
         out_specs=(row_out, row_out),
         out_shape=(
@@ -149,8 +169,8 @@ def _pallas_fft_impl(xr, xi, *, direction: Direction, interpret: bool):
             jax.ShapeDtypeStruct((B, N1, m), xr.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * n * (m + N1), transcendentals=0,
-            bytes_accessed=4 * 4 * n,
+            flops=8 * n * (m + N1) * R, transcendentals=0,
+            bytes_accessed=4 * 4 * n * R,
         ),
         interpret=interpret,
     )(xr3, xi3, *tabs)

@@ -1,0 +1,254 @@
+"""Two-pass four-step FFT for large n (0.25M..64M): the round-2 fast path.
+
+The XLA einsum pipeline (algos/split_stockham.py) makes ~6 HBM passes
+at n=1M (3 stage matmuls + 2 twiddle passes + the digit-reversal
+transpose). A 1M-point f32 split transform can't be done in fewer than
+TWO passes on a 16 MB-VMEM chip (8 MB data + workspace), and this
+kernel achieves exactly two:
+
+  pass 1  grid (C2, B): DMA a strided column slab x[b, :, c2*128+l]
+          (all j1, one 128-lane j2 chunk), run the length-L1 column FFT
+          entirely in VMEM, multiply the four-step twiddle W_n^{k1*j2}
+          (precomputed f64->f32, fetched once per c2 because b is the
+          inner grid dim), write back [b, k1, j2].
+  pass 2  grid (G1, B): DMA a contiguous row slab [one 128-lane k1
+          chunk, all j2], transpose in VMEM, run the length-L2 column
+          FFT, write [b, k2, k1] — which flattens to the NATURAL
+          spectrum order (k = k2*L1 + k1) with zero XLA fixup passes.
+
+The in-VMEM column FFT of length L = fa*fb is two MXU contractions with
+a twiddle between — and the second contraction's dot_general output
+axis order (k_b, k_a, lane) IS the digit reversal, so natural order
+falls out free:
+
+    j1 = j1a*fb + j1b,  k1 = k1a + fa*k1b
+    S[k1a, j1b, l] = sum_{j1a} Fa[k1a, j1a] x[j1a, j1b, l]      (MXU)
+    T = S * W_L^{k1a*j1b}                                       (VPU)
+    Y[k1b, k1a, l] = sum_{j1b} Fb[k1b, j1b] T[k1a, j1b, l]      (MXU)
+    flatten(k1b, k1a) = k1b*fa + k1a = k1  (natural)
+
+All tables are f64-precomputed constants; matmuls run at HIGHEST
+precision (TPU f32 matmuls default to bf16 passes — docs/performance.md).
+Reference anchors: the four-step loop structure parallel_fft.c:213-272;
+the empty custom-kernel TODO this replaces, fft_cuda.cu:264-266.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fftlab.core.twiddle import dft_matrix_np
+from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
+
+LANES = 128
+_P = jax.lax.Precision.HIGHEST
+
+MIN_N = 1 << 18       # below this the einsum/fft_vmem paths win
+MAX_N = 1 << 26       # L1, L2 <= 8192 keeps slabs + tables in VMEM
+
+
+def supported_large(n: int) -> bool:
+    return is_power_of_two(n) and MIN_N <= n <= MAX_N
+
+
+def _split_sides(n: int) -> tuple[int, int]:
+    """n = L1*L2, both pow2, L1 <= L2, both multiples of 128."""
+    e = log2_int(n)
+    e1 = e // 2
+    L1 = 1 << e1
+    return L1, n // L1
+
+
+def _split_factors(L: int) -> tuple[int, int]:
+    """L = fa*fb with both <= 128 (MXU-shaped contractions)."""
+    e = log2_int(L)
+    fa = 1 << (e // 2)
+    return fa, L // fa
+
+
+def _col_fft_tables(L: int, direction: Direction):
+    """Host tables for the in-VMEM length-L column FFT: Fa, Fb, and the
+    inter-stage twiddle W_L^{k1a*j1b} (all float64 -> float32)."""
+    fa, fb = _split_factors(L)
+    Fa = dft_matrix_np(fa, direction)
+    Fb = dft_matrix_np(fb, direction)
+    ka = np.arange(fa).reshape(fa, 1)
+    jb = np.arange(fb).reshape(1, fb)
+    tw = np.exp(2j * np.pi * float(int(direction)) * ka * jb / L)
+    c = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(np.float32))
+    return (c(Fa.real), c(Fa.imag), c(Fb.real), c(Fb.imag),
+            c(tw.real), c(tw.imag))
+
+
+def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int):
+    """(L, W) block -> (L, W) spectra along sublanes, natural order.
+    W = lane width of the block (128 in pass 1, 128 in pass 2)."""
+    Far, Fai, Fbr, Fbi, twr, twi = tabs
+    L = fa * fb
+    W = xr.shape[-1]
+    x3r = xr.reshape(fa, fb * W)
+    x3i = xi.reshape(fa, fb * W)
+    # stage A: contract j1a (axis 0) -> S[k1a, j1b*W]
+    sr = (jnp.dot(Far, x3r, precision=_P, preferred_element_type=jnp.float32)
+          - jnp.dot(Fai, x3i, precision=_P, preferred_element_type=jnp.float32))
+    si = (jnp.dot(Far, x3i, precision=_P, preferred_element_type=jnp.float32)
+          + jnp.dot(Fai, x3r, precision=_P, preferred_element_type=jnp.float32))
+    # twiddle W_L^{k1a*j1b}: broadcast over lanes
+    sr3 = sr.reshape(fa, fb, W)
+    si3 = si.reshape(fa, fb, W)
+    wr = twr.reshape(fa, fb, 1)
+    wi = twi.reshape(fa, fb, 1)
+    tr = sr3 * wr - si3 * wi
+    ti = sr3 * wi + si3 * wr
+    # stage B: contract j1b (middle axis) -> Y[k1b, k1a, W]; the output
+    # axis order performs the digit reversal, so flatten = natural k1.
+    dn = (((1,), (1,)), ((), ()))  # contract Fb axis1 with T axis1
+    yr = (jax.lax.dot_general(Fbr, tr, dn, precision=_P,
+                              preferred_element_type=jnp.float32)
+          - jax.lax.dot_general(Fbi, ti, dn, precision=_P,
+                                preferred_element_type=jnp.float32))
+    yi = (jax.lax.dot_general(Fbr, ti, dn, precision=_P,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(Fbi, tr, dn, precision=_P,
+                                preferred_element_type=jnp.float32))
+    return yr.reshape(L, W), yi.reshape(L, W)
+
+
+def _pass1_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                  bigr_ref, bigi_ref, or_ref, oi_ref, *, fa, fb):
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
+    # fused four-step twiddle W_n^{k1*j2} for this column chunk
+    wr = bigr_ref[0]
+    wi = bigi_ref[0]
+    or_ref[0] = yr * wr - yi * wi
+    oi_ref[0] = yr * wi + yi * wr
+
+
+def _pass2_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                  or_ref, oi_ref, *, fa, fb):
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    # block [k1-slab, all j2]: transpose in VMEM so j2 is on sublanes
+    xr = jnp.transpose(xr_ref[0], (1, 0))
+    xi = jnp.transpose(xi_ref[0], (1, 0))
+    yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _big_twiddle_np(L1: int, L2: int, direction: Direction) -> np.ndarray:
+    """W_n^{k1*j2} as (L1, L2), float64 (the pass-1 fused twiddle)."""
+    n = L1 * L2
+    k1 = np.arange(L1).reshape(L1, 1)
+    j2 = np.arange(L2).reshape(1, L2)
+    return np.exp(2j * np.pi * float(int(direction)) * (k1 * j2 % n) / n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("direction", "interpret")
+)
+def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool):
+    B, n = xr.shape
+    L1, L2 = _split_sides(n)
+    C2 = L2 // LANES
+    G1 = L1 // LANES
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)
+    tabs1 = _col_fft_tables(L1, direction)
+    tabs2 = _col_fft_tables(L2, direction)
+    tw = _big_twiddle_np(L1, L2, direction)
+    Twr = jnp.asarray(tw.real.astype(np.float32)).reshape(1, L1, L2)
+    Twi = jnp.asarray(tw.imag.astype(np.float32)).reshape(1, L1, L2)
+
+    x3r = xr.reshape(B, L1, L2)
+    x3i = xi.reshape(B, L1, L2)
+
+    # Block = [one b, all L1 sublanes, one 128-lane j2 chunk]. Mosaic
+    # requires the last two BLOCK dims divisible by (8, 128) or equal to
+    # the array dims — (L1, 128) on a (B, L1, L2) array satisfies both.
+    col_blk = pl.BlockSpec((1, L1, LANES), lambda c, b: (b, 0, c),
+                           memory_space=pltpu.VMEM)
+    tw_blk = pl.BlockSpec((1, L1, LANES), lambda c, b: (0, 0, c),
+                          memory_space=pltpu.VMEM)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # grid (C2, B): b innermost, so the twiddle block is re-fetched only
+    # when the column chunk changes — its HBM traffic amortizes over B.
+    mr, mi = pl.pallas_call(
+        functools.partial(_pass1_kernel, fa=fa1, fb=fb1),
+        grid=(C2, B),
+        in_specs=[col_blk, col_blk] + [const] * 6 + [tw_blk, tw_blk],
+        out_specs=(col_blk, col_blk),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L1, L2), xr.dtype),
+            jax.ShapeDtypeStruct((B, L1, L2), xr.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * (fa1 + fb1) * L1 * LANES * B * C2,
+            transcendentals=0,
+            bytes_accessed=(4 * 4 + 2 * 4) * n * B,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, *tabs1, Twr, Twi)
+
+    # pass 2: rows of the (L1, L2) matrix -> final (B, L2, L1)
+    row_blk = pl.BlockSpec((1, LANES, L2), lambda g, b: (b, g, 0),
+                           memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec((1, L2, LANES), lambda g, b: (b, 0, g),
+                           memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_pass2_kernel, fa=fa2, fb=fb2),
+        grid=(G1, B),
+        in_specs=[row_blk, row_blk] + [const] * 6,
+        out_specs=(out_blk, out_blk),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L2, L1), xr.dtype),
+            jax.ShapeDtypeStruct((B, L2, L1), xr.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * (fa2 + fb2) * L2 * LANES * B * G1,
+            transcendentals=0,
+            bytes_accessed=4 * 4 * n * B,
+        ),
+        interpret=interpret,
+    )(mr, mi, *tabs2)
+    # (B, L2, L1) flattens to [b, k2, k1] = natural spectrum order.
+    yr = yr.reshape(B, n)
+    yi = yi.reshape(B, n)
+    if direction == Direction.INVERSE:
+        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+        return yr * s, yi * s
+    return yr, yi
+
+
+def fft_split_large(xr, xi, direction=FORWARD,
+                    interpret: bool | None = None):
+    """Batched large-n FFT on split planes via the two-pass VMEM kernel.
+
+    xr, xi: float32 [B, n] (or [..., n]; batch dims are flattened),
+    n = 2^18..2^26 pow2. Forward unscaled / inverse 1/n (reference
+    convention, radix2_dit.c:115-119). Natural-order output.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_large(n):
+        raise ValueError(
+            f"fft_split_large supports pow2 n in [{MIN_N}, {MAX_N}]; got {n}"
+        )
+    batch = xr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= int(d)
+    yr, yi = _fft_large_impl(
+        xr.reshape(B, n), xi.reshape(B, n),
+        direction=Direction(int(direction)), interpret=bool(interpret),
+    )
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
