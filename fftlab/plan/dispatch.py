@@ -10,6 +10,8 @@ fft_auto.c:55-93 + :136-172, actually consumed.
 Routes (split re/im planes, [..., n] batch-first):
 
   pallas_vmem      one-residency kernel, TPU, n = m*128 (m 8..128 pow2)
+  fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^18..2^26
+                   (measured 4.24 GS/s vs einsum's 3.37 at 1M, r2)
   pallas_pipeline  fused-stage pipeline for large pow2 n (multi-launch)
   einsum           the XLA MXU Stockham path (works everywhere)
 
@@ -25,7 +27,7 @@ import os
 
 from fftlab.plan.hardware import detect_hardware
 
-ROUTES = ("pallas_vmem", "pallas_pipeline", "einsum")
+ROUTES = ("pallas_vmem", "fourstep_vmem", "pallas_pipeline", "einsum")
 
 # Measured on the v5e (docs/performance.md): the one-residency kernel
 # beats the einsum path from 8K up; at 4K multi-row blocking makes it
@@ -44,9 +46,12 @@ def select_split_impl(n: int, batch: int = 1) -> str:
     if caps.platform != "tpu" or os.environ.get("FFTLAB_NO_PALLAS"):
         return "einsum"
     from fftlab.kernels.fft_vmem import supported_size
+    from fftlab.kernels.fourstep_vmem import supported_large
 
     if supported_size(n) and n >= _VMEM_MIN_N:
         return "pallas_vmem"
+    if supported_large(n):
+        return "fourstep_vmem"
     return "einsum"
 
 
@@ -69,6 +74,10 @@ def fft_split_auto(xr, xi, direction=None):
         from fftlab.kernels.fft_vmem import pallas_fft_split
 
         return pallas_fft_split(xr, xi, direction)
+    if route == "fourstep_vmem":
+        from fftlab.kernels.fourstep_vmem import fft_split_large
+
+        return fft_split_large(xr, xi, direction)
     if route == "pallas_pipeline":
         from fftlab.kernels.stage_fused import fft_split_pipeline
         from fftlab.algos.stockham import plan_factors

@@ -137,10 +137,13 @@ class TestCapsDispatch:
         self._fake_caps(monkeypatch, "tpu")
         assert select_split_impl(8192) == "pallas_vmem"
         assert select_split_impl(16384) == "pallas_vmem"
+        # large pow2 sizes route to the two-pass kernel
+        assert select_split_impl(1 << 20) == "fourstep_vmem"
+        assert select_split_impl(1 << 24) == "fourstep_vmem"
         # below the measured crossover and unsupported sizes -> einsum
         assert select_split_impl(4096) == "einsum"
-        assert select_split_impl(1 << 20) == "einsum"
         assert select_split_impl(1000) == "einsum"
+        assert select_split_impl(1 << 27) == "einsum"
 
     def test_cpu_always_einsum(self, monkeypatch):
         from fftlab.plan.dispatch import select_split_impl
