@@ -151,10 +151,15 @@ def ifft_split(xr, xi, leaf: int = DEFAULT_LEAF_SPLIT):
     return fft_split(xr, xi, Direction.INVERSE, leaf)
 
 
-def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT):
+def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
     """Real-input FFT on the split path: real [..., n] -> (re, im) of the
     n//2+1 one-sided bins, via the pack-two-reals trick (real_fft.py
-    semantics without any complex dtype)."""
+    semantics without any complex dtype).
+
+    `cfft(re, im) -> (re, im)` overrides the half-size complex transform
+    (e.g. kernels/fourstep_vmem.fft_split_large for huge n)."""
+    if cfft is None:
+        cfft = lambda a, b: fft_split(a, b, FORWARD, leaf)
     x = jnp.asarray(x)
     n = int(x.shape[-1])
     h = n // 2 + 1
@@ -162,7 +167,7 @@ def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT):
         zr, zi = fft_split(x, jnp.zeros_like(x), FORWARD, leaf)
         return zr[..., :h], zi[..., :h]
     zr_in, zi_in = x[..., 0::2], x[..., 1::2]
-    Zr, Zi = fft_split(zr_in, zi_in, FORWARD, leaf)
+    Zr, Zi = cfft(zr_in, zi_in)
     Zr = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
     Zi = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
     # conj reversal: Zrev[k] = conj(Z[n/2 - k])

@@ -158,6 +158,20 @@ def fft_filter_split(xr, xi, params: FilterParams):
     n = int(xr.shape[-1])
     h = design_response(n, params)
     rdtype = xr.dtype
+
+    # Large sizes on TPU: the 4-HBM-pass fused kernel sandwich
+    # (kernels/fourstep_vmem.spectral_filter_large).
+    import jax
+
+    from fftlab.kernels.fourstep_vmem import (
+        spectral_filter_large,
+        supported_large,
+    )
+
+    if jax.default_backend() == "tpu" and supported_large(n):
+        return spectral_filter_large(
+            xr, xi, jnp.asarray(h.astype(rdtype)), jnp.zeros(n, rdtype)
+        )
     hr_p, hi_p = permute_response(h.astype(rdtype), np.zeros(n, rdtype), n)
     return spectral_filter_split_fused(
         xr, xi, jnp.asarray(hr_p), jnp.asarray(hi_p), h_permuted=True,

@@ -142,6 +142,22 @@ def _pass2_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     oi_ref[0] = yi
 
 
+def _pass2_filter_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                         hr_ref, hi_ref, or_ref, oi_ref, *, fa, fb):
+    """Pass 2 with the spectral response fused into the epilogue: the
+    output IS the natural-order spectrum, so multiplying the natural-
+    order H block here costs zero extra passes (H fetch amortizes over
+    the batch like the pass-1 twiddle)."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    xr = jnp.transpose(xr_ref[0], (1, 0))
+    xi = jnp.transpose(xi_ref[0], (1, 0))
+    yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
+    hr = hr_ref[0]
+    hi = hi_ref[0]
+    or_ref[0] = yr * hr - yi * hi
+    oi_ref[0] = yr * hi + yi * hr
+
+
 def _big_twiddle_np(L1: int, L2: int, direction: Direction) -> np.ndarray:
     """W_n^{k1*j2} as (L1, L2), float64 (the pass-1 fused twiddle)."""
     n = L1 * L2
@@ -150,10 +166,10 @@ def _big_twiddle_np(L1: int, L2: int, direction: Direction) -> np.ndarray:
     return np.exp(2j * np.pi * float(int(direction)) * (k1 * j2 % n) / n)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("direction", "interpret")
-)
-def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool):
+def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None):
+    """The two pallas launches of one transform. `h2` (pair of (1, L2, L1)
+    natural-order response planes) fuses a spectral multiply into pass 2's
+    epilogue for zero extra passes. Returns (B, n) unscaled."""
     B, n = xr.shape
     L1, L2 = _split_sides(n)
     C2 = L2 // LANES
@@ -201,10 +217,20 @@ def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool):
                            memory_space=pltpu.VMEM)
     out_blk = pl.BlockSpec((1, L2, LANES), lambda g, b: (b, 0, g),
                            memory_space=pltpu.VMEM)
+    h_blk = pl.BlockSpec((1, L2, LANES), lambda g, b: (0, 0, g),
+                         memory_space=pltpu.VMEM)
+    if h2 is None:
+        kern = functools.partial(_pass2_kernel, fa=fa2, fb=fb2)
+        in_specs = [row_blk, row_blk] + [const] * 6
+        args = (mr, mi, *tabs2)
+    else:
+        kern = functools.partial(_pass2_filter_kernel, fa=fa2, fb=fb2)
+        in_specs = [row_blk, row_blk] + [const] * 6 + [h_blk, h_blk]
+        args = (mr, mi, *tabs2, h2[0], h2[1])
     yr, yi = pl.pallas_call(
-        functools.partial(_pass2_kernel, fa=fa2, fb=fb2),
+        kern,
         grid=(G1, B),
-        in_specs=[row_blk, row_blk] + [const] * 6,
+        in_specs=in_specs,
         out_specs=(out_blk, out_blk),
         out_shape=(
             jax.ShapeDtypeStruct((B, L2, L1), xr.dtype),
@@ -216,14 +242,64 @@ def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool):
             bytes_accessed=4 * 4 * n * B,
         ),
         interpret=interpret,
-    )(mr, mi, *tabs2)
+    )(*args)
     # (B, L2, L1) flattens to [b, k2, k1] = natural spectrum order.
-    yr = yr.reshape(B, n)
-    yi = yi.reshape(B, n)
+    return yr.reshape(B, n), yi.reshape(B, n)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("direction", "interpret")
+)
+def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool):
+    n = int(xr.shape[-1])
+    yr, yi = _two_pass(xr, xi, direction, interpret)
     if direction == Direction.INVERSE:
         s = jnp.asarray(1.0 / n, dtype=yr.dtype)
         return yr * s, yi * s
     return yr, yi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool):
+    n = int(xr.shape[-1])
+    gr, gi = _two_pass(xr, xi, Direction.FORWARD, interpret,
+                       h2=(h2r, h2i))
+    yr, yi = _two_pass(gr, gi, Direction.INVERSE, interpret)
+    s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+    return yr * s, yi * s
+
+
+def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None):
+    """FFT -> H -> IFFT on large signals in FOUR HBM passes total: the
+    H multiply rides pass 2's epilogue (zero extra traffic), and the
+    inverse is the same two-pass kernel with conjugated tables. The XLA
+    einsum sandwich costs ~12 passes at these sizes.
+
+    xr, xi: [..., n] split planes (n = 2^18..2^26 pow2).
+    hr, hi: the length-n frequency response H[k], natural bin order.
+    Equivalent numerics: ifft(fft(x) * H) with 1/n scaling
+    (SURVEY.md §3.4 sandwich; fft_filtering.c:111-132 semantics)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_large(n):
+        raise ValueError(
+            f"spectral_filter_large supports pow2 n in [{MIN_N}, {MAX_N}]; got {n}"
+        )
+    L1, L2 = _split_sides(n)
+    h2r = jnp.asarray(hr, dtype=xr.dtype).reshape(1, L2, L1)
+    h2i = jnp.asarray(hi, dtype=xr.dtype).reshape(1, L2, L1)
+    batch = xr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= int(d)
+    yr, yi = _filter_large_impl(
+        xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
+        interpret=bool(interpret),
+    )
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
 
 
 def fft_split_large(xr, xi, direction=FORWARD,
@@ -252,3 +328,24 @@ def fft_split_large(xr, xi, direction=FORWARD,
         direction=Direction(int(direction)), interpret=bool(interpret),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+def rfft_split_large(x, interpret: bool | None = None):
+    """Real-input FFT for huge signals: real [..., n] -> one-sided
+    (re, im) pair of n//2+1 bins, running the half-size complex
+    transform on the two-pass kernel (pack-two-reals, real_fft.py
+    semantics). n must be 2*supported_large, i.e. 2^19..2^27."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from fftlab.algos.split_stockham import rfft_split
+
+    x = jnp.asarray(x)
+    n = int(x.shape[-1])
+    if not supported_large(n // 2) or n % 2:
+        raise ValueError(
+            f"rfft_split_large needs even n with n/2 in "
+            f"[{MIN_N}, {MAX_N}]; got {n}"
+        )
+    return rfft_split(
+        x, cfft=lambda a, b: fft_split_large(a, b, interpret=interpret)
+    )

@@ -66,3 +66,57 @@ class TestFourstepVmem:
             fft_split_large(jnp.zeros((1, 1000), jnp.float32),
                             jnp.zeros((1, 1000), jnp.float32),
                             interpret=True)
+
+
+class TestSpectralFilterLarge:
+    def test_matches_reference_sandwich(self):
+        from fftlab.kernels.fourstep_vmem import spectral_filter_large
+
+        n = 1 << 18
+        rng = np.random.default_rng(11)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        hr = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        hi = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        yr, yi = spectral_filter_large(xr, xi, hr, hi, interpret=True)
+        x = np.asarray(xr[0], np.float64) + 1j * np.asarray(xi[0], np.float64)
+        h = np.asarray(hr, np.float64) + 1j * np.asarray(hi, np.float64)
+        want = np.fft.ifft(np.fft.fft(x) * h)
+        got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0], np.float64)
+        assert _snr(got, want) > 110.0
+
+    def test_identity_response(self):
+        from fftlab.kernels.fourstep_vmem import spectral_filter_large
+
+        n = 1 << 18
+        rng = np.random.default_rng(12)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.zeros((2, n), jnp.float32)
+        yr, yi = spectral_filter_large(
+            xr, xi, jnp.ones(n, jnp.float32), jnp.zeros(n, jnp.float32),
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(xr), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(yi), np.asarray(xi), atol=3e-4)
+
+
+class TestRfftLarge:
+    def test_matches_numpy_rfft(self):
+        from fftlab.kernels.fourstep_vmem import rfft_split_large
+
+        n = 1 << 19
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = rfft_split_large(x, interpret=True)
+        assert yr.shape == (1, n // 2 + 1)
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        want = np.fft.rfft(np.asarray(x[0], np.float64))
+        assert _snr(got, want) > 110.0
+
+    def test_rejects_bad_sizes(self):
+        from fftlab.kernels.fourstep_vmem import rfft_split_large
+
+        with pytest.raises(ValueError):
+            rfft_split_large(jnp.zeros((1, 1 << 17), jnp.float32),
+                             interpret=True)
