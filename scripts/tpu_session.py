@@ -1,0 +1,170 @@
+"""Consolidated device-tuning session: run every pending measurement in
+ONE process (shared compile cache), health-gated, results to JSONL.
+
+The tunneled TPU service has multi-tenant congestion windows where
+effective bandwidth drops >20x and any timing is garbage; this script
+waits for a healthy window (copy-chain bandwidth > 200 GB/s) before
+each measurement and stamps the health reading next to every result.
+
+Run: timeout 3000 python scripts/tpu_session.py [out.jsonl]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, ".")
+from fftlab.bench.timing import chain_time  # noqa: E402
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "bench_artifacts/session.jsonl"
+os.makedirs(os.path.dirname(OUT) or ".", exist_ok=True)
+
+
+def log(rec: dict):
+    rec["t"] = round(time.time(), 1)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+_HX = jnp.ones((16, 1 << 20), jnp.float32)
+_HY = jnp.ones((16, 1 << 20), jnp.float32)
+
+
+def bandwidth() -> float:
+    mk = lambda i: (_HX + jnp.float32(i), _HY - jnp.float32(i))
+    dt = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(4, 64),
+                    repeats=2)
+    return 2 * 2 * 4 * 16 * (1 << 20) / dt / 1e9
+
+
+def wait_healthy(tries=30) -> float:
+    for _ in range(tries):
+        bw = bandwidth()
+        print(f"  [health {bw:.0f} GB/s]", flush=True)
+        if 200 < bw < 2000:  # >2000 = measurement artifact, not health
+            return bw
+        time.sleep(25)
+    return -1.0
+
+
+def measure(name, step, mk, total_samples, ks=(2, 10)):
+    bw = wait_healthy()
+    if bw < 0:
+        log({"name": name, "error": "no healthy window"})
+        return
+    ts = chain_time(step, mk, ks=ks, repeats=3, return_all=True)
+    lo, hi = min(ts), max(ts)
+    dt = float(np.median(ts))
+    rec = {"name": name, "ms": round(dt * 1e3, 3),
+           "ms_spread": [round(lo * 1e3, 3), round(hi * 1e3, 3)],
+           "gsps": round(total_samples / dt / 1e9, 3),
+           "health_gbps": round(bw, 0)}
+    if lo <= 0 or hi / max(lo, 1e-9) > 2.0:
+        rec["noisy"] = True
+    log(rec)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    n = 1 << 20
+    B = 16
+    xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    mk = lambda i: (xr + jnp.float32(1e-3 * i), xi - jnp.float32(1e-3 * i))
+    scale = jnp.float32(1.0 / np.sqrt(n))
+
+    import fftlab.kernels.fourstep_vmem as fv
+    from fftlab.algos.split_stockham import fft_split
+
+    # -- 1M variants ------------------------------------------------------
+    orig_factors = fv._split_factors
+
+    def step_fs(a, b):
+        yr, yi = fv.fft_split_large(a, b)
+        return yr * scale, yi * scale
+
+    measure("fs_base_1m", step_fs, mk, B * n)
+
+    fv._split_factors = lambda L: (min(128, L), L // min(128, L))
+    measure("fs_fa128_1m", step_fs, mk, B * n)
+    fv._split_factors = lambda L: (64, L // 64)
+    measure("fs_fa64_1m", step_fs, mk, B * n)
+    fv._split_factors = orig_factors
+
+    def step_einsum(a, b):
+        yr, yi = fft_split(a, b)
+        return yr * scale, yi * scale
+
+    measure("einsum_1m", step_einsum, mk, B * n)
+
+    # -- fused large filter ----------------------------------------------
+    h = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    hz = jnp.zeros(n, jnp.float32)
+
+    def step_filt(a, b):
+        yr, yi = fv.spectral_filter_large(a, b, h, hz)
+        return yr, yi
+
+    measure("filter_large_1m", step_filt, mk, B * n)
+
+    # -- 16M single -------------------------------------------------------
+    n16 = 1 << 24
+    k1, k2 = jax.random.split(jax.random.key(1))
+    sr = jax.random.normal(k1, (1, n16), jnp.float32)
+    si = jax.random.normal(k2, (1, n16), jnp.float32)
+    mk16 = lambda i: (sr + jnp.float32(1e-3 * i), si - jnp.float32(1e-3 * i))
+    s16 = jnp.float32(1.0 / np.sqrt(n16))
+
+    def step_fs16(a, b):
+        yr, yi = fv.fft_split_large(a, b)
+        return yr * s16, yi * s16
+
+    measure("fs_16m", step_fs16, mk16, n16, ks=(2, 8))
+
+    def step_e16(a, b):
+        yr, yi = fft_split(a, b)
+        return yr * s16, yi * s16
+
+    measure("einsum_16m", step_e16, mk16, n16, ks=(2, 8))
+
+    # -- 4K/8K crossover: pallas_vmem multirow vs einsum ------------------
+    from fftlab.kernels.fft_vmem import pallas_fft_split
+
+    for nn in (4096, 8192):
+        BB = (1 << 22) // nn
+        ka, kb = jax.random.split(jax.random.key(nn))
+        ar = jax.random.normal(ka, (BB, nn), jnp.float32)
+        ai = jax.random.normal(kb, (BB, nn), jnp.float32)
+        mkx = lambda i: (ar + jnp.float32(1e-3 * i), ai - jnp.float32(1e-3 * i))
+        sc = jnp.float32(1.0 / np.sqrt(nn))
+
+        def step_v(a, b):
+            yr, yi = pallas_fft_split(a, b)
+            return yr * sc, yi * sc
+
+        def step_e(a, b):
+            yr, yi = fft_split(a, b)
+            return yr * sc, yi * sc
+
+        measure(f"vmem_{nn}", step_v, mkx, BB * nn)
+        measure(f"einsum_{nn}", step_e, mkx, BB * nn)
+
+    log({"name": "session_done"})
+
+
+if __name__ == "__main__":
+    main()

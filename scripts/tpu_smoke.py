@@ -106,6 +106,31 @@ def main():
     want = np.convolve(fs[: 50000 + 129].astype(np.float64), h)[:50000]
     check("pallas_os_filter 129 taps", snr(got, want))
 
+    # 7. Two-pass large-n kernel (round 2)
+    from fftlab.kernels.fourstep_vmem import fft_split_large
+
+    lr = jnp.asarray(rng.standard_normal((1, 1 << 20)), jnp.float32)
+    li = jnp.asarray(rng.standard_normal((1, 1 << 20)), jnp.float32)
+    yr, yi = fft_split_large(lr, li)
+    got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0], np.float64)
+    want = np.fft.fft(np.asarray(lr[0], np.float64)
+                      + 1j * np.asarray(li[0], np.float64))
+    check("fourstep_vmem 1M", snr(got, want))
+
+    # 8. Fused large spectral filter (4-pass sandwich)
+    from fftlab.kernels.fourstep_vmem import spectral_filter_large
+
+    hmask = np.zeros(1 << 20, np.float32)
+    hmask[: 1 << 14] = 1.0
+    zr, zi = spectral_filter_large(
+        lr, li, jnp.asarray(hmask), jnp.zeros(1 << 20, jnp.float32)
+    )
+    x0 = (np.asarray(lr[0], np.float64)
+          + 1j * np.asarray(li[0], np.float64))
+    want = np.fft.ifft(np.fft.fft(x0) * hmask.astype(np.float64))
+    got = np.asarray(zr[0], np.float64) + 1j * np.asarray(zi[0], np.float64)
+    check("spectral_filter_large 1M", snr(got, want))
+
     failed = [r for r in results if not r[2]]
     print(f"\n{len(results) - len(failed)}/{len(results)} paths PASS")
     sys.exit(1 if failed else 0)
