@@ -146,10 +146,17 @@ def _large_fft_candidates(n: int):
                 fft_split_large,
                 supported_large,
             )
+            from fftlab.kernels.threestep_vmem import (
+                fft_split_huge,
+                supported_huge,
+            )
 
             if supported_large(n):
                 cands.append(((lambda a, b: fft_split_large(a, b)),
                               "fourstep_vmem"))
+            if supported_huge(n):
+                cands.append(((lambda a, b: fft_split_huge(a, b)),
+                              "threestep_vmem"))
         except ImportError:
             pass
     from fftlab.algos.split_stockham import fft_split

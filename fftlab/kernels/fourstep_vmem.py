@@ -1,4 +1,4 @@
-"""Two-pass four-step FFT for large n (0.25M..64M): the round-2 fast path.
+"""Two-pass four-step FFT for large n (2^18..2^22): the round-2 fast path.
 
 The XLA einsum pipeline (algos/split_stockham.py) makes ~6 HBM passes
 at n=1M (3 stage matmuls + 2 twiddle passes + the digit-reversal
@@ -50,7 +50,12 @@ LANES = 128
 _P = jax.lax.Precision.HIGHEST
 
 MIN_N = 1 << 18       # below this the einsum/fft_vmem paths win
-MAX_N = 1 << 26       # L1, L2 <= 8192 keeps slabs + tables in VMEM
+# Per-pass VMEM budget bounds the sides: a pass holds in+out+twiddle
+# slabs x 2 planes x Pallas double-buffering = 12 slabs of L*128*4 B.
+# L = 2048 -> 12 MB (fits); L = 4096 -> 24 MB (compile fails with the
+# remote service's HTTP 500). So n caps at 2048 * 2048 = 2^22; larger
+# sizes route to the einsum path until a 3-pass scheme lands.
+MAX_N = 1 << 22
 
 
 def supported_large(n: int) -> bool:
@@ -275,7 +280,7 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None):
     inverse is the same two-pass kernel with conjugated tables. The XLA
     einsum sandwich costs ~12 passes at these sizes.
 
-    xr, xi: [..., n] split planes (n = 2^18..2^26 pow2).
+    xr, xi: [..., n] split planes (n = 2^18..2^22 pow2).
     hr, hi: the length-n frequency response H[k], natural bin order.
     Equivalent numerics: ifft(fft(x) * H) with 1/n scaling
     (SURVEY.md §3.4 sandwich; fft_filtering.c:111-132 semantics)."""
@@ -307,7 +312,7 @@ def fft_split_large(xr, xi, direction=FORWARD,
     """Batched large-n FFT on split planes via the two-pass VMEM kernel.
 
     xr, xi: float32 [B, n] (or [..., n]; batch dims are flattened),
-    n = 2^18..2^26 pow2. Forward unscaled / inverse 1/n (reference
+    n = 2^18..2^22 pow2 (see MAX_N note). Forward unscaled / inverse 1/n (reference
     convention, radix2_dit.c:115-119). Natural-order output.
     """
     if interpret is None:

@@ -1,0 +1,216 @@
+"""Three-pass FFT for huge n (2^23..2^26): the 16M-class fast path.
+
+The two-pass kernel (kernels/fourstep_vmem.py) caps at n = 2^22 because
+a pass's VMEM slabs scale with the side length. This module factors
+n = F1*F2*F3 (each side <= 2048, slabs stay small) and runs THREE
+passes, each structurally identical to the two-pass kernel's passes:
+
+  pass 1  view (B, F1, F2*F3): column FFT over j1 (strided 128-lane
+          slabs), fused twiddle W_n^{k1*j23}       -> [b, k1, j2, j3]
+  pass 2  view (B*F1, F2, F3): column FFT over j2, fused twiddle
+          W_{F2*F3}^{k2*j3}, OUTPUT WRITTEN THROUGH A TRANSPOSED VIEW
+          (B, F2, F1*F3) so the (k1, k2) axes swap at block granularity
+          during the store                        -> [b, k2, k1, j3]
+  pass 3  view (B*F2*F1, F3): contiguous row slabs, in-VMEM transpose,
+          column FFT over j3                      -> [b, k3, k2, k1]
+
+[b, k3, k2, k1] flattens to the NATURAL spectrum (mixed-radix DIT index
+k = k1 + F1*k2 + F1*F2*k3) — zero XLA fixup passes, exactly like the
+two-pass kernel. Total HBM traffic: 3 passes + the pass-1 twiddle table
+read (amortized over the batch by grid ordering).
+
+The in-VMEM column FFTs and the natural-order-by-contraction trick are
+shared with kernels/fourstep_vmem.py (_col_fft_vmem). Reference anchor:
+parallel_fft.c:213-272 (the four-step this generalizes to three levels).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
+from fftlab.kernels.fourstep_vmem import (
+    _col_fft_tables,
+    _col_fft_vmem,
+    _split_factors,
+)
+
+LANES = 128
+
+MIN_N3 = 1 << 23
+MAX_N3 = 1 << 26
+
+
+def supported_huge(n: int) -> bool:
+    return is_power_of_two(n) and MIN_N3 <= n <= MAX_N3
+
+
+def _split_three(n: int) -> tuple[int, int, int]:
+    """n = F1*F2*F3, pow2 sides <= 2048, F3 >= 128, F1*F2 >= 128."""
+    e = log2_int(n)
+    e3 = max((e + 2) // 3, 7)
+    e1 = (e - e3) // 2
+    e2 = e - e3 - e1
+    return 1 << e1, 1 << e2, 1 << e3
+
+
+def _tw_np(rows: int, cols: int, n: int, direction: Direction) -> np.ndarray:
+    """W_n^{r*c} as (rows, cols) float64."""
+    r = np.arange(rows, dtype=np.int64).reshape(rows, 1)
+    c = np.arange(cols, dtype=np.int64).reshape(1, cols)
+    return np.exp(2j * np.pi * float(int(direction)) * ((r * c) % n) / n)
+
+
+def _pass_col_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                     bigr_ref, bigi_ref, or_ref, oi_ref, *, fa, fb):
+    """Column FFT over the sublane axis + fused elementwise twiddle."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
+    wr = bigr_ref[0]
+    wi = bigi_ref[0]
+    or_ref[0] = yr * wr - yi * wi
+    oi_ref[0] = yr * wi + yi * wr
+
+
+def _pass_row_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                     or_ref, oi_ref, *, fa, fb):
+    """Contiguous row slab -> in-VMEM transpose -> column FFT."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    xr = jnp.transpose(xr_ref[...], (1, 0))
+    xi = jnp.transpose(xi_ref[...], (1, 0))
+    yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+@functools.partial(jax.jit, static_argnames=("direction", "interpret"))
+def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool):
+    B, n = xr.shape
+    F1, F2, F3 = _split_three(n)
+    C23 = (F2 * F3) // LANES
+    C3 = F3 // LANES
+    Q = (B * F1 * F2) // LANES  # pass-3 row-slab count
+    fa1, fb1 = _split_factors(F1)
+    fa2, fb2 = _split_factors(F2)
+    fa3, fb3 = _split_factors(F3)
+    tabs1 = _col_fft_tables(F1, direction)
+    tabs2 = _col_fft_tables(F2, direction)
+    tabs3 = _col_fft_tables(F3, direction)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    # ---- pass 1: (B, F1, F2*F3), fused W_n^{k1*j23} --------------------
+    tw1 = _tw_np(F1, F2 * F3, n, direction)
+    T1r = jnp.asarray(tw1.real.astype(np.float32)).reshape(1, F1, F2 * F3)
+    T1i = jnp.asarray(tw1.imag.astype(np.float32)).reshape(1, F1, F2 * F3)
+    x3r = xr.reshape(B, F1, F2 * F3)
+    x3i = xi.reshape(B, F1, F2 * F3)
+    col1 = pl.BlockSpec((1, F1, LANES), lambda c, b: (b, 0, c),
+                        memory_space=pltpu.VMEM)
+    tw1b = pl.BlockSpec((1, F1, LANES), lambda c, b: (0, 0, c),
+                        memory_space=pltpu.VMEM)
+    m1r, m1i = pl.pallas_call(
+        functools.partial(_pass_col_kernel, fa=fa1, fb=fb1),
+        grid=(C23, B),
+        in_specs=[col1, col1] + [const] * 6 + [tw1b, tw1b],
+        out_specs=(col1, col1),
+        out_shape=(jax.ShapeDtypeStruct((B, F1, F2 * F3), xr.dtype),) * 2,
+        interpret=interpret,
+    )(x3r, x3i, *tabs1, T1r, T1i)
+
+    # ---- pass 2: (B*F1, F2, F3), fused W_{F2F3}^{k2*j3}, transposed
+    # store into (B, F2, F1*F3): the (k1, k2) swap costs nothing --------
+    tw2 = _tw_np(F2, F3, F2 * F3, direction)
+    T2r = jnp.asarray(tw2.real.astype(np.float32)).reshape(1, F2, F3)
+    T2i = jnp.asarray(tw2.imag.astype(np.float32)).reshape(1, F2, F3)
+    in2r = m1r.reshape(B * F1, 1, F2, F3)
+    in2i = m1i.reshape(B * F1, 1, F2, F3)
+    col2 = pl.BlockSpec((1, 1, F2, LANES), lambda c, g: (g, 0, 0, c),
+                        memory_space=pltpu.VMEM)
+    tw2b = pl.BlockSpec((1, F2, LANES), lambda c, g: (0, 0, c),
+                        memory_space=pltpu.VMEM)
+    # out view (B, F2, F1*F3); block lane-offset = k1*C3 + c
+    out2 = pl.BlockSpec(
+        (1, F2, LANES),
+        lambda c, g: (g // F1, 0, (g % F1) * C3 + c),
+        memory_space=pltpu.VMEM,
+    )
+    m2r, m2i = pl.pallas_call(
+        functools.partial(_pass2t_kernel, fa=fa2, fb=fb2),
+        grid=(C3, B * F1),
+        in_specs=[col2, col2] + [const] * 6 + [tw2b, tw2b],
+        out_specs=(out2, out2),
+        out_shape=(jax.ShapeDtypeStruct((B, F2, F1 * F3), xr.dtype),) * 2,
+        interpret=interpret,
+    )(in2r, in2i, *tabs2, T2r, T2i)
+
+    # ---- pass 3: (B*F2*F1, F3) rows -> transpose -> FFT over j3 --------
+    in3r = m2r.reshape(B * F2 * F1, F3)
+    in3i = m2i.reshape(B * F2 * F1, F3)
+    row3 = pl.BlockSpec((LANES, F3), lambda q: (q, 0),
+                        memory_space=pltpu.VMEM)
+    # out view (B, F3, F2*F1): combo q covers 128 (k2, k1) pairs
+    P = (F2 * F1) // LANES
+    out3 = pl.BlockSpec(
+        (1, F3, LANES),
+        lambda q: (q // P, 0, q % P),
+        memory_space=pltpu.VMEM,
+    )
+    yr, yi = pl.pallas_call(
+        functools.partial(_pass_row_kernel, fa=fa3, fb=fb3),
+        grid=(Q,),
+        in_specs=[row3, row3] + [const] * 6,
+        out_specs=(out3, out3),
+        out_shape=(jax.ShapeDtypeStruct((B, F3, F2 * F1), xr.dtype),) * 2,
+        interpret=interpret,
+    )(in3r, in3i, *tabs3)
+
+    yr = yr.reshape(B, n)
+    yi = yi.reshape(B, n)
+    if direction == Direction.INVERSE:
+        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+        return yr * s, yi * s
+    return yr, yi
+
+
+def _pass2t_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                   bigr_ref, bigi_ref, or_ref, oi_ref, *, fa, fb):
+    """Pass-2 body: column FFT + twiddle; the transposed placement is
+    done by the out BlockSpec index map, not in-kernel."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    yr, yi = _col_fft_vmem(xr_ref[0, 0], xi_ref[0, 0], tabs, fa, fb)
+    wr = bigr_ref[0]
+    wi = bigi_ref[0]
+    or_ref[0] = yr * wr - yi * wi
+    oi_ref[0] = yr * wi + yi * wr
+
+
+def fft_split_huge(xr, xi, direction=FORWARD,
+                   interpret: bool | None = None):
+    """Batched huge-n FFT on split planes via the three-pass kernel.
+
+    xr, xi: float32 [..., n], n = 2^23..2^26 pow2. Forward unscaled /
+    inverse 1/n. Natural-order output."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_huge(n):
+        raise ValueError(
+            f"fft_split_huge supports pow2 n in [{MIN_N3}, {MAX_N3}]; got {n}"
+        )
+    batch = xr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= int(d)
+    yr, yi = _fft_huge_impl(
+        xr.reshape(B, n), xi.reshape(B, n),
+        direction=Direction(int(direction)), interpret=bool(interpret),
+    )
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)

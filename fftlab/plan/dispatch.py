@@ -10,8 +10,9 @@ fft_auto.c:55-93 + :136-172, actually consumed.
 Routes (split re/im planes, [..., n] batch-first):
 
   pallas_vmem      one-residency kernel, TPU, n = m*128 (m 8..128 pow2)
-  fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^18..2^26
+  fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^18..2^22
                    (measured 4.24 GS/s vs einsum's 3.37 at 1M, r2)
+  threestep_vmem   three-pass huge-n kernel, TPU, pow2 n in 2^23..2^26
   pallas_pipeline  fused-stage pipeline for large pow2 n (multi-launch)
   einsum           the XLA MXU Stockham path (works everywhere)
 
@@ -27,7 +28,8 @@ import os
 
 from fftlab.plan.hardware import detect_hardware
 
-ROUTES = ("pallas_vmem", "fourstep_vmem", "pallas_pipeline", "einsum")
+ROUTES = ("pallas_vmem", "fourstep_vmem", "threestep_vmem",
+          "pallas_pipeline", "einsum")
 
 # Measured on the v5e (docs/performance.md): the one-residency kernel
 # beats the einsum path from 8K up; at 4K multi-row blocking makes it
@@ -52,6 +54,10 @@ def select_split_impl(n: int, batch: int = 1) -> str:
         return "pallas_vmem"
     if supported_large(n):
         return "fourstep_vmem"
+    from fftlab.kernels.threestep_vmem import supported_huge
+
+    if supported_huge(n):
+        return "threestep_vmem"
     return "einsum"
 
 
@@ -78,6 +84,10 @@ def fft_split_auto(xr, xi, direction=None):
         from fftlab.kernels.fourstep_vmem import fft_split_large
 
         return fft_split_large(xr, xi, direction)
+    if route == "threestep_vmem":
+        from fftlab.kernels.threestep_vmem import fft_split_huge
+
+        return fft_split_huge(xr, xi, direction)
     if route == "pallas_pipeline":
         from fftlab.kernels.stage_fused import fft_split_pipeline
         from fftlab.algos.stockham import plan_factors

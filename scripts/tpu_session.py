@@ -42,10 +42,18 @@ def log(rec: dict):
 
 _HX = jnp.ones((16, 1 << 20), jnp.float32)
 _HY = jnp.ones((16, 1 << 20), jnp.float32)
+_COUNTER = [0]  # monotonic: repeated i values would hit the backend's
+                # computation memoization and fake the timing
+
+
+def _next() -> int:
+    _COUNTER[0] += 1
+    return _COUNTER[0]
 
 
 def bandwidth() -> float:
-    mk = lambda i: (_HX + jnp.float32(i), _HY - jnp.float32(i))
+    mk = lambda i: (_HX + jnp.float32(_next() * 1e-3),
+                    _HY - jnp.float32(_next() * 1e-3))
     dt = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(4, 64),
                     repeats=2)
     return 2 * 2 * 4 * 16 * (1 << 20) / dt / 1e9
@@ -66,7 +74,11 @@ def measure(name, step, mk, total_samples, ks=(2, 10)):
     if bw < 0:
         log({"name": name, "error": "no healthy window"})
         return
-    ts = chain_time(step, mk, ks=ks, repeats=3, return_all=True)
+    try:
+        ts = chain_time(step, mk, ks=ks, repeats=3, return_all=True)
+    except Exception as e:
+        log({"name": name, "error": str(e)[:160]})
+        return
     lo, hi = min(ts), max(ts)
     dt = float(np.median(ts))
     rec = {"name": name, "ms": round(dt * 1e3, 3),
@@ -84,7 +96,7 @@ def main():
     B = 16
     xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
-    mk = lambda i: (xr + jnp.float32(1e-3 * i), xi - jnp.float32(1e-3 * i))
+    mk = lambda i: (xr + jnp.float32(1e-3 * _next()), xi - jnp.float32(1e-3 * _next()))
     scale = jnp.float32(1.0 / np.sqrt(n))
 
     import fftlab.kernels.fourstep_vmem as fv
@@ -126,14 +138,24 @@ def main():
     k1, k2 = jax.random.split(jax.random.key(1))
     sr = jax.random.normal(k1, (1, n16), jnp.float32)
     si = jax.random.normal(k2, (1, n16), jnp.float32)
-    mk16 = lambda i: (sr + jnp.float32(1e-3 * i), si - jnp.float32(1e-3 * i))
+    mk16 = lambda i: (sr + jnp.float32(1e-3 * _next()), si - jnp.float32(1e-3 * _next()))
     s16 = jnp.float32(1.0 / np.sqrt(n16))
 
-    def step_fs16(a, b):
-        yr, yi = fv.fft_split_large(a, b)
-        return yr * s16, yi * s16
+    # (fs kernel caps at 2^22 — the 16M single runs einsum; a 4M batched
+    # kernel point covers the large-kernel scaling instead)
+    n4 = 1 << 22
+    k3, k4 = jax.random.split(jax.random.key(2))
+    fr4 = jax.random.normal(k3, (4, n4), jnp.float32)
+    fi4 = jax.random.normal(k4, (4, n4), jnp.float32)
+    mk4 = lambda i: (fr4 + jnp.float32(1e-3 * _next()),
+                     fi4 - jnp.float32(1e-3 * _next()))
+    s4 = jnp.float32(1.0 / np.sqrt(n4))
 
-    measure("fs_16m", step_fs16, mk16, n16, ks=(2, 8))
+    def step_fs4(a, b):
+        yr, yi = fv.fft_split_large(a, b)
+        return yr * s4, yi * s4
+
+    measure("fs_4m_batch4", step_fs4, mk4, 4 * n4, ks=(2, 8))
 
     def step_e16(a, b):
         yr, yi = fft_split(a, b)
@@ -149,7 +171,7 @@ def main():
         ka, kb = jax.random.split(jax.random.key(nn))
         ar = jax.random.normal(ka, (BB, nn), jnp.float32)
         ai = jax.random.normal(kb, (BB, nn), jnp.float32)
-        mkx = lambda i: (ar + jnp.float32(1e-3 * i), ai - jnp.float32(1e-3 * i))
+        mkx = lambda i: (ar + jnp.float32(1e-3 * _next()), ai - jnp.float32(1e-3 * _next()))
         sc = jnp.float32(1.0 / np.sqrt(nn))
 
         def step_v(a, b):

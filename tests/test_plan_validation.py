@@ -139,7 +139,8 @@ class TestCapsDispatch:
         assert select_split_impl(16384) == "pallas_vmem"
         # large pow2 sizes route to the two-pass kernel
         assert select_split_impl(1 << 20) == "fourstep_vmem"
-        assert select_split_impl(1 << 24) == "fourstep_vmem"
+        assert select_split_impl(1 << 22) == "fourstep_vmem"
+        assert select_split_impl(1 << 24) == "threestep_vmem"
         # below the measured crossover and unsupported sizes -> einsum
         assert select_split_impl(4096) == "einsum"
         assert select_split_impl(1000) == "einsum"

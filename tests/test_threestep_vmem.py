@@ -1,0 +1,51 @@
+"""Three-pass huge-n kernel (kernels/threestep_vmem.py), interpret mode."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fftlab.core.types import Direction
+from fftlab.kernels.threestep_vmem import (
+    fft_split_huge,
+    supported_huge,
+)
+
+
+def _snr(got, want):
+    return 10 * np.log10(
+        np.sum(np.abs(want) ** 2)
+        / max(np.sum(np.abs(got - want) ** 2), 1e-300)
+    )
+
+
+class TestThreestep:
+    def test_matches_numpy_2e23(self):
+        n = 1 << 23
+        rng = np.random.default_rng(23)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_huge(xr, xi, interpret=True)
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 115.0
+
+    def test_inverse_roundtrip(self):
+        n = 1 << 23
+        rng = np.random.default_rng(5)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_huge(xr, xi, interpret=True)
+        br, bi = fft_split_huge(yr, yi, Direction.INVERSE, interpret=True)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(xr), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(xi), atol=1e-3)
+
+    def test_supported_range(self):
+        assert supported_huge(1 << 23) and supported_huge(1 << 26)
+        assert not supported_huge(1 << 22)
+        assert not supported_huge(1 << 27)
+        with pytest.raises(ValueError):
+            fft_split_huge(jnp.zeros((1, 1 << 20), jnp.float32),
+                           jnp.zeros((1, 1 << 20), jnp.float32),
+                           interpret=True)
