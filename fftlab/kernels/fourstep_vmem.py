@@ -354,3 +354,37 @@ def rfft_split_large(x, interpret: bool | None = None):
     return rfft_split(
         x, cfft=lambda a, b: fft_split_large(a, b, interpret=interpret)
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiability: custom VJP (Pallas kernels are not traced by AD).
+# The DFT is linear; the adjoint of the unscaled forward is the unscaled
+# opposite-direction transform (same pattern as kernels/fft_vmem.py).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fft_split_large_ad(xr, xi, direction=FORWARD,
+                       interpret: bool | None = None):
+    """`fft_split_large` with a custom VJP (differentiable)."""
+    return fft_split_large(xr, xi, direction, interpret)
+
+
+def _large_ad_fwd(xr, xi, direction, interpret):
+    return fft_split_large(xr, xi, direction, interpret), None
+
+
+def _large_ad_bwd(direction, interpret, _, g):
+    gr, gi = g
+    n = int(gr.shape[-1])
+    d = Direction(int(direction))
+    opp = Direction(-int(d))
+    br, bi = fft_split_large(gr, gi, opp, interpret)
+    if opp == Direction.INVERSE:
+        s = jnp.asarray(float(n), dtype=br.dtype)
+    else:
+        s = jnp.asarray(1.0 / n, dtype=br.dtype)
+    return br * s, bi * s
+
+
+fft_split_large_ad.defvjp(_large_ad_fwd, _large_ad_bwd)

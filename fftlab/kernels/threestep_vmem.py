@@ -214,3 +214,33 @@ def fft_split_huge(xr, xi, direction=FORWARD,
         direction=Direction(int(direction)), interpret=bool(interpret),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+# Differentiability (same adjoint structure as fourstep_vmem).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fft_split_huge_ad(xr, xi, direction=FORWARD,
+                      interpret: bool | None = None):
+    """`fft_split_huge` with a custom VJP (differentiable)."""
+    return fft_split_huge(xr, xi, direction, interpret)
+
+
+def _huge_ad_fwd(xr, xi, direction, interpret):
+    return fft_split_huge(xr, xi, direction, interpret), None
+
+
+def _huge_ad_bwd(direction, interpret, _, g):
+    gr, gi = g
+    n = int(gr.shape[-1])
+    d = Direction(int(direction))
+    opp = Direction(-int(d))
+    br, bi = fft_split_huge(gr, gi, opp, interpret)
+    if opp == Direction.INVERSE:
+        s = jnp.asarray(float(n), dtype=br.dtype)
+    else:
+        s = jnp.asarray(1.0 / n, dtype=br.dtype)
+    return br * s, bi * s
+
+
+fft_split_huge_ad.defvjp(_huge_ad_fwd, _huge_ad_bwd)

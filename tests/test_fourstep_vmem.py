@@ -120,3 +120,29 @@ class TestRfftLarge:
         with pytest.raises(ValueError):
             rfft_split_large(jnp.zeros((1, 1 << 17), jnp.float32),
                              interpret=True)
+
+
+class TestLargeAD:
+    def test_vjp_matches_linearity(self):
+        import jax
+        from fftlab.kernels.fourstep_vmem import fft_split_large_ad
+
+        n = 1 << 18
+        rng = np.random.default_rng(42)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+
+        def loss(a, b):
+            yr, yi = fft_split_large_ad(a, b, interpret=True)
+            return jnp.sum(yr[..., :64]) + jnp.sum(yi[..., :64])
+
+        gr, gi = jax.grad(loss, argnums=(0, 1))(xr, xi)
+        # For a linear map, grad = adjoint applied to the cotangent:
+        # d(sum of first 64 output bins)/dx = sum of first 64 DFT rows.
+        k = np.arange(64).reshape(-1, 1)
+        j = np.arange(n).reshape(1, -1)
+        W = np.exp(-2j * np.pi * k * j / n)
+        want_r = (W.real.sum(0) + W.imag.sum(0))
+        np.testing.assert_allclose(np.asarray(gr[0])[:256],
+                                   want_r[:256].astype(np.float32),
+                                   atol=2e-2)
