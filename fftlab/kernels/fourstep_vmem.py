@@ -171,14 +171,35 @@ def _big_twiddle_np(L1: int, L2: int, direction: Direction) -> np.ndarray:
     return np.exp(2j * np.pi * float(int(direction)) * (k1 * j2 % n) / n)
 
 
+def _blk_width(L: int) -> int:
+    """Lane-block width for a pass over side L: wider = bigger DMA
+    bursts (strided 512 B bursts are a candidate for the gap to the
+    2-pass roofline floor), but every doubling doubles the VMEM slab
+    budget (6 slabs x L*W*4 B, double-buffered, + kernel temporaries).
+    Default keeps the compile-proven 128 for L >= 1024; growing is a
+    device-tuning knob via FFTLAB_FS_WIDTH."""
+    import os
+
+    forced = os.environ.get("FFTLAB_FS_WIDTH")
+    if forced:
+        w = int(forced)
+        if w % LANES or w > L:
+            raise ValueError(f"FFTLAB_FS_WIDTH={w} must be a multiple of "
+                             f"{LANES} and <= side {L}")
+        return w
+    return 256 if L <= 512 else LANES
+
+
 def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None):
     """The two pallas launches of one transform. `h2` (pair of (1, L2, L1)
     natural-order response planes) fuses a spectral multiply into pass 2's
     epilogue for zero extra passes. Returns (B, n) unscaled."""
     B, n = xr.shape
     L1, L2 = _split_sides(n)
-    C2 = L2 // LANES
-    G1 = L1 // LANES
+    W1 = _blk_width(L1)
+    R2 = _blk_width(L2)
+    C2 = L2 // W1
+    G1 = L1 // R2
     fa1, fb1 = _split_factors(L1)
     fa2, fb2 = _split_factors(L2)
     tabs1 = _col_fft_tables(L1, direction)
@@ -190,12 +211,12 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None):
     x3r = xr.reshape(B, L1, L2)
     x3i = xi.reshape(B, L1, L2)
 
-    # Block = [one b, all L1 sublanes, one 128-lane j2 chunk]. Mosaic
+    # Block = [one b, all L1 sublanes, one W1-lane j2 chunk]. Mosaic
     # requires the last two BLOCK dims divisible by (8, 128) or equal to
-    # the array dims — (L1, 128) on a (B, L1, L2) array satisfies both.
-    col_blk = pl.BlockSpec((1, L1, LANES), lambda c, b: (b, 0, c),
+    # the array dims — (L1, W1) on a (B, L1, L2) array satisfies both.
+    col_blk = pl.BlockSpec((1, L1, W1), lambda c, b: (b, 0, c),
                            memory_space=pltpu.VMEM)
-    tw_blk = pl.BlockSpec((1, L1, LANES), lambda c, b: (0, 0, c),
+    tw_blk = pl.BlockSpec((1, L1, W1), lambda c, b: (0, 0, c),
                           memory_space=pltpu.VMEM)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     # grid (C2, B): b innermost, so the twiddle block is re-fetched only
@@ -218,11 +239,11 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None):
     )(x3r, x3i, *tabs1, Twr, Twi)
 
     # pass 2: rows of the (L1, L2) matrix -> final (B, L2, L1)
-    row_blk = pl.BlockSpec((1, LANES, L2), lambda g, b: (b, g, 0),
+    row_blk = pl.BlockSpec((1, R2, L2), lambda g, b: (b, g, 0),
                            memory_space=pltpu.VMEM)
-    out_blk = pl.BlockSpec((1, L2, LANES), lambda g, b: (b, 0, g),
+    out_blk = pl.BlockSpec((1, L2, R2), lambda g, b: (b, 0, g),
                            memory_space=pltpu.VMEM)
-    h_blk = pl.BlockSpec((1, L2, LANES), lambda g, b: (0, 0, g),
+    h_blk = pl.BlockSpec((1, L2, R2), lambda g, b: (0, 0, g),
                          memory_space=pltpu.VMEM)
     if h2 is None:
         kern = functools.partial(_pass2_kernel, fa=fa2, fb=fb2)
