@@ -190,14 +190,15 @@ def _blk_width(L: int) -> int:
     return 256 if L <= 512 else LANES
 
 
-def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None):
+def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
+              width=None):
     """The two pallas launches of one transform. `h2` (pair of (1, L2, L1)
     natural-order response planes) fuses a spectral multiply into pass 2's
     epilogue for zero extra passes. Returns (B, n) unscaled."""
     B, n = xr.shape
     L1, L2 = _split_sides(n)
-    W1 = _blk_width(L1)
-    R2 = _blk_width(L2)
+    W1 = width or _blk_width(L1)
+    R2 = width or _blk_width(L2)
     C2 = L2 // W1
     G1 = L1 // R2
     fa1, fb1 = _split_factors(L1)
@@ -274,11 +275,12 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("direction", "interpret")
+    jax.jit, static_argnames=("direction", "interpret", "width")
 )
-def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool):
+def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool,
+                    width=None):
     n = int(xr.shape[-1])
-    yr, yi = _two_pass(xr, xi, direction, interpret)
+    yr, yi = _two_pass(xr, xi, direction, interpret, width=width)
     if direction == Direction.INVERSE:
         s = jnp.asarray(1.0 / n, dtype=yr.dtype)
         return yr * s, yi * s
@@ -329,7 +331,7 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None):
 
 
 def fft_split_large(xr, xi, direction=FORWARD,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None, width: int | None = None):
     """Batched large-n FFT on split planes via the two-pass VMEM kernel.
 
     xr, xi: float32 [B, n] (or [..., n]; batch dims are flattened),
@@ -352,6 +354,7 @@ def fft_split_large(xr, xi, direction=FORWARD,
     yr, yi = _fft_large_impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
+        width=width,
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

@@ -111,6 +111,12 @@ def main():
 
     measure("fs_base_1m", step_fs, mk, B * n)
 
+    def step_fs_w256(a, b):
+        yr, yi = fv.fft_split_large(a, b, width=256)
+        return yr * scale, yi * scale
+
+    measure("fs_w256_1m", step_fs_w256, mk, B * n)
+
     fv._split_factors = lambda L: (min(128, L), L // min(128, L))
     measure("fs_fa128_1m", step_fs, mk, B * n)
     fv._split_factors = lambda L: (64, L // 64)
@@ -156,6 +162,14 @@ def main():
         return yr * s4, yi * s4
 
     measure("fs_4m_batch4", step_fs4, mk4, 4 * n4, ks=(2, 8))
+
+    from fftlab.kernels.threestep_vmem import fft_split_huge
+
+    def step_h16(a, b):
+        yr, yi = fft_split_huge(a, b)
+        return yr * s16, yi * s16
+
+    measure("threestep_16m", step_h16, mk16, n16, ks=(2, 8))
 
     def step_e16(a, b):
         yr, yi = fft_split(a, b)

@@ -131,6 +131,17 @@ def main():
     got = np.asarray(zr[0], np.float64) + 1j * np.asarray(zi[0], np.float64)
     check("spectral_filter_large 1M", snr(got, want))
 
+    # 9. Three-pass huge-n kernel
+    from fftlab.kernels.threestep_vmem import fft_split_huge
+
+    hr9 = jnp.asarray(rng.standard_normal((1, 1 << 23)), jnp.float32)
+    hi9 = jnp.asarray(rng.standard_normal((1, 1 << 23)), jnp.float32)
+    yr, yi = fft_split_huge(hr9, hi9)
+    got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0], np.float64)
+    want = np.fft.fft(np.asarray(hr9[0], np.float64)
+                      + 1j * np.asarray(hi9[0], np.float64))
+    check("threestep_vmem 8M", snr(got, want))
+
     failed = [r for r in results if not r[2]]
     print(f"\n{len(results) - len(failed)}/{len(results)} paths PASS")
     sys.exit(1 if failed else 0)
