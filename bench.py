@@ -292,16 +292,28 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
 
 
 def main() -> None:
+    import os
+    import time as _time
+
     import jax
     import jax.numpy as jnp
+
+    t_start = _time.time()
+    # Hard self-budget: the driver must get its ONE JSON line even if
+    # the tunneled service is congested (compiles can take minutes
+    # each); remaining sub-benches are skipped once the budget is spent.
+    budget_s = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "2400"))
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     detail: dict = {"platform": platform}
 
-    bw = bench_bandwidth(jnp, on_tpu)
+    try:
+        bw = bench_bandwidth(jnp, on_tpu)
+    except Exception as e:
+        bw = {"error": str(e)[:160]}
     detail["bandwidth"] = bw
-    bw_gbps = bw.get("gbps", 285.0)
+    bw_gbps = bw.get("gbps") or 285.0
 
     for name, f in (
         ("fft_1m_batched", lambda: bench_fft_1m(jax, jnp, on_tpu, bw_gbps)),
@@ -309,10 +321,14 @@ def main() -> None:
         ("serving_filter", lambda: bench_serving_filter(jax, jnp, on_tpu)),
         ("stft", lambda: bench_stft(jax, jnp, on_tpu)),
     ):
+        if _time.time() - t_start > budget_s:
+            detail[name] = {"error": "skipped: bench time budget spent"}
+            continue
         try:
             detail[name] = f()
         except Exception as e:
             detail[name] = {"error": str(e)[:160]}
+    detail["wall_s"] = round(_time.time() - t_start, 1)
 
     head = detail.get("fft_1m_batched", {})
     gsps = head.get("gsps", 0.0)
