@@ -14,9 +14,15 @@ This is the direct TPU translation of the reference's hot loop
 pipeline, and 128 transforms wide per program.
 
 Output rows are BIT-REVERSED (DIF); `vpu_fft_columns` un-permutes with
-one XLA row-gather unless `bitrev_out=True` (pipelines that fuse a
-pointwise stage — four-step twiddles, spectral filters — should consume
-the bit-reversed layout directly and skip the gather).
+one XLA row-gather unless `bitrev_out=True`.
+
+STATUS (round 2): interpret-verified but Mosaic hangs on the
+reshape/concat stage structure, and probe work (scripts/probe_mosaic.py)
+showed lane-axis `pltpu.roll` also hangs on this backend. The
+speed-of-light role this kernel was designed for is now filled by the
+MXU-contraction two-pass kernel (kernels/fourstep_vmem.py), which
+compiles on hardware and beats the einsum path; this module remains as
+the VPU-butterfly reference formulation.
 
 Layout contract: x (B, L, 128) float32 — L the transform length
 (pow2, 64..8192), lanes = 128 independent signals.
