@@ -181,3 +181,47 @@ def convolve2d(img, kernel, cfft=None):
     Y = fft2(pad2(img), Direction.FORWARD, cfft) * fft2(pad2(kernel), Direction.FORWARD, cfft)
     y = fft2(Y, Direction.INVERSE, cfft)[..., :r, :c]
     return jnp.real(y) if was_real else y
+
+
+def fft_convolution_split(xr, xi, h):
+    """Linear convolution on split re/im planes (the TPU serving path;
+    convolution.c:34-68 semantics — zero-pad to pow2, FFT, pointwise,
+    IFFT, truncate). Returns (yr, yi) of length nx + nh - 1.
+
+    For padded sizes the two-pass kernel supports, the whole sandwich
+    runs as kernels/fourstep_vmem.spectral_filter_large (4 HBM passes);
+    otherwise the fused zero-transpose einsum sandwich.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fftlab.algos.split_stockham import (
+        spectral_filter_split_fused,
+        stockham_fft_split_unscaled,
+    )
+    from fftlab.core.types import Direction, next_power_of_two
+
+    xr = jnp.asarray(xr, jnp.float32)
+    xi = jnp.asarray(xi, jnp.float32)
+    h = jnp.asarray(h, jnp.float32)
+    nx, nh = int(xr.shape[-1]), int(h.shape[-1])
+    out_len = nx + nh - 1
+    m = next_power_of_two(out_len)
+    pad = [(0, 0)] * (xr.ndim - 1) + [(0, m - nx)]
+    xpr = jnp.pad(xr, pad)
+    xpi = jnp.pad(xi, pad)
+    hp = jnp.pad(h, (0, m - nh))
+    Hr, Hi = stockham_fft_split_unscaled(
+        hp, jnp.zeros_like(hp), Direction.FORWARD
+    )
+
+    from fftlab.kernels.fourstep_vmem import (
+        spectral_filter_large,
+        supported_large,
+    )
+
+    if jax.default_backend() == "tpu" and supported_large(m):
+        yr, yi = spectral_filter_large(xpr, xpi, Hr, Hi)
+    else:
+        yr, yi = spectral_filter_split_fused(xpr, xpi, Hr, Hi)
+    return yr[..., :out_len], yi[..., :out_len]

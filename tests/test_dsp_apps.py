@@ -282,3 +282,34 @@ class TestSplitAnalysis:
         np.testing.assert_allclose(f1, f2)
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
                                    rtol=1e-4, atol=1e-8)
+
+
+class TestConvolutionSplit:
+    def test_linear_convolution_matches_numpy(self):
+        import jax.numpy as jnp
+        from fftlab.dsp.convolution import fft_convolution_split
+
+        rng = np.random.default_rng(77)
+        x = rng.standard_normal(5000).astype(np.float32)
+        h = rng.standard_normal(129).astype(np.float32)
+        yr, yi = fft_convolution_split(
+            jnp.asarray(x), jnp.zeros(5000, jnp.float32), jnp.asarray(h)
+        )
+        want = np.convolve(x.astype(np.float64), h.astype(np.float64))
+        assert yr.shape[-1] == 5000 + 129 - 1
+        np.testing.assert_allclose(np.asarray(yr), want, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(yi), 0.0, atol=5e-3)
+
+    def test_complex_signal(self):
+        import jax.numpy as jnp
+        from fftlab.dsp.convolution import fft_convolution_split
+
+        rng = np.random.default_rng(78)
+        xr = rng.standard_normal(777).astype(np.float32)
+        xi = rng.standard_normal(777).astype(np.float32)
+        h = rng.standard_normal(33).astype(np.float32)
+        yr, yi = fft_convolution_split(jnp.asarray(xr), jnp.asarray(xi),
+                                       jnp.asarray(h))
+        want = np.convolve(xr + 1j * xi, h.astype(np.float64))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, want, atol=5e-3)
