@@ -322,10 +322,23 @@ def main() -> None:
     on_tpu = platform == "tpu"
     detail: dict = {"platform": platform}
 
-    try:
-        bw = bench_bandwidth(jnp, on_tpu)
-    except Exception as e:
-        bw = {"error": str(e)[:160]}
+    # Pre-flight: the tunneled service has congestion windows where any
+    # timing is garbage. Wait (bounded) for effective bandwidth to look
+    # healthy before burning the budget on measurements.
+    wait_s = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "900"))
+    bw = {}
+    while True:
+        try:
+            bw = bench_bandwidth(jnp, on_tpu)
+        except Exception as e:
+            bw = {"error": str(e)[:160]}
+        g = bw.get("gbps") or 0.0
+        healthy = (not on_tpu) or (150.0 < g < 2000.0)
+        if healthy or _time.time() - t_start > wait_s:
+            bw["waited_s"] = round(_time.time() - t_start, 1)
+            bw["healthy"] = bool(healthy)
+            break
+        _time.sleep(30)
     detail["bandwidth"] = bw
     bw_gbps = bw.get("gbps") or 285.0
 
