@@ -126,12 +126,22 @@ def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int):
 
 
 def _pass1_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
-                  bigr_ref, bigi_ref, or_ref, oi_ref, *, fa, fb):
+                  ar_ref, ai_ref, pr_ref, pi_ref,
+                  or_ref, oi_ref, *, fa, fb):
+    """Column FFT + fused four-step twiddle in RANK-1 form:
+    W_n^{k1*(c*W + l)} = W_n^{k1*c*W} * W_n^{k1*l} = A_c[k1] * P[k1, l].
+    A arrives as a per-block (L1, 1) column (blocked (C2, L1, 1) spec —
+    bytes per block, not a full slab) and P is one fixed (L1, W) const,
+    so the twiddle costs ~zero HBM traffic and no VMEM slab — the
+    headroom goes to wider DMA bursts instead."""
     tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
     yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
-    # fused four-step twiddle W_n^{k1*j2} for this column chunk
-    wr = bigr_ref[0]
-    wi = bigi_ref[0]
+    ar = ar_ref[0]          # (L1, 1)
+    ai = ai_ref[0]
+    pr = pr_ref[...]        # (L1, W)
+    pi = pi_ref[...]
+    wr = ar * pr - ai * pi  # complex rank-1 product
+    wi = ar * pi + ai * pr
     or_ref[0] = yr * wr - yi * wi
     oi_ref[0] = yr * wi + yi * wr
 
@@ -171,6 +181,21 @@ def _big_twiddle_np(L1: int, L2: int, direction: Direction) -> np.ndarray:
     return np.exp(2j * np.pi * float(int(direction)) * (k1 * j2 % n) / n)
 
 
+def _rank1_twiddle_np(L1: int, L2: int, W: int, direction: Direction):
+    """The pass-1 twiddle W_n^{k1*j2} split along j2 = c*W + l:
+    A[c, k1] = W_n^{k1*c*W},  P[k1, l] = W_n^{k1*l}  (both float64).
+    Returns (A as (C, L1, 1), P as (L1, W))."""
+    n = L1 * L2
+    C = L2 // W
+    k1 = np.arange(L1, dtype=np.int64)
+    c = np.arange(C, dtype=np.int64)
+    l = np.arange(W, dtype=np.int64)
+    s = 2j * np.pi * float(int(direction)) / n
+    A = np.exp(s * ((c[:, None] * W * k1[None, :]) % n))  # (C, L1)
+    P = np.exp(s * ((k1[:, None] * l[None, :]) % n))      # (L1, W)
+    return A.reshape(C, L1, 1), P
+
+
 def _blk_width(L: int) -> int:
     """Lane-block width for a pass over side L: wider = bigger DMA
     bursts (strided 512 B bursts are a candidate for the gap to the
@@ -205,9 +230,11 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     fa2, fb2 = _split_factors(L2)
     tabs1 = _col_fft_tables(L1, direction)
     tabs2 = _col_fft_tables(L2, direction)
-    tw = _big_twiddle_np(L1, L2, direction)
-    Twr = jnp.asarray(tw.real.astype(np.float32)).reshape(1, L1, L2)
-    Twi = jnp.asarray(tw.imag.astype(np.float32)).reshape(1, L1, L2)
+    A, P = _rank1_twiddle_np(L1, L2, W1, direction)
+    Ar = jnp.asarray(A.real.astype(np.float32))
+    Ai = jnp.asarray(A.imag.astype(np.float32))
+    Pr = jnp.asarray(P.real.astype(np.float32))
+    Pi = jnp.asarray(P.imag.astype(np.float32))
 
     x3r = xr.reshape(B, L1, L2)
     x3i = xi.reshape(B, L1, L2)
@@ -217,15 +244,15 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     # the array dims — (L1, W1) on a (B, L1, L2) array satisfies both.
     col_blk = pl.BlockSpec((1, L1, W1), lambda c, b: (b, 0, c),
                            memory_space=pltpu.VMEM)
-    tw_blk = pl.BlockSpec((1, L1, W1), lambda c, b: (0, 0, c),
-                          memory_space=pltpu.VMEM)
+    # A: per-block (L1, 1) twiddle column (last block dim 1 == array dim)
+    a_blk = pl.BlockSpec((1, L1, 1), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.VMEM)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
-    # grid (C2, B): b innermost, so the twiddle block is re-fetched only
-    # when the column chunk changes — its HBM traffic amortizes over B.
     mr, mi = pl.pallas_call(
         functools.partial(_pass1_kernel, fa=fa1, fb=fb1),
         grid=(C2, B),
-        in_specs=[col_blk, col_blk] + [const] * 6 + [tw_blk, tw_blk],
+        in_specs=[col_blk, col_blk] + [const] * 6
+                 + [a_blk, a_blk, const, const],
         out_specs=(col_blk, col_blk),
         out_shape=(
             jax.ShapeDtypeStruct((B, L1, L2), xr.dtype),
@@ -234,10 +261,10 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
         cost_estimate=pl.CostEstimate(
             flops=8 * (fa1 + fb1) * L1 * LANES * B * C2,
             transcendentals=0,
-            bytes_accessed=(4 * 4 + 2 * 4) * n * B,
+            bytes_accessed=4 * 4 * n * B,
         ),
         interpret=interpret,
-    )(x3r, x3i, *tabs1, Twr, Twi)
+    )(x3r, x3i, *tabs1, Ar, Ai, Pr, Pi)
 
     # pass 2: rows of the (L1, L2) matrix -> final (B, L2, L1)
     row_blk = pl.BlockSpec((1, R2, L2), lambda g, b: (b, g, 0),

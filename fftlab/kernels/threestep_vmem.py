@@ -16,8 +16,9 @@ passes, each structurally identical to the two-pass kernel's passes:
 
 [b, k3, k2, k1] flattens to the NATURAL spectrum (mixed-radix DIT index
 k = k1 + F1*k2 + F1*F2*k3) — zero XLA fixup passes, exactly like the
-two-pass kernel. Total HBM traffic: 3 passes + the pass-1 twiddle table
-read (amortized over the batch by grid ordering).
+two-pass kernel. Total HBM traffic: 3 passes, full stop — the fused
+twiddles enter in rank-1 form (per-block column x fixed plane), so no
+twiddle table is ever streamed.
 
 The in-VMEM column FFTs and the natural-order-by-contraction trick are
 shared with kernels/fourstep_vmem.py (_col_fft_vmem). Reference anchor:
@@ -38,6 +39,7 @@ from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
 from fftlab.kernels.fourstep_vmem import (
     _col_fft_tables,
     _col_fft_vmem,
+    _rank1_twiddle_np,
     _split_factors,
 )
 
@@ -60,20 +62,20 @@ def _split_three(n: int) -> tuple[int, int, int]:
     return 1 << e1, 1 << e2, 1 << e3
 
 
-def _tw_np(rows: int, cols: int, n: int, direction: Direction) -> np.ndarray:
-    """W_n^{r*c} as (rows, cols) float64."""
-    r = np.arange(rows, dtype=np.int64).reshape(rows, 1)
-    c = np.arange(cols, dtype=np.int64).reshape(1, cols)
-    return np.exp(2j * np.pi * float(int(direction)) * ((r * c) % n) / n)
-
-
 def _pass_col_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
-                     bigr_ref, bigi_ref, or_ref, oi_ref, *, fa, fb):
-    """Column FFT over the sublane axis + fused elementwise twiddle."""
+                     ar_ref, ai_ref, pr_ref, pi_ref,
+                     or_ref, oi_ref, *, fa, fb):
+    """Column FFT over the sublane axis + fused twiddle in rank-1 form
+    (A_c[k] * P[k, l] — see fourstep_vmem._pass1_kernel; this kills the
+    n-sized twiddle table the naive form would need at 2^26)."""
     tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
     yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
-    wr = bigr_ref[0]
-    wi = bigi_ref[0]
+    ar = ar_ref[0]
+    ai = ai_ref[0]
+    pr = pr_ref[...]
+    pi = pi_ref[...]
+    wr = ar * pr - ai * pi
+    wi = ar * pi + ai * pr
     or_ref[0] = yr * wr - yi * wi
     oi_ref[0] = yr * wi + yi * wr
 
@@ -104,36 +106,41 @@ def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool):
     tabs3 = _col_fft_tables(F3, direction)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    # ---- pass 1: (B, F1, F2*F3), fused W_n^{k1*j23} --------------------
-    tw1 = _tw_np(F1, F2 * F3, n, direction)
-    T1r = jnp.asarray(tw1.real.astype(np.float32)).reshape(1, F1, F2 * F3)
-    T1i = jnp.asarray(tw1.imag.astype(np.float32)).reshape(1, F1, F2 * F3)
+    # ---- pass 1: (B, F1, F2*F3), fused W_n^{k1*j23} (rank-1 form) -----
+    A1, P1 = _rank1_twiddle_np(F1, F2 * F3, LANES, direction)
+    A1r = jnp.asarray(A1.real.astype(np.float32))
+    A1i = jnp.asarray(A1.imag.astype(np.float32))
+    P1r = jnp.asarray(P1.real.astype(np.float32))
+    P1i = jnp.asarray(P1.imag.astype(np.float32))
     x3r = xr.reshape(B, F1, F2 * F3)
     x3i = xi.reshape(B, F1, F2 * F3)
     col1 = pl.BlockSpec((1, F1, LANES), lambda c, b: (b, 0, c),
                         memory_space=pltpu.VMEM)
-    tw1b = pl.BlockSpec((1, F1, LANES), lambda c, b: (0, 0, c),
-                        memory_space=pltpu.VMEM)
+    a1b = pl.BlockSpec((1, F1, 1), lambda c, b: (c, 0, 0),
+                       memory_space=pltpu.VMEM)
     m1r, m1i = pl.pallas_call(
         functools.partial(_pass_col_kernel, fa=fa1, fb=fb1),
         grid=(C23, B),
-        in_specs=[col1, col1] + [const] * 6 + [tw1b, tw1b],
+        in_specs=[col1, col1] + [const] * 6
+                 + [a1b, a1b, const, const],
         out_specs=(col1, col1),
         out_shape=(jax.ShapeDtypeStruct((B, F1, F2 * F3), xr.dtype),) * 2,
         interpret=interpret,
-    )(x3r, x3i, *tabs1, T1r, T1i)
+    )(x3r, x3i, *tabs1, A1r, A1i, P1r, P1i)
 
-    # ---- pass 2: (B*F1, F2, F3), fused W_{F2F3}^{k2*j3}, transposed
-    # store into (B, F2, F1*F3): the (k1, k2) swap costs nothing --------
-    tw2 = _tw_np(F2, F3, F2 * F3, direction)
-    T2r = jnp.asarray(tw2.real.astype(np.float32)).reshape(1, F2, F3)
-    T2i = jnp.asarray(tw2.imag.astype(np.float32)).reshape(1, F2, F3)
+    # ---- pass 2: (B*F1, F2, F3), fused W_{F2F3}^{k2*j3} (rank-1),
+    # transposed store into (B, F2, F1*F3): the (k1, k2) swap is free --
+    A2, P2 = _rank1_twiddle_np(F2, F3, LANES, direction)
+    A2r = jnp.asarray(A2.real.astype(np.float32))
+    A2i = jnp.asarray(A2.imag.astype(np.float32))
+    P2r = jnp.asarray(P2.real.astype(np.float32))
+    P2i = jnp.asarray(P2.imag.astype(np.float32))
     in2r = m1r.reshape(B * F1, 1, F2, F3)
     in2i = m1i.reshape(B * F1, 1, F2, F3)
     col2 = pl.BlockSpec((1, 1, F2, LANES), lambda c, g: (g, 0, 0, c),
                         memory_space=pltpu.VMEM)
-    tw2b = pl.BlockSpec((1, F2, LANES), lambda c, g: (0, 0, c),
-                        memory_space=pltpu.VMEM)
+    a2b = pl.BlockSpec((1, F2, 1), lambda c, g: (c, 0, 0),
+                       memory_space=pltpu.VMEM)
     # out view (B, F2, F1*F3); block lane-offset = k1*C3 + c
     out2 = pl.BlockSpec(
         (1, F2, LANES),
@@ -143,11 +150,12 @@ def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool):
     m2r, m2i = pl.pallas_call(
         functools.partial(_pass2t_kernel, fa=fa2, fb=fb2),
         grid=(C3, B * F1),
-        in_specs=[col2, col2] + [const] * 6 + [tw2b, tw2b],
+        in_specs=[col2, col2] + [const] * 6
+                 + [a2b, a2b, const, const],
         out_specs=(out2, out2),
         out_shape=(jax.ShapeDtypeStruct((B, F2, F1 * F3), xr.dtype),) * 2,
         interpret=interpret,
-    )(in2r, in2i, *tabs2, T2r, T2i)
+    )(in2r, in2i, *tabs2, A2r, A2i, P2r, P2i)
 
     # ---- pass 3: (B*F2*F1, F3) rows -> transpose -> FFT over j3 --------
     in3r = m2r.reshape(B * F2 * F1, F3)
@@ -179,13 +187,18 @@ def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool):
 
 
 def _pass2t_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
-                   bigr_ref, bigi_ref, or_ref, oi_ref, *, fa, fb):
-    """Pass-2 body: column FFT + twiddle; the transposed placement is
-    done by the out BlockSpec index map, not in-kernel."""
+                   ar_ref, ai_ref, pr_ref, pi_ref,
+                   or_ref, oi_ref, *, fa, fb):
+    """Pass-2 body: column FFT + rank-1 twiddle; the transposed
+    placement is done by the out BlockSpec index map, not in-kernel."""
     tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
     yr, yi = _col_fft_vmem(xr_ref[0, 0], xi_ref[0, 0], tabs, fa, fb)
-    wr = bigr_ref[0]
-    wi = bigi_ref[0]
+    ar = ar_ref[0]
+    ai = ai_ref[0]
+    pr = pr_ref[...]
+    pi = pi_ref[...]
+    wr = ar * pr - ai * pi
+    wi = ar * pi + ai * pr
     or_ref[0] = yr * wr - yi * wi
     oi_ref[0] = yr * wi + yi * wr
 
