@@ -208,9 +208,9 @@ def _blk_width(L: int) -> int:
     forced = os.environ.get("FFTLAB_FS_WIDTH")
     if forced:
         w = int(forced)
-        if w % LANES or w > L:
+        if w % LANES or w > L or L % w:
             raise ValueError(f"FFTLAB_FS_WIDTH={w} must be a multiple of "
-                             f"{LANES} and <= side {L}")
+                             f"{LANES} that divides the side ({L})")
         return w
     return 256 if L <= 512 else LANES
 
@@ -224,6 +224,11 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     L1, L2 = _split_sides(n)
     W1 = width or _blk_width(L1)
     R2 = width or _blk_width(L2)
+    if L2 % W1 or W1 % LANES or L1 % R2 or R2 % LANES:
+        raise ValueError(
+            f"block widths ({W1}, {R2}) must be multiples of {LANES} "
+            f"dividing the sides ({L1}, {L2})"
+        )
     C2 = L2 // W1
     G1 = L1 // R2
     fa1, fb1 = _split_factors(L1)
