@@ -29,6 +29,7 @@ def _run(module: str, argv: list[str]):
     ("analyzer", ["--frames", "1", "--fft-size", "512", "--hop", "128"]),
     ("dist_demo", []),
     ("serve", ["--taps", "65", "--chunk", "16384"]),
+    ("bigfft", []),
 ])
 def test_cli_demo_runs(capsys, module, argv):
     _run(module, argv)
