@@ -118,12 +118,11 @@ def _measure_path(jax, jnp, fn, path, xr, xi, want, ks, repeats):
     return r
 
 
-def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
-    """The north-star metric: batched 1M-pt c2c. Measures EVERY candidate
-    device path and crowns the fastest (candidates in `paths`)."""
-    n = 1 << 20 if on_tpu else 1 << 12
-    batch = 16 if on_tpu else 2
-    rng = np.random.default_rng(0)
+def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
+                    min_passes=2.0, seed=0) -> dict:
+    """SNR-gate + time every candidate path at (batch, n); crown the
+    fastest, with the roofline floor at `min_passes` HBM passes."""
+    rng = np.random.default_rng(seed)
     xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     want = np.fft.fft(np.asarray(xr[0], np.float64)
@@ -132,7 +131,7 @@ def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     for fn, path in _large_fft_candidates(n):
         try:
             results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
-                                          want, ks=(2, 10), repeats=4)
+                                          want, ks=ks, repeats=repeats)
         except Exception as e:
             results[path] = {"error": str(e)[:140]}
     ok = [r for r in results.values() if "gsps" in r]
@@ -141,12 +140,18 @@ def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     best = max(ok, key=lambda r: r["gsps"])
     out = dict(best)
     out["paths"] = results
-    total = batch * n
-    # 2-pass floor at the bandwidth measured this run
-    t_min_ms = 2 * 16.0 * total / (bw_gbps * 1e9) * 1e3
+    t_min_ms = min_passes * 16.0 * batch * n / (bw_gbps * 1e9) * 1e3
     out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
     out["roofline_floor_ms"] = round(t_min_ms, 3)
     return out
+
+
+def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+    """The north-star metric: batched 1M-pt c2c (2-pass floor)."""
+    n = 1 << 20 if on_tpu else 1 << 12
+    batch = 16 if on_tpu else 2
+    return _bench_fft_size(jax, jnp, n, batch, bw_gbps,
+                           ks=(2, 10), repeats=4)
 
 
 def _large_fft_candidates(n: int):
@@ -182,30 +187,11 @@ def _large_fft_candidates(n: int):
 
 
 def bench_fft_16m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
-    """One SINGLE large transform (the TP-shard shape, run on one chip);
-    measures every candidate path and crowns the fastest."""
+    """One SINGLE large transform (the TP-shard shape, one chip);
+    the three-pass kernel sets the floor at 3 HBM passes."""
     n = 1 << 24 if on_tpu else 1 << 14
-    rng = np.random.default_rng(1)
-    xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
-    xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
-    want = np.fft.fft(np.asarray(xr[0], np.float64)
-                      + 1j * np.asarray(xi[0], np.float64))
-    results = {}
-    for fn, path in _large_fft_candidates(n):
-        try:
-            results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
-                                          want, ks=(2, 8), repeats=3)
-        except Exception as e:
-            results[path] = {"error": str(e)[:140]}
-    ok = [r for r in results.values() if "gsps" in r]
-    if not ok:
-        return {"error": "no path passed", "paths": results}
-    best = max(ok, key=lambda r: r["gsps"])
-    out = dict(best)
-    out["paths"] = results
-    t_min_ms = 2 * 16.0 * n / (bw_gbps * 1e9) * 1e3
-    out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
-    return out
+    return _bench_fft_size(jax, jnp, n, 1, bw_gbps,
+                           ks=(2, 8), repeats=3, min_passes=3.0, seed=1)
 
 
 def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
@@ -231,8 +217,10 @@ def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
         path = "xla_blocks"
 
     yr, yi = jax.jit(fn)(xr, xi)
-    want = np.convolve(np.asarray(xr, np.float64), h.astype(np.float64))[:n]
-    snr = _snr_db(np.asarray(yr, np.float64), want)
+    want_r = np.convolve(np.asarray(xr, np.float64), h.astype(np.float64))[:n]
+    want_i = np.convolve(np.asarray(xi, np.float64), h.astype(np.float64))[:n]
+    snr = min(_snr_db(np.asarray(yr, np.float64), want_r),
+              _snr_db(np.asarray(yi, np.float64), want_i))
     if snr < 100.0:
         return {"error": f"accuracy gate failed: {snr:.1f} dB < 100",
                 "snr_db": round(snr, 1), "path": path}

@@ -62,19 +62,6 @@ def slope_time(fn: Callable, make_args: Callable[[int], Sequence],
     return float(np.median(slopes))
 
 
-def spread_time(fn: Callable, make_args: Callable[[int], Sequence],
-                iters: int = 6, repeats: int = 5) -> dict:
-    """slope_time plus run-to-run spread for reporting: returns
-    {"median_s", "min_s", "max_s", "repeats"}."""
-    ts = [slope_time(fn, make_args, iters=iters, repeats=1)
-          for _ in range(repeats)]
-    return {
-        "median_s": float(np.median(ts)),
-        "min_s": float(np.min(ts)),
-        "max_s": float(np.max(ts)),
-        "repeats": int(repeats),
-    }
-
 
 def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
                ks: Sequence[int] = (8, 128), repeats: int = 5,

@@ -220,7 +220,10 @@ def fft_convolution_split(xr, xi, h):
         supported_large,
     )
 
-    if jax.default_backend() == "tpu" and supported_large(m):
+    from fftlab.plan.dispatch import kernels_enabled
+
+    if (jax.default_backend() == "tpu" and supported_large(m)
+            and kernels_enabled()):
         yr, yi = spectral_filter_large(xpr, xpi, Hr, Hi)
     else:
         yr, yi = spectral_filter_split_fused(xpr, xpi, Hr, Hi)

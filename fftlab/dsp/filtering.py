@@ -168,7 +168,10 @@ def fft_filter_split(xr, xi, params: FilterParams):
         supported_large,
     )
 
-    if jax.default_backend() == "tpu" and supported_large(n):
+    from fftlab.plan.dispatch import kernels_enabled
+
+    if (jax.default_backend() == "tpu" and supported_large(n)
+            and kernels_enabled()):
         return spectral_filter_large(
             xr, xi, jnp.asarray(h.astype(rdtype)), jnp.zeros(n, rdtype)
         )

@@ -264,7 +264,7 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
             jax.ShapeDtypeStruct((B, L1, L2), xr.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * (fa1 + fb1) * L1 * LANES * B * C2,
+            flops=8 * (fa1 + fb1) * L1 * W1 * B * C2,
             transcendentals=0,
             bytes_accessed=4 * 4 * n * B,
         ),
@@ -296,7 +296,7 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
             jax.ShapeDtypeStruct((B, L2, L1), xr.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * (fa2 + fb2) * L2 * LANES * B * G1,
+            flops=8 * (fa2 + fb2) * L2 * R2 * B * G1,
             transcendentals=0,
             bytes_accessed=4 * 4 * n * B,
         ),
@@ -402,14 +402,23 @@ def rfft_split_large(x, interpret: bool | None = None):
 
     x = jnp.asarray(x)
     n = int(x.shape[-1])
-    if not supported_large(n // 2) or n % 2:
-        raise ValueError(
-            f"rfft_split_large needs even n with n/2 in "
-            f"[{MIN_N}, {MAX_N}]; got {n}"
+    if n % 2:
+        raise ValueError(f"rfft_split_large needs even n; got {n}")
+    half = n // 2
+    if supported_large(half):
+        cfft = lambda a, b: fft_split_large(a, b, interpret=interpret)
+    else:
+        from fftlab.kernels.threestep_vmem import (
+            fft_split_huge,
+            supported_huge,
         )
-    return rfft_split(
-        x, cfft=lambda a, b: fft_split_large(a, b, interpret=interpret)
-    )
+
+        if not supported_huge(half):
+            raise ValueError(
+                f"rfft_split_large needs n/2 in [{MIN_N}, 2^26]; got {n}"
+            )
+        cfft = lambda a, b: fft_split_huge(a, b, interpret=interpret)
+    return rfft_split(x, cfft=cfft)
 
 
 # ---------------------------------------------------------------------------

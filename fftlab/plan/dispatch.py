@@ -61,6 +61,17 @@ def select_split_impl(n: int, batch: int = 1) -> str:
     return "einsum"
 
 
+def kernels_enabled() -> bool:
+    """Global kill switch consumed by every kernel-routing call site
+    (dispatch itself plus dsp/filtering + dsp/convolution): False when
+    FFTLAB_NO_PALLAS is set or FFTLAB_FORCE_IMPL pins the einsum path."""
+    if os.environ.get("FFTLAB_NO_PALLAS"):
+        return False
+    if os.environ.get("FFTLAB_FORCE_IMPL") == "einsum":
+        return False
+    return True
+
+
 def fft_split_auto(xr, xi, direction=None):
     """Split-plane FFT through the capability-selected route."""
     from fftlab.core.types import FORWARD
@@ -93,8 +104,10 @@ def fft_split_auto(xr, xi, direction=None):
         from fftlab.algos.stockham import plan_factors
 
         factors = tuple(plan_factors(n, 128))
-        return fft_split_pipeline(xr.reshape(batch, n), xi.reshape(batch, n),
-                                  direction, factors=factors)
+        yr, yi = fft_split_pipeline(xr.reshape(batch, n),
+                                    xi.reshape(batch, n),
+                                    direction, factors=factors)
+        return yr.reshape(xr.shape), yi.reshape(xr.shape)
     from fftlab.algos.split_stockham import fft_split
 
     return fft_split(xr, xi, direction)

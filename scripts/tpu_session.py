@@ -117,11 +117,17 @@ def main():
 
     measure("fs_w256_1m", step_fs_w256, mk, B * n)
 
+    # _split_factors is read at TRACE time; the jit cache is keyed only
+    # on avals/statics, so each variant must drop compiled entries or it
+    # would silently re-run the base kernel (code-review r2 finding).
     fv._split_factors = lambda L: (min(128, L), L // min(128, L))
+    jax.clear_caches()
     measure("fs_fa128_1m", step_fs, mk, B * n)
     fv._split_factors = lambda L: (64, L // 64)
+    jax.clear_caches()
     measure("fs_fa64_1m", step_fs, mk, B * n)
     fv._split_factors = orig_factors
+    jax.clear_caches()
 
     def step_einsum(a, b):
         yr, yi = fft_split(a, b)

@@ -184,3 +184,37 @@ class TestCapsDispatch:
         got = np.asarray(yr) + 1j * np.asarray(yi)
         want = np.fft.fft(np.asarray(xr) + 1j * np.asarray(xi), axis=-1)
         assert np.allclose(got, want, atol=1e-3)
+
+    def test_pipeline_route_preserves_batch_dims(self, monkeypatch):
+        # code-review r2: the pallas_pipeline route flattened batch dims
+        import jax.numpy as jnp
+        import numpy as np
+        from fftlab.plan.dispatch import fft_split_auto
+
+        self._fake_caps(monkeypatch, "cpu")  # einsum fallback path
+        monkeypatch.setenv("FFTLAB_FORCE_IMPL", "pallas_pipeline")
+        xr = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 2, 1 << 15)),
+            jnp.float32,
+        )
+        # interpret-mode pipeline on CPU is slow; just check shapes via
+        # a small pow2 n that the pipeline accepts
+        try:
+            yr, yi = fft_split_auto(xr, jnp.zeros_like(xr))
+        except Exception:
+            import pytest as _p
+
+            _p.skip("pipeline route unavailable on this backend")
+        assert yr.shape == xr.shape
+
+    def test_kernels_enabled_kill_switch(self, monkeypatch):
+        from fftlab.plan.dispatch import kernels_enabled
+
+        monkeypatch.delenv("FFTLAB_NO_PALLAS", raising=False)
+        monkeypatch.delenv("FFTLAB_FORCE_IMPL", raising=False)
+        assert kernels_enabled()
+        monkeypatch.setenv("FFTLAB_NO_PALLAS", "1")
+        assert not kernels_enabled()
+        monkeypatch.delenv("FFTLAB_NO_PALLAS")
+        monkeypatch.setenv("FFTLAB_FORCE_IMPL", "einsum")
+        assert not kernels_enabled()
