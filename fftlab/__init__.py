@@ -43,8 +43,15 @@ from fftlab.algos.split_stockham import (
     to_split,
     from_split,
 )
+from fftlab.plan.dispatch import fft_split_auto, select_split_impl
+from fftlab.kernels.fourstep_vmem import (
+    fft_split_large,
+    rfft_split_large,
+    spectral_filter_large,
+)
+from fftlab.kernels.threestep_vmem import fft_split_huge
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Direction",
@@ -72,4 +79,10 @@ __all__ = [
     "to_split",
     "from_split",
     "FilterPlan",
+    "fft_split_auto",
+    "select_split_impl",
+    "fft_split_large",
+    "rfft_split_large",
+    "spectral_filter_large",
+    "fft_split_huge",
 ]
