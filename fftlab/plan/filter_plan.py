@@ -119,6 +119,10 @@ class FilterPlan:
             )
             return (yr, yi) if x_imag is not None else yr
         xr = jnp.asarray(x, dtype=jnp.float32)
+        if x_imag is None and xr.ndim == 1:
+            packed = self._call_packed_real(xr)
+            if packed is not None:
+                return packed
         xi = (jnp.asarray(x_imag, dtype=jnp.float32)
               if x_imag is not None else jnp.zeros_like(xr))
         if self._use_pallas() and xr.ndim == 1:
@@ -131,6 +135,39 @@ class FilterPlan:
         pad = [(0, 0)] * (xr.ndim - 1) + [(self.nh - 1, 0)]
         yr, yi = self._jit_blocks(jnp.pad(xr, pad), jnp.pad(xi, pad))
         return (yr, yi) if x_imag is not None else yr
+
+    def _call_packed_real(self, xr):
+        """r2c fast path for one long real channel: pack the signal's two
+        halves into the re/im planes so every complex FFT in the sandwich
+        carries two half-signals — halving the transform work (the
+        roadmap's "true rfft-based block path", exact by linearity:
+        conv(a + i*b, h) = conv(a, h) + i*conv(b, h) for real h).
+
+        The imag plane is prefixed with the first half's (nh-1)-sample
+        tail so its causal history is exact; the stitched output equals
+        the unpacked path bit-for-bit in exact arithmetic. Returns None
+        when the signal is too short to be worth splitting."""
+        n = int(xr.shape[-1])
+        s = -(-n // 2)
+        keep = self.nh - 1
+        if s < max(2 * self.fft_size, keep + 1):
+            return None
+        a, b = xr[:s], xr[s:]
+        T = s + keep
+        ar = jnp.concatenate([a, jnp.zeros(T - s, xr.dtype)])
+        ai = jnp.concatenate(
+            [a[s - keep:], b, jnp.zeros(T - keep - (n - s), xr.dtype)]
+        )
+        if self._use_pallas():
+            from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+            yr, yi = pallas_os_filter_split(
+                ar, ai, self.h, fft_size=self._pallas_fft_size()
+            )
+        else:
+            pad = [(keep, 0)]
+            yr, yi = self._jit_blocks(jnp.pad(ar, pad), jnp.pad(ai, pad))
+        return jnp.concatenate([yr[:s], yi[keep:keep + (n - s)]])
 
     # -- streaming --------------------------------------------------------
 

@@ -31,6 +31,33 @@ class TestFilterPlan:
         np.testing.assert_allclose(
             np.asarray(yb), np.asarray(fft_convolution(b, h))[:n], atol=1e-4)
 
+    @pytest.mark.parametrize("n", [4096, 4097, 5000])
+    def test_packed_real_matches_unpacked(self, n):
+        """The r2c halves-packing fast path equals the two-plane path
+        (and the convolution oracle) for even/odd/awkward lengths."""
+        rng = np.random.default_rng(7)
+        nh = 33
+        x = rng.standard_normal(n)
+        h = rng.standard_normal(nh)
+        plan = FilterPlan(h)
+        import jax.numpy as jnp
+
+        assert plan._call_packed_real(jnp.asarray(x, jnp.float32)) is not None
+        got = np.asarray(plan(x))
+        assert got.shape == (n,)
+        # Unpacked route: passing an explicit zero imag plane bypasses
+        # the packing branch.
+        want_r, _ = plan(x, np.zeros(n))
+        np.testing.assert_allclose(got, np.asarray(want_r), atol=1e-4)
+        want = np.asarray(fft_convolution(x, h))[:n]
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_packed_real_skips_short_signals(self):
+        plan = FilterPlan(np.ones(9) / 9.0)
+        import jax.numpy as jnp
+
+        assert plan._call_packed_real(jnp.ones(64, jnp.float32)) is None
+
     def test_streaming_continuity(self):
         """concat(stream(chunks)) == offline filter — exactly."""
         rng = np.random.default_rng(2)
