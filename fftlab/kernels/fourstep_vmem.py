@@ -157,6 +157,59 @@ def _pass2_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     oi_ref[0] = yi
 
 
+def _pass1_kernel_blk(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                      ar_ref, ai_ref, pr_ref, pi_ref,
+                      or_ref, oi_ref, *, fa, fb):
+    """_pass1_kernel with the output stored to a BLOCKED intermediate
+    (B, C2, L1, W1): block c's slab lands contiguously at [b, c], so the
+    pass-1 write (and pass 2's read of it) become full-slab DMA bursts
+    instead of W1-wide strided rows. Only the pass-1 column read and the
+    natural-order final write stay strided — the minimum the four-step
+    data flow allows."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
+    ar = ar_ref[0]
+    ai = ai_ref[0]
+    pr = pr_ref[...]
+    pi = pi_ref[...]
+    wr = ar * pr - ai * pi
+    wi = ar * pi + ai * pr
+    or_ref[0, 0] = yr * wr - yi * wi
+    oi_ref[0, 0] = yr * wi + yi * wr
+
+
+def _unblock_mid(x3, R2: int):
+    """(C2, R2, W1) blocked-mid slab -> (L2, R2) with j2 on sublanes:
+    x3[c, r, l] = M[k1 = g*R2 + r, j2 = c*W1 + l] and the column FFT
+    wants M^T[j2, r]."""
+    C2, _, W1 = x3.shape
+    return jnp.transpose(x3, (0, 2, 1)).reshape(C2 * W1, R2)
+
+
+def _pass2_kernel_blk(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                      or_ref, oi_ref, *, fa, fb):
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    R2 = or_ref.shape[-1]
+    xr = _unblock_mid(xr_ref[0], R2)
+    xi = _unblock_mid(xi_ref[0], R2)
+    yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _pass2_filter_kernel_blk(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                             hr_ref, hi_ref, or_ref, oi_ref, *, fa, fb):
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    R2 = or_ref.shape[-1]
+    xr = _unblock_mid(xr_ref[0], R2)
+    xi = _unblock_mid(xi_ref[0], R2)
+    yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
+    hr = hr_ref[0]
+    hi = hi_ref[0]
+    or_ref[0] = yr * hr - yi * hi
+    oi_ref[0] = yr * hi + yi * hr
+
+
 def _pass2_filter_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
                          hr_ref, hi_ref, or_ref, oi_ref, *, fa, fb):
     """Pass 2 with the spectral response fused into the epilogue: the
@@ -215,11 +268,26 @@ def _blk_width(L: int) -> int:
     return 256 if L <= 512 else LANES
 
 
+def _blocked_mid_default() -> bool:
+    """Blocked-intermediate layout switch (FFTLAB_FS_BLOCKED=0 disables).
+
+    With the (B, L1, L2) intermediate, three of the four HBM accesses are
+    W-wide strided row bursts; the blocked (B, C2, L1, W1) intermediate
+    makes pass 1's write and pass 2's read contiguous full-slab DMAs,
+    leaving only the two unavoidable strided sides. Off by default until
+    the on-device sweep confirms both compile and speedup."""
+    import os
+
+    return os.environ.get("FFTLAB_FS_BLOCKED", "0") != "0"
+
+
 def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
-              width=None):
+              width=None, blocked_mid: bool | None = None):
     """The two pallas launches of one transform. `h2` (pair of (1, L2, L1)
     natural-order response planes) fuses a spectral multiply into pass 2's
     epilogue for zero extra passes. Returns (B, n) unscaled."""
+    if blocked_mid is None:
+        blocked_mid = _blocked_mid_default()
     B, n = xr.shape
     L1, L2 = _split_sides(n)
     W1 = width or _blk_width(L1)
@@ -253,16 +321,22 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     a_blk = pl.BlockSpec((1, L1, 1), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.VMEM)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if blocked_mid:
+        p1_kern = functools.partial(_pass1_kernel_blk, fa=fa1, fb=fb1)
+        p1_out_blk = pl.BlockSpec((1, 1, L1, W1), lambda c, b: (b, c, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        p1_out_shape = jax.ShapeDtypeStruct((B, C2, L1, W1), xr.dtype)
+    else:
+        p1_kern = functools.partial(_pass1_kernel, fa=fa1, fb=fb1)
+        p1_out_blk = col_blk
+        p1_out_shape = jax.ShapeDtypeStruct((B, L1, L2), xr.dtype)
     mr, mi = pl.pallas_call(
-        functools.partial(_pass1_kernel, fa=fa1, fb=fb1),
+        p1_kern,
         grid=(C2, B),
         in_specs=[col_blk, col_blk] + [const] * 6
                  + [a_blk, a_blk, const, const],
-        out_specs=(col_blk, col_blk),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, L1, L2), xr.dtype),
-            jax.ShapeDtypeStruct((B, L1, L2), xr.dtype),
-        ),
+        out_specs=(p1_out_blk, p1_out_blk),
+        out_shape=(p1_out_shape, p1_out_shape),
         cost_estimate=pl.CostEstimate(
             flops=8 * (fa1 + fb1) * L1 * W1 * B * C2,
             transcendentals=0,
@@ -272,18 +346,28 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     )(x3r, x3i, *tabs1, Ar, Ai, Pr, Pi)
 
     # pass 2: rows of the (L1, L2) matrix -> final (B, L2, L1)
-    row_blk = pl.BlockSpec((1, R2, L2), lambda g, b: (b, g, 0),
-                           memory_space=pltpu.VMEM)
+    if blocked_mid:
+        # one R2-row slab of every lane block: contiguous (R2*W1)-sized
+        # chunks, C2 of them per program
+        row_blk = pl.BlockSpec((1, C2, R2, W1), lambda g, b: (b, 0, g, 0),
+                               memory_space=pltpu.VMEM)
+        p2_plain = _pass2_kernel_blk
+        p2_filter = _pass2_filter_kernel_blk
+    else:
+        row_blk = pl.BlockSpec((1, R2, L2), lambda g, b: (b, g, 0),
+                               memory_space=pltpu.VMEM)
+        p2_plain = _pass2_kernel
+        p2_filter = _pass2_filter_kernel
     out_blk = pl.BlockSpec((1, L2, R2), lambda g, b: (b, 0, g),
                            memory_space=pltpu.VMEM)
     h_blk = pl.BlockSpec((1, L2, R2), lambda g, b: (0, 0, g),
                          memory_space=pltpu.VMEM)
     if h2 is None:
-        kern = functools.partial(_pass2_kernel, fa=fa2, fb=fb2)
+        kern = functools.partial(p2_plain, fa=fa2, fb=fb2)
         in_specs = [row_blk, row_blk] + [const] * 6
         args = (mr, mi, *tabs2)
     else:
-        kern = functools.partial(_pass2_filter_kernel, fa=fa2, fb=fb2)
+        kern = functools.partial(p2_filter, fa=fa2, fb=fb2)
         in_specs = [row_blk, row_blk] + [const] * 6 + [h_blk, h_blk]
         args = (mr, mi, *tabs2, h2[0], h2[1])
     yr, yi = pl.pallas_call(
@@ -307,12 +391,13 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("direction", "interpret", "width")
+    jax.jit, static_argnames=("direction", "interpret", "width", "blocked")
 )
 def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool,
-                    width=None):
+                    width=None, blocked=None):
     n = int(xr.shape[-1])
-    yr, yi = _two_pass(xr, xi, direction, interpret, width=width)
+    yr, yi = _two_pass(xr, xi, direction, interpret, width=width,
+                       blocked_mid=blocked)
     if direction == Direction.INVERSE:
         s = jnp.asarray(1.0 / n, dtype=yr.dtype)
         return yr * s, yi * s
@@ -363,12 +448,15 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None):
 
 
 def fft_split_large(xr, xi, direction=FORWARD,
-                    interpret: bool | None = None, width: int | None = None):
+                    interpret: bool | None = None, width: int | None = None,
+                    blocked: bool | None = None):
     """Batched large-n FFT on split planes via the two-pass VMEM kernel.
 
     xr, xi: float32 [B, n] (or [..., n]; batch dims are flattened),
     n = 2^18..2^22 pow2 (see MAX_N note). Forward unscaled / inverse 1/n (reference
     convention, radix2_dit.c:115-119). Natural-order output.
+    `blocked` picks the intermediate layout (None = FFTLAB_FS_BLOCKED env,
+    see _blocked_mid_default).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -386,7 +474,7 @@ def fft_split_large(xr, xi, direction=FORWARD,
     yr, yi = _fft_large_impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
-        width=width,
+        width=width, blocked=blocked,
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

@@ -117,6 +117,18 @@ def main():
 
     measure("fs_w256_1m", step_fs_w256, mk, B * n)
 
+    def step_fs_blocked(a, b):
+        yr, yi = fv.fft_split_large(a, b, blocked=True)
+        return yr * scale, yi * scale
+
+    measure("fs_blocked_1m", step_fs_blocked, mk, B * n)
+
+    def step_fs_blocked_w256(a, b):
+        yr, yi = fv.fft_split_large(a, b, blocked=True, width=256)
+        return yr * scale, yi * scale
+
+    measure("fs_blocked_w256_1m", step_fs_blocked_w256, mk, B * n)
+
     # _split_factors is read at TRACE time; the jit cache is keyed only
     # on avals/statics, so each variant must drop compiled entries or it
     # would silently re-run the base kernel (code-review r2 finding).

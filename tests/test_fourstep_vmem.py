@@ -35,6 +35,34 @@ class TestFourstepVmem:
                               + 1j * np.asarray(xi[b], np.float64))
             assert _snr(got, want) > 120.0
 
+    @pytest.mark.parametrize("n", [1 << 18, 1 << 19])
+    def test_blocked_mid_matches_numpy(self, n):
+        """The blocked-intermediate layout is numerically identical to
+        the row-major one (same math, different DMA shapes)."""
+        rng = np.random.default_rng(n % 89)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        yr, yi = fft_split_large(xr, xi, interpret=True, blocked=True)
+        br, bi = fft_split_large(xr, xi, interpret=True, blocked=False)
+        np.testing.assert_array_equal(np.asarray(yr), np.asarray(br))
+        np.testing.assert_array_equal(np.asarray(yi), np.asarray(bi))
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 120.0
+
+    def test_blocked_mid_inverse(self):
+        n = 1 << 18
+        rng = np.random.default_rng(11)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_large(xr, xi, interpret=True, blocked=True)
+        br, bi = fft_split_large(yr, yi, Direction.INVERSE,
+                                 interpret=True, blocked=True)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(xr), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(xi), atol=1e-3)
+
     def test_inverse_roundtrip(self):
         n = 1 << 18
         rng = np.random.default_rng(5)
