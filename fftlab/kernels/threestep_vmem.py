@@ -91,8 +91,29 @@ def _pass_row_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     oi_ref[0] = yi
 
 
-@functools.partial(jax.jit, static_argnames=("direction", "interpret"))
-def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool):
+def _blocked_huge_default() -> bool:
+    """Blocked-intermediate switch for the three-pass kernel
+    (FFTLAB_TS_BLOCKED=1 enables; off until device-verified)."""
+    import os
+
+    return os.environ.get("FFTLAB_TS_BLOCKED", "0") != "0"
+
+
+def blocked_huge_feasible(n: int, r2: int = 8) -> bool:
+    """Pass 2's blocked slabs (8 double-buffered in/out planes of
+    F2*r2*128 floats) must fit VMEM alongside the tables: F2 <= 256
+    keeps them at 8 MB. Larger n (2^26 -> F2=512) stays row-major."""
+    F1, F2, _ = _split_three(n)
+    return F2 <= 256 and F1 % max(r2, 8) == 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("direction", "interpret", "blocked")
+)
+def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool,
+                   blocked: bool = False):
+    if blocked:
+        return _fft_huge_blocked(xr, xi, direction, interpret)
     B, n = xr.shape
     F1, F2, F3 = _split_three(n)
     C23 = (F2 * F3) // LANES
@@ -203,12 +224,187 @@ def _pass2t_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     oi_ref[0] = yr * wi + yi * wr
 
 
+# ---------------------------------------------------------------------------
+# Blocked-intermediate variant: the row-major data flow above makes five
+# of the six HBM accesses 512-byte strided row bursts. Routing the two
+# intermediates through DMA-block-shaped layouts leaves only pass 1's
+# column read and pass 3's natural-order write strided (the minimum the
+# decomposition allows). Same math — interpret-mode tests assert bit
+# equality with the row-major variant.
+# ---------------------------------------------------------------------------
+
+
+def _pass1_kernel_blk3(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                       ar_ref, ai_ref, pr_ref, pi_ref,
+                       or_ref, oi_ref, *, fa, fb):
+    """_pass_col_kernel storing to the blocked (B, C23, F1, L) mid."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
+    ar = ar_ref[0]
+    ai = ai_ref[0]
+    pr = pr_ref[...]
+    pi = pi_ref[...]
+    wr = ar * pr - ai * pi
+    wi = ar * pi + ai * pr
+    or_ref[0, 0] = yr * wr - yi * wi
+    oi_ref[0, 0] = yr * wi + yi * wr
+
+
+def _pass2_kernel_blk3(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                       ar_ref, ai_ref, pr_ref, pi_ref,
+                       or_ref, oi_ref, *, fa, fb):
+    """Blocked pass 2: block (1, F2, 1, R2, L) carries R2 k1-rows of one
+    j3 lane-chunk for all j2; the column FFT runs with R2*L lanes and
+    the W_{F2F3}^{k2*j3} rank-1 twiddle broadcasts over the k1 rows
+    (it depends only on (k2, j3))."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    _, F2, _, R2, L = xr_ref.shape
+    x3r = xr_ref[...].reshape(F2, R2, L)
+    x3i = xi_ref[...].reshape(F2, R2, L)
+    yr, yi = _col_fft_vmem(x3r.reshape(F2, R2 * L),
+                           x3i.reshape(F2, R2 * L), tabs, fa, fb)
+    y3r = yr.reshape(F2, R2, L)
+    y3i = yi.reshape(F2, R2, L)
+    ar = ar_ref[0]                   # (F2, 1)
+    ai = ai_ref[0]
+    pr = pr_ref[...]                 # (F2, L)
+    pi = pi_ref[...]
+    wr = (ar * pr - ai * pi).reshape(F2, 1, L)
+    wi = (ar * pi + ai * pr).reshape(F2, 1, L)
+    or_ref[...] = (y3r * wr - y3i * wi).reshape(1, F2, 1, R2, L)
+    oi_ref[...] = (y3r * wi + y3i * wr).reshape(1, F2, 1, R2, L)
+
+
+def _pass3_kernel_blk3(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                       or_ref, oi_ref, *, fa, fb):
+    """Blocked pass 3: block (1, 1, C3, LANES, L) holds 128 k1-rows of
+    one (b, k2) with all j3 split into C3 lane chunks; stitch to
+    (128, F3) rows, then transpose -> column FFT over j3."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    _, _, C3, rows, L = xr_ref.shape
+    x3r = xr_ref[...].reshape(C3, rows, L)
+    x3i = xi_ref[...].reshape(C3, rows, L)
+    xr = jnp.transpose(x3r, (1, 0, 2)).reshape(rows, C3 * L)  # (128, F3)
+    xi = jnp.transpose(x3i, (1, 0, 2)).reshape(rows, C3 * L)
+    yr, yi = _col_fft_vmem(jnp.transpose(xr, (1, 0)),
+                           jnp.transpose(xi, (1, 0)), tabs, fa, fb)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
+def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
+                      r2: int = 8):
+    """Three passes with blocked intermediates. `r2` = k1-rows per
+    pass-2 program (VMEM: in+out slabs are F2*r2*LANES floats each)."""
+    B, n = xr.shape
+    F1, F2, F3 = _split_three(n)
+    C23 = (F2 * F3) // LANES
+    C3 = F3 // LANES
+    while F1 % r2:
+        r2 //= 2
+    G1 = F1 // r2
+    fa1, fb1 = _split_factors(F1)
+    fa2, fb2 = _split_factors(F2)
+    fa3, fb3 = _split_factors(F3)
+    tabs1 = _col_fft_tables(F1, direction)
+    tabs2 = _col_fft_tables(F2, direction)
+    tabs3 = _col_fft_tables(F3, direction)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    # ---- pass 1: strided column read (unavoidable), blocked write -----
+    A1, P1 = _rank1_twiddle_np(F1, F2 * F3, LANES, direction)
+    A1r = jnp.asarray(A1.real.astype(np.float32))
+    A1i = jnp.asarray(A1.imag.astype(np.float32))
+    P1r = jnp.asarray(P1.real.astype(np.float32))
+    P1i = jnp.asarray(P1.imag.astype(np.float32))
+    x3r = xr.reshape(B, F1, F2 * F3)
+    x3i = xi.reshape(B, F1, F2 * F3)
+    col1 = pl.BlockSpec((1, F1, LANES), lambda c, b: (b, 0, c),
+                        memory_space=pltpu.VMEM)
+    a1b = pl.BlockSpec((1, F1, 1), lambda c, b: (c, 0, 0),
+                       memory_space=pltpu.VMEM)
+    blk1 = pl.BlockSpec((1, 1, F1, LANES), lambda c, b: (b, c, 0, 0),
+                        memory_space=pltpu.VMEM)
+    m1r, m1i = pl.pallas_call(
+        functools.partial(_pass1_kernel_blk3, fa=fa1, fb=fb1),
+        grid=(C23, B),
+        in_specs=[col1, col1] + [const] * 6
+                 + [a1b, a1b, const, const],
+        out_specs=(blk1, blk1),
+        out_shape=(jax.ShapeDtypeStruct((B, C23, F1, LANES), xr.dtype),) * 2,
+        interpret=interpret,
+    )(x3r, x3i, *tabs1, A1r, A1i, P1r, P1i)
+
+    # ---- pass 2: contiguous read AND write through the blocked view ---
+    # mid1 blocked block index c = j2*C3 + c3 -> view (B, F2, C3, F1, L);
+    # a (1, F2, 1, r2, L) block is F2 contiguous 4*r2*L-byte runs.
+    A2, P2 = _rank1_twiddle_np(F2, F3, LANES, direction)
+    A2r = jnp.asarray(A2.real.astype(np.float32))
+    A2i = jnp.asarray(A2.imag.astype(np.float32))
+    P2r = jnp.asarray(P2.real.astype(np.float32))
+    P2i = jnp.asarray(P2.imag.astype(np.float32))
+    in2r = m1r.reshape(B, F2, C3, F1, LANES)
+    in2i = m1i.reshape(B, F2, C3, F1, LANES)
+    blk2 = pl.BlockSpec(
+        (1, F2, 1, r2, LANES),
+        lambda c3, g, b: (b, 0, c3, g, 0),
+        memory_space=pltpu.VMEM,
+    )
+    a2b = pl.BlockSpec((1, F2, 1), lambda c3, g, b: (c3, 0, 0),
+                       memory_space=pltpu.VMEM)
+    m2r, m2i = pl.pallas_call(
+        functools.partial(_pass2_kernel_blk3, fa=fa2, fb=fb2),
+        grid=(C3, G1, B),
+        in_specs=[blk2, blk2] + [const] * 6
+                 + [a2b, a2b, const, const],
+        out_specs=(blk2, blk2),
+        out_shape=(jax.ShapeDtypeStruct((B, F2, C3, F1, LANES),
+                                        xr.dtype),) * 2,
+        interpret=interpret,
+    )(in2r, in2i, *tabs2, A2r, A2i, P2r, P2i)
+
+    # ---- pass 3: contiguous k1-chunk read, natural-order write --------
+    row3 = pl.BlockSpec(
+        (1, 1, C3, LANES, LANES),
+        lambda q: (q // (F2 * (F1 // LANES)),
+                   (q // (F1 // LANES)) % F2,
+                   0, q % (F1 // LANES), 0),
+        memory_space=pltpu.VMEM,
+    )
+    P = (F2 * F1) // LANES
+    out3 = pl.BlockSpec(
+        (1, F3, LANES),
+        lambda q: (q // P, 0, q % P),
+        memory_space=pltpu.VMEM,
+    )
+    Q = B * F2 * (F1 // LANES)
+    yr, yi = pl.pallas_call(
+        functools.partial(_pass3_kernel_blk3, fa=fa3, fb=fb3),
+        grid=(Q,),
+        in_specs=[row3, row3] + [const] * 6,
+        out_specs=(out3, out3),
+        out_shape=(jax.ShapeDtypeStruct((B, F3, F2 * F1), xr.dtype),) * 2,
+        interpret=interpret,
+    )(m2r.reshape(B, F2, C3, F1, LANES),
+      m2i.reshape(B, F2, C3, F1, LANES), *tabs3)
+
+    yr = yr.reshape(B, n)
+    yi = yi.reshape(B, n)
+    if direction == Direction.INVERSE:
+        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
+        return yr * s, yi * s
+    return yr, yi
+
+
 def fft_split_huge(xr, xi, direction=FORWARD,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None,
+                   blocked: bool | None = None):
     """Batched huge-n FFT on split planes via the three-pass kernel.
 
     xr, xi: float32 [..., n], n = 2^23..2^26 pow2. Forward unscaled /
-    inverse 1/n. Natural-order output."""
+    inverse 1/n. Natural-order output. `blocked` picks the intermediate
+    layout (None = FFTLAB_TS_BLOCKED env; silently row-major where the
+    blocked slabs would not fit VMEM — see blocked_huge_feasible)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xr = jnp.asarray(xr)
@@ -218,6 +414,9 @@ def fft_split_huge(xr, xi, direction=FORWARD,
         raise ValueError(
             f"fft_split_huge supports pow2 n in [{MIN_N3}, {MAX_N3}]; got {n}"
         )
+    if blocked is None:
+        blocked = _blocked_huge_default()
+    blocked = bool(blocked) and blocked_huge_feasible(n)
     batch = xr.shape[:-1]
     B = 1
     for d in batch:
@@ -225,6 +424,7 @@ def fft_split_huge(xr, xi, direction=FORWARD,
     yr, yi = _fft_huge_impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
+        blocked=blocked,
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

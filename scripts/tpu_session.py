@@ -189,6 +189,12 @@ def main():
 
     measure("threestep_16m", step_h16, mk16, n16, ks=(2, 8))
 
+    def step_h16_blk(a, b):
+        yr, yi = fft_split_huge(a, b, blocked=True)
+        return yr * s16, yi * s16
+
+    measure("threestep_blocked_16m", step_h16_blk, mk16, n16, ks=(2, 8))
+
     def step_e16(a, b):
         yr, yi = fft_split(a, b)
         return yr * s16, yi * s16

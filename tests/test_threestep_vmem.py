@@ -6,6 +6,7 @@ import pytest
 
 from fftlab.core.types import Direction
 from fftlab.kernels.threestep_vmem import (
+    blocked_huge_feasible,
     fft_split_huge,
     supported_huge,
 )
@@ -40,6 +41,41 @@ class TestThreestep:
         br, bi = fft_split_huge(yr, yi, Direction.INVERSE, interpret=True)
         np.testing.assert_allclose(np.asarray(br), np.asarray(xr), atol=1e-3)
         np.testing.assert_allclose(np.asarray(bi), np.asarray(xi), atol=1e-3)
+
+    def test_blocked_matches_numpy(self):
+        """Blocked intermediates hit the same accuracy as row-major vs
+        the float64 oracle (same math, DMA-shaped layouts; pass 2's
+        matmul width differs so bits may not)."""
+        n = 1 << 23
+        rng = np.random.default_rng(31)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        assert blocked_huge_feasible(n)
+        yr, yi = fft_split_huge(xr, xi, interpret=True, blocked=True)
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 115.0
+
+    def test_blocked_inverse_roundtrip(self):
+        n = 1 << 23
+        rng = np.random.default_rng(37)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_huge(xr, xi, interpret=True, blocked=True)
+        br, bi = fft_split_huge(yr, yi, Direction.INVERSE,
+                                interpret=True, blocked=True)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(xr), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(xi), atol=1e-3)
+
+    def test_blocked_infeasible_falls_back(self):
+        # 2^26 -> F2=512: blocked slabs would blow VMEM; must still work.
+        assert not blocked_huge_feasible(1 << 26)
+        n = 1 << 23
+        xr = jnp.zeros((1, n), jnp.float32)
+        yr, yi = fft_split_huge(xr, xr, interpret=True, blocked=True)
+        assert yr.shape == (1, n)
 
     def test_supported_range(self):
         assert supported_huge(1 << 23) and supported_huge(1 << 26)
