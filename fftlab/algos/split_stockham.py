@@ -372,13 +372,32 @@ def spectral_filter_split_fused(xr, xi, hr, hi,
     return zr * s, zi * s
 
 
-def fft2_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT):
+def fft2_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT,
+               route: bool | None = None):
     """2D FFT on split planes over the last two axes (row-column
-    decomposition, fft2d.py semantics without complex dtypes)."""
+    decomposition, fft2d.py semantics without complex dtypes).
+
+    `route=True` sends each axis's batched 1D transforms through the
+    capability dispatch (plan/dispatch.fft_split_auto), so large image
+    sides run on the VMEM kernels on TPU; default on for TPU. Every
+    route uses the same forward-unscaled / inverse-1/n convention, so
+    the per-axis inverse scalings compose to 1/(rows*cols)."""
     direction = Direction(int(direction))
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
     rows, cols = int(xr.shape[-2]), int(xr.shape[-1])
+    if route is None:
+        from fftlab.plan.dispatch import kernels_enabled
+
+        route = jax.default_backend() == "tpu" and kernels_enabled()
+    if route:
+        from fftlab.plan.dispatch import fft_split_auto
+
+        yr, yi = fft_split_auto(xr, xi, direction)
+        yr = jnp.swapaxes(yr, -1, -2)
+        yi = jnp.swapaxes(yi, -1, -2)
+        yr, yi = fft_split_auto(yr, yi, direction)
+        return jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2)
     yr, yi = stockham_fft_split_unscaled(xr, xi, direction, leaf)
     yr = jnp.swapaxes(yr, -1, -2)
     yi = jnp.swapaxes(yi, -1, -2)

@@ -200,6 +200,25 @@ class TestFft2Split:
         np.testing.assert_allclose(np.asarray(br), xr, atol=1e-10)
         np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-10)
 
+    def test_routed_matches_unrouted(self):
+        """route=True sends each axis through the capability dispatch;
+        forward and inverse compose to the same result and scaling."""
+        from fftlab.algos.split_stockham import fft2_split
+        from fftlab.core.types import Direction
+
+        rng = np.random.default_rng(3)
+        xr = rng.standard_normal((2, 64, 128)).astype(np.float32)
+        xi = rng.standard_normal((2, 64, 128)).astype(np.float32)
+        yr, yi = fft2_split(xr, xi, route=True)
+        br, bi = fft2_split(xr, xi, route=False)
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(br),
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(yi), np.asarray(bi),
+                                   rtol=1e-5, atol=1e-3)
+        zr, zi = fft2_split(yr, yi, Direction.INVERSE, route=True)
+        np.testing.assert_allclose(np.asarray(zr), xr, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(zi), xi, atol=1e-4)
+
 
 class TestBluesteinSplit:
     @pytest.mark.parametrize("n", [7, 97, 251, 360, 1000, 100003])
