@@ -1,0 +1,61 @@
+"""Compile-probe the blocked-intermediate kernel variants on the real
+device, one variant per PROCESS so a Mosaic hang can be killed without
+wedging anything else (this backend's known failure mode is a compile
+that never returns — docs/performance.md).
+
+Run:  timeout 600 python scripts/probe_blocked.py fs_blocked
+      timeout 600 python scripts/probe_blocked.py fs_blocked_w256
+      timeout 900 python scripts/probe_blocked.py ts_blocked
+
+Each probe compiles + executes ONE small-batch transform and checks SNR
+against numpy, printing `OK <name> snr=<dB> <seconds>s` on success.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "fs_blocked"
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    if name.startswith("fs"):
+        from fftlab.kernels.fourstep_vmem import fft_split_large
+
+        n = 1 << 18
+        kw = {"blocked": True}
+        if name.endswith("w256"):
+            kw["width"] = 256
+        fn = lambda a, b: fft_split_large(a, b, **kw)
+    elif name == "ts_blocked":
+        from fftlab.kernels.threestep_vmem import fft_split_huge
+
+        n = 1 << 23
+        fn = lambda a, b: fft_split_huge(a, b, blocked=True)
+    else:
+        raise SystemExit(f"unknown probe {name!r}")
+
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+    yr, yi = fn(xr, xi)
+    got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0], np.float64)
+    want = np.fft.fft(np.asarray(xr[0], np.float64)
+                      + 1j * np.asarray(xi[0], np.float64))
+    snr = 10 * np.log10(np.sum(abs(want) ** 2)
+                        / max(np.sum(abs(got - want) ** 2), 1e-300))
+    status = "OK" if snr > 100 else "BAD-SNR"
+    print(f"{status} {name} snr={snr:.1f}dB {time.time()-t0:.0f}s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
