@@ -43,12 +43,13 @@ def _os_kernel(x_hbm, hr_ref, hi_ref,
                Gmr, Gmi, G1r, G1i, tvr, tvi,
                or_ref, oi_ref, fr_vmem, fi_vmem, semr, semi,
                *, hop_rows: int, halo_rows: int, m: int):
-    k = pl.program_id(0)
+    c = pl.program_id(0)   # channel (flattened batch)
+    k = pl.program_id(1)   # overlap-save block along time
     dmar = pltpu.make_async_copy(
-        x_hbm.at[0, pl.ds(k * hop_rows, m), :], fr_vmem, semr
+        x_hbm.at[0, c, pl.ds(k * hop_rows, m), :], fr_vmem, semr
     )
     dmai = pltpu.make_async_copy(
-        x_hbm.at[1, pl.ds(k * hop_rows, m), :], fi_vmem, semi
+        x_hbm.at[1, c, pl.ds(k * hop_rows, m), :], fi_vmem, semi
     )
     dmar.start()
     dmai.start()
@@ -61,8 +62,8 @@ def _os_kernel(x_hbm, hr_ref, hi_ref,
     gr = sr * hr - si * hi
     gi = sr * hi + si * hr
     yr, yi = _inv_body(gr, gi, inv, m * N1)               # (m, 128)
-    or_ref[0] = yr[halo_rows:, :]                         # valid tail
-    oi_ref[0] = yi[halo_rows:, :]
+    or_ref[0, 0] = yr[halo_rows:, :]                      # valid tail
+    oi_ref[0, 0] = yi[halo_rows:, :]
 
 
 @functools.partial(
@@ -71,7 +72,7 @@ def _os_kernel(x_hbm, hr_ref, hi_ref,
 )
 def _os_filter_impl(xr, xi, hr2, hi2, *, nh: int, fft_size: int,
                     interpret: bool):
-    n = int(xr.shape[-1])
+    C, n = xr.shape
     m = fft_size // N1
     halo_rows = -(-(nh - 1) // N1)
     hop_rows = m - halo_rows
@@ -82,25 +83,27 @@ def _os_filter_impl(xr, xi, hr2, hi2, *, nh: int, fft_size: int,
     # tail pad so every block's DMA is in bounds.
     total_rows = halo_rows + n_blocks * hop_rows + m  # generous tail slack
     pad = total_rows * N1 - n
-    xr2 = jnp.pad(xr, ((halo, pad - halo),)).reshape(total_rows, N1)
-    xi2 = jnp.pad(xi, ((halo, pad - halo),)).reshape(total_rows, N1)
-    x2 = jnp.stack([xr2, xi2])  # (2, rows, 128) single HBM operand
+    xr2 = jnp.pad(xr, ((0, 0), (halo, pad - halo))).reshape(
+        C, total_rows, N1)
+    xi2 = jnp.pad(xi, ((0, 0), (halo, pad - halo))).reshape(
+        C, total_rows, N1)
+    x2 = jnp.stack([xr2, xi2])  # (2, C, rows, 128) single HBM operand
     fwd = _tables(fft_size, Direction.FORWARD, xr.dtype)
     inv = _tables(fft_size, Direction.INVERSE, xr.dtype)
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, hop_rows, N1), lambda k: (k, 0, 0),
+    out_spec = pl.BlockSpec((1, 1, hop_rows, N1), lambda c, k: (c, k, 0, 0),
                             memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         functools.partial(_os_kernel, hop_rows=hop_rows,
                           halo_rows=halo_rows, m=m),
-        grid=(n_blocks,),
+        grid=(C, n_blocks),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   const(), const()]
                  + [const() for _ in range(12)],
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((n_blocks, hop_rows, N1), xr.dtype),
-            jax.ShapeDtypeStruct((n_blocks, hop_rows, N1), xr.dtype),
+            jax.ShapeDtypeStruct((C, n_blocks, hop_rows, N1), xr.dtype),
+            jax.ShapeDtypeStruct((C, n_blocks, hop_rows, N1), xr.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((m, N1), xr.dtype),
@@ -110,22 +113,30 @@ def _os_filter_impl(xr, xi, hr2, hi2, *, nh: int, fft_size: int,
         ],
         interpret=interpret,
     )(x2, hr2, hi2, *fwd, *inv)
-    return (yr.reshape(n_blocks * hop)[:n],
-            yi.reshape(n_blocks * hop)[:n])
+    return (yr.reshape(C, n_blocks * hop)[:, :n],
+            yi.reshape(C, n_blocks * hop)[:, :n])
 
 
 def pallas_os_filter_split(xr, xi, h, fft_size: int | None = None,
                            interpret: bool | None = None):
-    """Causal FIR filtering of a 1D split pair via the fused DMA
+    """Causal FIR filtering of a split pair via the fused DMA
     overlap-save kernel. h: [nh] real taps. Equals
     convolve(x, h)[:n] on each plane (real h => both planes filter
-    independently)."""
+    independently). xr, xi: [..., n] — leading dims are independent
+    channels (the grid fans out over channel x time-block)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xr = jnp.asarray(xr, dtype=jnp.float32)
     xi = jnp.asarray(xi, dtype=jnp.float32)
-    if xr.ndim != 1:
-        raise ValueError(f"expects 1D signals, got {xr.shape}")
+    if xr.shape != xi.shape:
+        raise ValueError(f"plane shapes differ: {xr.shape} vs {xi.shape}")
+    batch = xr.shape[:-1]
+    n = int(xr.shape[-1])
+    C = 1
+    for d in batch:
+        C *= int(d)
+    xr = xr.reshape(C, n)
+    xi = xi.reshape(C, n)
     h = np.asarray(h, dtype=np.float64)
     nh = int(h.shape[-1])
     if fft_size is None:
@@ -143,5 +154,6 @@ def pallas_os_filter_split(xr, xi, h, fft_size: int | None = None,
     H = np.fft.fft(np.pad(h, (0, fft_size - nh)))
     hr2 = jnp.asarray(H.real.astype(np.float32)).reshape(N1, m)
     hi2 = jnp.asarray(H.imag.astype(np.float32)).reshape(N1, m)
-    return _os_filter_impl(xr, xi, hr2, hi2, nh=nh, fft_size=fft_size,
-                           interpret=bool(interpret))
+    yr, yi = _os_filter_impl(xr, xi, hr2, hi2, nh=nh, fft_size=fft_size,
+                             interpret=bool(interpret))
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)

@@ -125,7 +125,7 @@ class FilterPlan:
                 return packed
         xi = (jnp.asarray(x_imag, dtype=jnp.float32)
               if x_imag is not None else jnp.zeros_like(xr))
-        if self._use_pallas() and xr.ndim == 1:
+        if self._use_pallas():
             from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
 
             yr, yi = pallas_os_filter_split(

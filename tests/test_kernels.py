@@ -181,11 +181,30 @@ class TestPallasOsFilter:
         assert np.abs(np.asarray(yr) - w0).max() / scale < 1e-5
         assert np.abs(np.asarray(yi) - w1).max() / scale < 1e-5
 
+    def test_batched_matches_per_channel(self):
+        """[C, n] input fans the grid out over channels; each channel
+        equals its own 1D run."""
+        from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+        rng = np.random.default_rng(42)
+        C, n, nh = 3, 4000, 33
+        xr = rng.standard_normal((C, n)).astype(np.float32)
+        xi = rng.standard_normal((C, n)).astype(np.float32)
+        h = rng.standard_normal(nh)
+        yr, yi = pallas_os_filter_split(xr, xi, h, fft_size=2048,
+                                        interpret=True)
+        assert yr.shape == (C, n)
+        for c in range(C):
+            sr, si = pallas_os_filter_split(xr[c], xi[c], h,
+                                            fft_size=2048, interpret=True)
+            np.testing.assert_array_equal(np.asarray(yr[c]), np.asarray(sr))
+            np.testing.assert_array_equal(np.asarray(yi[c]), np.asarray(si))
+
     def test_validation(self):
         from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
 
         with pytest.raises(ValueError):
-            pallas_os_filter_split(np.zeros((2, 8)), np.zeros((2, 8)),
+            pallas_os_filter_split(np.zeros((2, 8)), np.zeros(8),
                                    np.ones(3), interpret=True)
         with pytest.raises(ValueError):
             pallas_os_filter_split(np.zeros(100, np.float32),
