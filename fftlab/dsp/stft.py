@@ -116,8 +116,11 @@ def stft_split(x, fft_size: int = 2048, hop: int = 512, window="hann",
         raise ValueError(f"stft_split expects a 1D signal, got {x.shape}")
     n = int(x.shape[-1])
     n_frames = frames_needed(max(n, fft_size), fft_size, hop)
+    from fftlab.kernels.stft_vmem import small_frame_supported
+
     use_pallas = (jax.default_backend() == "tpu"
-                  and supported_size(fft_size) and hop % 128 == 0)
+                  and ((supported_size(fft_size) and hop % 128 == 0)
+                       or small_frame_supported(fft_size, hop)))
     if use_pallas:
         from fftlab.kernels.stft_vmem import pallas_stft_split
 

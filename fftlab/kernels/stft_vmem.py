@@ -94,6 +94,103 @@ def _pallas_stft_impl(x2d, w2d, *, fft_size: int, hop: int,
     return yr.reshape(n_frames, fft_size), yi.reshape(n_frames, fft_size)
 
 
+# ---------------------------------------------------------------------------
+# Small frames (128..512): Welch's default segmenting (window 256, 50%
+# overlap) is far below the one-frame-per-program kernel's m >= 8 range.
+# Frames at overlap factor f = frame/hop split into f interleaved SETS of
+# non-overlapping frames; each grid program DMAs one contiguous span of
+# FBS frames from one set and transforms them all with three batched MXU
+# ops (the (B, j, lane) dot_general pattern of kernels/fourstep_vmem).
+# Total HBM reads = f * signal — identical to any framing at overlap f —
+# with zero frame-tensor materialization.
+# ---------------------------------------------------------------------------
+
+FBS = 32  # frames per program in the small-frame kernel
+
+
+def small_frame_supported(fft_size: int, hop: int) -> bool:
+    if fft_size % N1 or hop % N1 or hop <= 0 or hop > fft_size:
+        return False
+    m = fft_size // N1
+    return m in (1, 2, 4) and m % (hop // N1) == 0
+
+
+def _stft_small_kernel(x_hbm, w_ref, Fmr, Fmi, F1r, F1i, twr, twi,
+                       or_ref, oi_ref, blk_vmem, sem,
+                       *, hop_rows: int, m: int, fb: int, f_sets: int):
+    s = pl.program_id(0)     # interleave set
+    sup = pl.program_id(1)   # superblock of fb*f_sets frames
+    start = (sup * fb * f_sets + s) * hop_rows
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, fb * m), :], blk_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+    p = jax.lax.Precision.HIGHEST
+    x3 = blk_vmem[...].reshape(fb, m, N1) * w_ref[...].reshape(1, m, N1)
+    # column FFTs over j2 (the m axis): C[f, j1, k2]
+    dn = (((1,), (1,)), ((), ()))
+    cr = jax.lax.dot_general(x3, Fmr[...], dn, precision=p)
+    ci = jax.lax.dot_general(x3, Fmi[...], dn, precision=p)
+    # twiddle W_n^{j1*k2} as (1, j1, k2)
+    tr = cr * twr[...] - ci * twi[...]
+    ti = cr * twi[...] + ci * twr[...]
+    # row FFTs over j1 (the 128 axis): D[f, k2, k1]
+    dr = (jax.lax.dot_general(tr, F1r[...], dn, precision=p)
+          - jax.lax.dot_general(ti, F1i[...], dn, precision=p))
+    di = (jax.lax.dot_general(tr, F1i[...], dn, precision=p)
+          + jax.lax.dot_general(ti, F1r[...], dn, precision=p))
+    # natural order per frame is (k1, k2) — swap the minor two axes
+    or_ref[0, 0] = jnp.transpose(dr, (0, 2, 1))
+    oi_ref[0, 0] = jnp.transpose(di, (0, 2, 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fft_size", "hop", "interpret")
+)
+def _pallas_stft_small_impl(x2d, w2d, *, fft_size: int, hop: int,
+                            interpret: bool):
+    m = fft_size // N1
+    hop_rows = hop // N1
+    f_sets = m // hop_rows
+    total_rows = int(x2d.shape[0])
+    n_frames = (total_rows - m) // hop_rows + 1
+    n_sup = -(-n_frames // (FBS * f_sets))
+    need_rows = (n_sup * FBS * f_sets - 1) * hop_rows + m
+    if need_rows > total_rows:
+        x2d = jnp.pad(x2d, ((0, need_rows - total_rows), (0, 0)))
+    tabs = _tables(fft_size, Direction.FORWARD, x2d.dtype)
+    # tw arrives as (k2=m, j1=128); the kernel wants (1, j1, k2).
+    Fmr, Fmi, F1r, F1i, twr, twi = tabs
+    twr = twr.T.reshape(1, N1, m)
+    twi = twi.T.reshape(1, N1, m)
+    const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, FBS, N1, m),
+                            lambda s, sup: (s, sup, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_stft_small_kernel, hop_rows=hop_rows, m=m,
+                          fb=FBS, f_sets=f_sets),
+        grid=(f_sets, n_sup),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), const()]
+                 + [const() for _ in range(6)],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((f_sets, n_sup, FBS, N1, m), x2d.dtype),
+            jax.ShapeDtypeStruct((f_sets, n_sup, FBS, N1, m), x2d.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((FBS * m, N1), x2d.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x2d, w2d, Fmr, Fmi, F1r, F1i, twr, twi)
+    # (s, sup, t) -> natural frame j = sup*(FBS*f_sets) + t*f_sets + s
+    yr = jnp.transpose(yr, (1, 2, 0, 3, 4)).reshape(-1, fft_size)
+    yi = jnp.transpose(yi, (1, 2, 0, 3, 4)).reshape(-1, fft_size)
+    return yr[:n_frames], yi[:n_frames]
+
+
 def pallas_stft_split(x, fft_size: int = 2048, hop: int = 512,
                       window="hann", onesided: bool = True,
                       interpret: bool | None = None):
@@ -108,8 +205,12 @@ def pallas_stft_split(x, fft_size: int = 2048, hop: int = 512,
     x = jnp.asarray(x)
     if x.ndim != 1:
         raise ValueError(f"pallas_stft_split expects a 1D signal, got {x.shape}")
-    if not supported_size(fft_size):
-        raise ValueError(f"fft_size must be m*128, m in 8..128 pow2; got {fft_size}")
+    small = small_frame_supported(fft_size, hop)
+    if not supported_size(fft_size) and not small:
+        raise ValueError(
+            f"fft_size must be m*128, m in 8..128 pow2 (or 1/2/4 with "
+            f"hop dividing the frame); got {fft_size} (hop {hop})"
+        )
     if hop % N1 or hop <= 0:
         raise ValueError(f"hop must be a positive multiple of {N1}; got {hop}")
     n = int(x.shape[-1])
@@ -123,7 +224,9 @@ def pallas_stft_split(x, fft_size: int = 2048, hop: int = 512,
     w2d = jnp.asarray(
         get_window(window, fft_size), dtype=jnp.float32
     ).reshape(m, N1)
-    yr, yi = _pallas_stft_impl(
+    impl = _pallas_stft_small_impl if not supported_size(fft_size) \
+        else _pallas_stft_impl
+    yr, yi = impl(
         x2d, w2d, fft_size=fft_size, hop=hop, interpret=bool(interpret)
     )
     if onesided:

@@ -30,6 +30,32 @@ class TestPallasStft:
         )
         assert snr > 110.0, f"SNR {snr:.1f} dB"
 
+    @pytest.mark.parametrize("fft_size,hop", [(256, 128), (512, 128),
+                                              (128, 128), (512, 512)])
+    def test_small_frames_match_reference(self, fft_size, hop):
+        """The Welch-class frame sizes (m in 1/2/4) run the batched
+        interleaved-set kernel; output frame order must be natural."""
+        rng = np.random.default_rng(fft_size * 3 + hop)
+        x = rng.standard_normal(20000).astype(np.float32)
+        yr, yi = pallas_stft_split(x, fft_size, hop, interpret=True)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        xpad = np.pad(x, (0, (-len(x)) % 128))
+        want = _ref_stft(xpad, fft_size, hop, hann(fft_size))
+        assert got.shape == want.shape
+        snr = 10 * np.log10(
+            np.sum(np.abs(want) ** 2) / np.sum(np.abs(got - want) ** 2)
+        )
+        assert snr > 110.0, f"SNR {snr:.1f} dB"
+
+    def test_small_frame_support_matrix(self):
+        from fftlab.kernels.stft_vmem import small_frame_supported
+
+        assert small_frame_supported(256, 128)
+        assert small_frame_supported(512, 256)
+        assert not small_frame_supported(256, 96)   # hop not row-aligned
+        assert not small_frame_supported(384, 128)  # m=3 not pow2
+        assert not small_frame_supported(1024, 128)  # big-frame range
+
     def test_twosided(self):
         rng = np.random.default_rng(1)
         x = rng.standard_normal(4096).astype(np.float32)
