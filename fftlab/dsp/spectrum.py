@@ -168,6 +168,84 @@ def spectral_stats(psd, freqs) -> dict:
     }
 
 
+def autocorrelation_split(x):
+    """TPU-native autocorrelation: real 1D/batched signal in, normalized
+    lags 0..n-1 out, no complex dtype (pad 2n, |X|^2, inverse — the
+    power_spectrum.c:133-159 pipeline on split planes).
+
+    Matches `autocorrelation` (property-tested)."""
+    from fftlab.algos.split_stockham import fft_split
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    n = int(x.shape[-1])
+    m = next_power_of_two(2 * n)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+    xp = jnp.pad(x, pad)
+    Xr, Xi = fft_split(xp, jnp.zeros_like(xp), Direction.FORWARD)
+    pw = Xr * Xr + Xi * Xi
+    rr, _ = fft_split(pw, jnp.zeros_like(pw), Direction.INVERSE)
+    r = rr[..., :n]
+    return r / jnp.maximum(r[..., :1], 1e-30)
+
+
+def cross_correlation_split(x, y):
+    """TPU-native cross-correlation on split planes: packs the two real
+    signals into ONE complex transform (x -> re, y -> im), then
+    Sxy[k] = conj(X)Y = (A*B* recovered via Hermitian split). Returns the
+    same two-sided length 2n-1 sequence as `cross_correlation`."""
+    from fftlab.algos.split_stockham import fft_split
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    y = jnp.asarray(y, dtype=jnp.float32)
+    n = int(x.shape[-1])
+    m = next_power_of_two(2 * n)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+    Zr, Zi = fft_split(jnp.pad(x, pad), jnp.pad(y, pad), Direction.FORWARD)
+    # Hermitian split of Z = X + iY (both x, y real):
+    #   X[k] = (Z[k] + conj(Z[-k]))/2,  Y[k] = (Z[k] - conj(Z[-k]))/(2i)
+    Zr_m = jnp.roll(jnp.flip(Zr, -1), 1, -1)   # Re Z[-k]
+    Zi_m = jnp.roll(jnp.flip(Zi, -1), 1, -1)   # Im Z[-k]
+    Xr_, Xi_ = (Zr + Zr_m) / 2, (Zi - Zi_m) / 2
+    Yr_, Yi_ = (Zi + Zi_m) / 2, (Zr_m - Zr) / 2
+    # S = conj(X) * Y
+    Sr = Xr_ * Yr_ + Xi_ * Yi_
+    Si = Xr_ * Yi_ - Xi_ * Yr_
+    rr, _ = fft_split(Sr, Si, Direction.INVERSE)
+    neg = rr[..., m - (n - 1):]
+    pos = rr[..., :n]
+    return jnp.concatenate([neg, pos], axis=-1)
+
+
+def coherence_split(x, y, sample_rate: float = 1.0, window_size: int = 256,
+                    overlap: float = 0.5, window="hann"):
+    """TPU-native magnitude-squared coherence: Welch cross/auto spectra
+    via stft_split (Pallas DMA framing on TPU for supported sizes).
+
+    Matches `coherence` (property-tested)."""
+    from fftlab.dsp.stft import stft_split
+
+    x = jnp.asarray(x, dtype=jnp.float32)
+    y = jnp.asarray(y, dtype=jnp.float32)
+    n = int(x.shape[-1])
+    hop = max(int(window_size * (1.0 - overlap)), 1)
+    n_seg = max((n - window_size) // hop + 1, 1)
+    if n_seg < 2:
+        raise ValueError("coherence needs >= 2 Welch segments for averaging")
+    cut = (n_seg - 1) * hop + window_size
+    Xr, Xi = stft_split(x[:cut], window_size, hop, window)
+    Yr, Yi = stft_split(y[:cut], window_size, hop, window)
+    Xr, Xi = Xr[:n_seg], Xi[:n_seg]
+    Yr, Yi = Yr[:n_seg], Yi[:n_seg]
+    # S_xy = mean(conj(X) Y); S_xx, S_yy real
+    Sxy_r = jnp.mean(Xr * Yr + Xi * Yi, axis=0)
+    Sxy_i = jnp.mean(Xr * Yi - Xi * Yr, axis=0)
+    Sxx = jnp.mean(Xr * Xr + Xi * Xi, axis=0)
+    Syy = jnp.mean(Yr * Yr + Yi * Yi, axis=0)
+    h = window_size // 2 + 1
+    freqs = np.arange(h) * sample_rate / window_size
+    return freqs, (Sxy_r**2 + Sxy_i**2) / jnp.maximum(Sxx * Syy, 1e-30)
+
+
 def welch_psd_split(x, sample_rate: float = 1.0, window_size: int = 256,
                     overlap: float = 0.5, window="hann"):
     """TPU-native Welch PSD: real 1D signal in, real PSD out, no complex

@@ -283,6 +283,52 @@ class TestSplitAnalysis:
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
                                    rtol=1e-4, atol=1e-8)
 
+    def test_autocorrelation_split_matches(self):
+        from fftlab.dsp.spectrum import (
+            autocorrelation,
+            autocorrelation_split,
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal(1500).astype(np.float32)
+        got = np.asarray(autocorrelation_split(x))
+        want = np.asarray(autocorrelation(x))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+        assert abs(got[0] - 1.0) < 1e-5
+
+    def test_cross_correlation_split_matches(self):
+        from fftlab.dsp.spectrum import (
+            cross_correlation,
+            cross_correlation_split,
+        )
+
+        rng = np.random.default_rng(3)
+        n = 1000
+        x = rng.standard_normal(n).astype(np.float32)
+        y = np.roll(x, 17) + 0.1 * rng.standard_normal(n).astype(np.float32)
+        got = np.asarray(cross_correlation_split(x, y))
+        want = np.asarray(cross_correlation(x, y))
+        assert got.shape == (2 * n - 1,)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got / scale, want / scale, atol=1e-4)
+        # the shift shows up at lag +17 (zero lag at index n-1)
+        assert np.argmax(got) == (n - 1) + 17
+
+    def test_coherence_split_matches(self):
+        from fftlab.dsp.spectrum import coherence, coherence_split
+
+        rng = np.random.default_rng(4)
+        n = 4096
+        x = rng.standard_normal(n).astype(np.float32)
+        y = x + 0.5 * rng.standard_normal(n).astype(np.float32)
+        f1, c1 = coherence_split(x, y, sample_rate=10.0, window_size=256)
+        f2, c2 = coherence(x, y, sample_rate=10.0, window_size=256)
+        np.testing.assert_allclose(f1, f2)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2),
+                                   rtol=1e-3, atol=1e-4)
+        c = np.asarray(c1)
+        assert np.all(c >= 0) and np.all(c <= 1 + 1e-5)
+
 
 class TestConvolutionSplit:
     def test_linear_convolution_matches_numpy(self):
