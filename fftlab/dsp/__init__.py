@@ -17,9 +17,13 @@ from fftlab.dsp.convolution import (
 from fftlab.dsp.spectrum import (
     periodogram,
     welch_psd,
+    welch_psd_split,
     autocorrelation,
+    autocorrelation_split,
     cross_correlation,
+    cross_correlation_split,
     coherence,
+    coherence_split,
     spectral_stats,
 )
 from fftlab.dsp.stft import stft, istft, spectrogram
