@@ -74,6 +74,60 @@ def istft(S, fft_size: int = 2048, hop: int = 512, window="hann",
     return out
 
 
+def istft_split(Sr, Si, fft_size: int = 2048, hop: int = 512,
+                window="hann", length: int | None = None):
+    """TPU-native inverse STFT on split planes: one-sided (re, im)
+    spectra [n_frames, fft_size//2+1] -> real [total], windowed
+    overlap-add with COLA normalization (istft semantics, no complex
+    dtype anywhere).
+
+    The overlap-add is vectorized: when hop divides fft_size each frame
+    splits into k = fft_size/hop hop-chunks and the sum unrolls over k
+    diagonal shifts (k adds of whole arrays), not over n_frames."""
+    import jax
+
+    from fftlab.algos.split_stockham import fft_split
+    from fftlab.core.types import Direction
+
+    Sr = jnp.asarray(Sr, dtype=jnp.float32)
+    Si = jnp.asarray(Si, dtype=jnp.float32)
+    if Sr.ndim != 2:
+        raise ValueError(f"istft_split expects [n_frames, bins], got {Sr.shape}")
+    h = fft_size // 2 + 1
+    if int(Sr.shape[-1]) != h:
+        raise ValueError(
+            f"expected {h} one-sided bins for fft_size {fft_size}; "
+            f"got {Sr.shape[-1]}"
+        )
+    n_frames = int(Sr.shape[0])
+    # Hermitian extension to the full spectrum (even fft_size).
+    fr = jnp.concatenate([Sr, jnp.flip(Sr[:, 1:h - 1], -1)], axis=-1)
+    fi = jnp.concatenate([Si, -jnp.flip(Si[:, 1:h - 1], -1)], axis=-1)
+    yr, _ = fft_split(fr, fi, Direction.INVERSE)
+    w = np.asarray(get_window(window, fft_size))
+    frames = yr * jnp.asarray(w, dtype=yr.dtype)
+
+    total = (n_frames - 1) * hop + fft_size
+    norm = np.zeros(total)
+    for f in range(n_frames):
+        norm[f * hop: f * hop + fft_size] += w * w
+    if fft_size % hop == 0:
+        k = fft_size // hop
+        f3 = frames.reshape(n_frames, k, hop)
+        out = jnp.zeros((n_frames + k - 1, hop), dtype=frames.dtype)
+        for j in range(k):
+            out = out.at[j:j + n_frames].add(f3[:, j, :])
+        out = out.reshape(-1)[:total]
+    else:
+        out = jnp.zeros(total, dtype=frames.dtype)
+        for f in range(n_frames):
+            out = out.at[f * hop: f * hop + fft_size].add(frames[f])
+    out = out / jnp.asarray(np.maximum(norm, 1e-10), dtype=out.dtype)
+    if length is not None:
+        out = out[:length]
+    return out
+
+
 def spectrogram(x, fft_size: int = 2048, hop: int = 512, window="hann",
                 averaging: int = 1, cfft=None):
     """Magnitude spectrogram with optional exponential frame averaging

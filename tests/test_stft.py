@@ -51,6 +51,43 @@ class TestStftIstft:
             np.testing.assert_allclose(y[512:-512], x[512:-512], atol=1e-6,
                                        err_msg=f"hop={hop}")
 
+    def test_istft_split_cola_roundtrip(self):
+        """The split-plane inverse reconstructs through the split-plane
+        forward — complex-free round trip, both OLA code paths."""
+        from fftlab.dsp.stft import istft_split, stft_split
+
+        rng = np.random.default_rng(7)
+        n = 8192
+        x = rng.standard_normal(n).astype(np.float32)
+        for hop in (256, 128):  # k = 2 and 4 (vectorized OLA)
+            Sr, Si = stft_split(x, 512, hop)
+            y = np.asarray(istft_split(Sr, Si, 512, hop, length=n))
+            np.testing.assert_allclose(y[512:-512], x[512:-512], atol=1e-4,
+                                       err_msg=f"hop={hop}")
+
+    def test_istft_split_matches_istft(self):
+        from fftlab.dsp.stft import istft_split
+
+        rng = np.random.default_rng(8)
+        n = 4096
+        x = rng.standard_normal(n)
+        S = stft(x, 512, 128)
+        want = np.asarray(istft(S, 512, 128, length=n))
+        got = np.asarray(istft_split(np.real(np.asarray(S)),
+                                     np.imag(np.asarray(S)),
+                                     512, 128, length=n))
+        # Edges divide by a tiny COLA norm, amplifying the f32-vs-f64
+        # difference between the two paths; compare the interior.
+        np.testing.assert_allclose(got[512:-512], want[512:-512], atol=1e-4)
+
+    def test_istft_split_validation(self):
+        from fftlab.dsp.stft import istft_split
+
+        with pytest.raises(ValueError):
+            istft_split(np.zeros((3, 100)), np.zeros((3, 100)), 512, 128)
+        with pytest.raises(ValueError):
+            istft_split(np.zeros(257), np.zeros(257), 512, 128)
+
     def test_stft_complex_full_bins(self):
         rng = np.random.default_rng(2)
         x = rng.standard_normal(1024) + 1j * rng.standard_normal(1024)
