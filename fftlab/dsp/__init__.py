@@ -26,7 +26,7 @@ from fftlab.dsp.spectrum import (
     coherence_split,
     spectral_stats,
 )
-from fftlab.dsp.stft import stft, istft, spectrogram
+from fftlab.dsp.stft import stft, istft, istft_split, spectrogram, stft_split
 from fftlab.dsp.analyzer import (
     analyze_spectrum,
     analyze_peaks,
