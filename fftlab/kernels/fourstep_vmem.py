@@ -133,81 +133,56 @@ def _pass1_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     A arrives as a per-block (L1, 1) column (blocked (C2, L1, 1) spec —
     bytes per block, not a full slab) and P is one fixed (L1, W) const,
     so the twiddle costs ~zero HBM traffic and no VMEM slab — the
-    headroom goes to wider DMA bursts instead."""
+    headroom goes to wider DMA bursts instead.
+
+    Shape-agnostic over leading singleton block dims: the in/out refs
+    may be (1, L, W) row-major or (1, 1, L, W) blocked slabs."""
     tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
-    yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
-    ar = ar_ref[0]          # (L1, 1)
-    ai = ai_ref[0]
-    pr = pr_ref[...]        # (L1, W)
+    L, W = xr_ref.shape[-2:]
+    yr, yi = _col_fft_vmem(xr_ref[...].reshape(L, W),
+                           xi_ref[...].reshape(L, W), tabs, fa, fb)
+    ar = ar_ref[...].reshape(L, 1)
+    ai = ai_ref[...].reshape(L, 1)
+    pr = pr_ref[...]        # (L, W)
     pi = pi_ref[...]
     wr = ar * pr - ai * pi  # complex rank-1 product
     wi = ar * pi + ai * pr
-    or_ref[0] = yr * wr - yi * wi
-    oi_ref[0] = yr * wi + yi * wr
+    or_ref[...] = (yr * wr - yi * wi).reshape(or_ref.shape)
+    oi_ref[...] = (yr * wi + yi * wr).reshape(oi_ref.shape)
+
+
+def _unblock_mid(xref, R2: int):
+    """Blocked-mid block (1, C2, R2, W1) -> (L2, R2) with j2 on
+    sublanes: x[0, c, r, l] = M[k1 = g*R2 + r, j2 = c*W1 + l] and the
+    column FFT wants M^T[j2, r]."""
+    _, C2, _, W1 = xref.shape
+    x3 = xref[...].reshape(C2, R2, W1)
+    return jnp.transpose(x3, (0, 2, 1)).reshape(C2 * W1, R2)
+
+
+def _pass2_load(xr_ref, xi_ref, S2: int):
+    """Load a pass-2 input block as the (S2, R2) column matrix. Handles
+    both the row-major (1, R2, S2) slab (VMEM transpose) and the blocked
+    (1, C2, R2, W1) slab (_unblock_mid)."""
+    if xr_ref.ndim == 3:
+        R2 = xr_ref.shape[-2]
+        xr = jnp.transpose(xr_ref[...].reshape(R2, S2), (1, 0))
+        xi = jnp.transpose(xi_ref[...].reshape(R2, S2), (1, 0))
+    else:
+        R2 = xr_ref.shape[-2]
+        xr = _unblock_mid(xr_ref, R2)
+        xi = _unblock_mid(xi_ref, R2)
+    return xr, xi
 
 
 def _pass2_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
                   or_ref, oi_ref, *, fa, fb):
     tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
-    # block [k1-slab, all j2]: transpose in VMEM so j2 is on sublanes
-    xr = jnp.transpose(xr_ref[0], (1, 0))
-    xi = jnp.transpose(xi_ref[0], (1, 0))
+    S2 = fa * fb
+    xr, xi = _pass2_load(xr_ref, xi_ref, S2)
     yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
-    or_ref[0] = yr
-    oi_ref[0] = yi
-
-
-def _pass1_kernel_blk(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
-                      ar_ref, ai_ref, pr_ref, pi_ref,
-                      or_ref, oi_ref, *, fa, fb):
-    """_pass1_kernel with the output stored to a BLOCKED intermediate
-    (B, C2, L1, W1): block c's slab lands contiguously at [b, c], so the
-    pass-1 write (and pass 2's read of it) become full-slab DMA bursts
-    instead of W1-wide strided rows. Only the pass-1 column read and the
-    natural-order final write stay strided — the minimum the four-step
-    data flow allows."""
-    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
-    yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
-    ar = ar_ref[0]
-    ai = ai_ref[0]
-    pr = pr_ref[...]
-    pi = pi_ref[...]
-    wr = ar * pr - ai * pi
-    wi = ar * pi + ai * pr
-    or_ref[0, 0] = yr * wr - yi * wi
-    oi_ref[0, 0] = yr * wi + yi * wr
-
-
-def _unblock_mid(x3, R2: int):
-    """(C2, R2, W1) blocked-mid slab -> (L2, R2) with j2 on sublanes:
-    x3[c, r, l] = M[k1 = g*R2 + r, j2 = c*W1 + l] and the column FFT
-    wants M^T[j2, r]."""
-    C2, _, W1 = x3.shape
-    return jnp.transpose(x3, (0, 2, 1)).reshape(C2 * W1, R2)
-
-
-def _pass2_kernel_blk(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
-                      or_ref, oi_ref, *, fa, fb):
-    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
-    R2 = or_ref.shape[-1]
-    xr = _unblock_mid(xr_ref[0], R2)
-    xi = _unblock_mid(xi_ref[0], R2)
-    yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
-    or_ref[0] = yr
-    oi_ref[0] = yi
-
-
-def _pass2_filter_kernel_blk(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
-                             hr_ref, hi_ref, or_ref, oi_ref, *, fa, fb):
-    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
-    R2 = or_ref.shape[-1]
-    xr = _unblock_mid(xr_ref[0], R2)
-    xi = _unblock_mid(xi_ref[0], R2)
-    yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
-    hr = hr_ref[0]
-    hi = hi_ref[0]
-    or_ref[0] = yr * hr - yi * hi
-    oi_ref[0] = yr * hi + yi * hr
+    or_ref[...] = yr.reshape(or_ref.shape)
+    oi_ref[...] = yi.reshape(oi_ref.shape)
 
 
 def _pass2_filter_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
@@ -217,13 +192,13 @@ def _pass2_filter_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     order H block here costs zero extra passes (H fetch amortizes over
     the batch like the pass-1 twiddle)."""
     tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
-    xr = jnp.transpose(xr_ref[0], (1, 0))
-    xi = jnp.transpose(xi_ref[0], (1, 0))
+    S2 = fa * fb
+    xr, xi = _pass2_load(xr_ref, xi_ref, S2)
     yr, yi = _col_fft_vmem(xr, xi, tabs, fa, fb)
-    hr = hr_ref[0]
-    hi = hi_ref[0]
-    or_ref[0] = yr * hr - yi * hi
-    oi_ref[0] = yr * hi + yi * hr
+    hr = hr_ref[...].reshape(yr.shape)
+    hi = hi_ref[...].reshape(yr.shape)
+    or_ref[...] = (yr * hr - yi * hi).reshape(or_ref.shape)
+    oi_ref[...] = (yr * hi + yi * hr).reshape(oi_ref.shape)
 
 
 def _big_twiddle_np(L1: int, L2: int, direction: Direction) -> np.ndarray:
@@ -282,15 +257,40 @@ def _blocked_mid_default() -> bool:
 
 
 def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
-              width=None, blocked_mid: bool | None = None):
+              width=None, blocked_mid: bool | None = None,
+              sides=None, in_blocked: bool = False,
+              out_blocked: bool = False):
     """The two pallas launches of one transform. `h2` (pair of (1, L2, L1)
     natural-order response planes) fuses a spectral multiply into pass 2's
-    epilogue for zero extra passes. Returns (B, n) unscaled."""
+    epilogue for zero extra passes. Returns (B, n) unscaled.
+
+    Layout options (all orthogonal, numerics unchanged):
+      blocked_mid   store the inter-pass array as (B, C2, L1, W1) slabs
+      in_blocked    xr/xi arrive as a (B, C, L1, W) blocked column array
+                    (a previous launch's out_blocked result); pass 1
+                    reads whole slabs instead of strided columns
+      out_blocked   return (B, G1, L2, R2) blocked output instead of the
+                    natural (B, n) — each block is a column chunk of the
+                    natural (L2, L1) spectrum matrix, exactly what the
+                    INVERSE transform with sides (L2, L1) wants as its
+                    in_blocked input (the filter-sandwich fusion)
+      sides         override the (L1, L2) factorization
+    """
     if blocked_mid is None:
         blocked_mid = _blocked_mid_default()
-    B, n = xr.shape
-    L1, L2 = _split_sides(n)
-    W1 = width or _blk_width(L1)
+    if in_blocked:
+        B, Cin, L1, W1 = xr.shape
+        L2 = Cin * W1
+        n = L1 * L2
+        if sides is not None and tuple(sides) != (L1, L2):
+            raise ValueError(f"sides {sides} conflict with blocked input "
+                             f"shape {xr.shape}")
+    else:
+        B, n = xr.shape
+        L1, L2 = sides if sides is not None else _split_sides(n)
+        if L1 * L2 != n:
+            raise ValueError(f"sides {L1}x{L2} != n {n}")
+        W1 = width or _blk_width(L1)
     R2 = width or _blk_width(L2)
     if L2 % W1 or W1 % LANES or L1 % R2 or R2 % LANES:
         raise ValueError(
@@ -309,31 +309,34 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     Pr = jnp.asarray(P.real.astype(np.float32))
     Pi = jnp.asarray(P.imag.astype(np.float32))
 
-    x3r = xr.reshape(B, L1, L2)
-    x3i = xi.reshape(B, L1, L2)
-
     # Block = [one b, all L1 sublanes, one W1-lane j2 chunk]. Mosaic
     # requires the last two BLOCK dims divisible by (8, 128) or equal to
     # the array dims — (L1, W1) on a (B, L1, L2) array satisfies both.
-    col_blk = pl.BlockSpec((1, L1, W1), lambda c, b: (b, 0, c),
-                           memory_space=pltpu.VMEM)
+    if in_blocked:
+        x3r, x3i = xr, xi
+        p1_in_blk = pl.BlockSpec((1, 1, L1, W1), lambda c, b: (b, c, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        x3r = xr.reshape(B, L1, L2)
+        x3i = xi.reshape(B, L1, L2)
+        p1_in_blk = pl.BlockSpec((1, L1, W1), lambda c, b: (b, 0, c),
+                                 memory_space=pltpu.VMEM)
     # A: per-block (L1, 1) twiddle column (last block dim 1 == array dim)
     a_blk = pl.BlockSpec((1, L1, 1), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.VMEM)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     if blocked_mid:
-        p1_kern = functools.partial(_pass1_kernel_blk, fa=fa1, fb=fb1)
         p1_out_blk = pl.BlockSpec((1, 1, L1, W1), lambda c, b: (b, c, 0, 0),
                                   memory_space=pltpu.VMEM)
         p1_out_shape = jax.ShapeDtypeStruct((B, C2, L1, W1), xr.dtype)
     else:
-        p1_kern = functools.partial(_pass1_kernel, fa=fa1, fb=fb1)
-        p1_out_blk = col_blk
+        p1_out_blk = pl.BlockSpec((1, L1, W1), lambda c, b: (b, 0, c),
+                                  memory_space=pltpu.VMEM)
         p1_out_shape = jax.ShapeDtypeStruct((B, L1, L2), xr.dtype)
     mr, mi = pl.pallas_call(
-        p1_kern,
+        functools.partial(_pass1_kernel, fa=fa1, fb=fb1),
         grid=(C2, B),
-        in_specs=[col_blk, col_blk] + [const] * 6
+        in_specs=[p1_in_blk, p1_in_blk] + [const] * 6
                  + [a_blk, a_blk, const, const],
         out_specs=(p1_out_blk, p1_out_blk),
         out_shape=(p1_out_shape, p1_out_shape),
@@ -351,23 +354,25 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
         # chunks, C2 of them per program
         row_blk = pl.BlockSpec((1, C2, R2, W1), lambda g, b: (b, 0, g, 0),
                                memory_space=pltpu.VMEM)
-        p2_plain = _pass2_kernel_blk
-        p2_filter = _pass2_filter_kernel_blk
     else:
         row_blk = pl.BlockSpec((1, R2, L2), lambda g, b: (b, g, 0),
                                memory_space=pltpu.VMEM)
-        p2_plain = _pass2_kernel
-        p2_filter = _pass2_filter_kernel
-    out_blk = pl.BlockSpec((1, L2, R2), lambda g, b: (b, 0, g),
-                           memory_space=pltpu.VMEM)
+    if out_blocked:
+        out_blk = pl.BlockSpec((1, 1, L2, R2), lambda g, b: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, G1, L2, R2), xr.dtype)
+    else:
+        out_blk = pl.BlockSpec((1, L2, R2), lambda g, b: (b, 0, g),
+                               memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, L2, L1), xr.dtype)
     h_blk = pl.BlockSpec((1, L2, R2), lambda g, b: (0, 0, g),
                          memory_space=pltpu.VMEM)
     if h2 is None:
-        kern = functools.partial(p2_plain, fa=fa2, fb=fb2)
+        kern = functools.partial(_pass2_kernel, fa=fa2, fb=fb2)
         in_specs = [row_blk, row_blk] + [const] * 6
         args = (mr, mi, *tabs2)
     else:
-        kern = functools.partial(p2_filter, fa=fa2, fb=fb2)
+        kern = functools.partial(_pass2_filter_kernel, fa=fa2, fb=fb2)
         in_specs = [row_blk, row_blk] + [const] * 6 + [h_blk, h_blk]
         args = (mr, mi, *tabs2, h2[0], h2[1])
     yr, yi = pl.pallas_call(
@@ -375,10 +380,7 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
         grid=(G1, B),
         in_specs=in_specs,
         out_specs=(out_blk, out_blk),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, L2, L1), xr.dtype),
-            jax.ShapeDtypeStruct((B, L2, L1), xr.dtype),
-        ),
+        out_shape=(out_shape, out_shape),
         cost_estimate=pl.CostEstimate(
             flops=8 * (fa2 + fb2) * L2 * R2 * B * G1,
             transcendentals=0,
@@ -386,6 +388,8 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
         ),
         interpret=interpret,
     )(*args)
+    if out_blocked:
+        return yr, yi  # (B, G1, L2, R2) blocked column chunks
     # (B, L2, L1) flattens to [b, k2, k1] = natural spectrum order.
     return yr.reshape(B, n), yi.reshape(B, n)
 
@@ -404,17 +408,29 @@ def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool,
     return yr, yi
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("interpret", "blocked"))
+def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool,
+                       blocked: bool | None = None):
+    """FFT -> H -> IFFT in four launches. With `blocked` (sandwich
+    fusion) the forward's pass 2 writes its natural (L2, L1) spectrum
+    matrix in COLUMN BLOCKS — exactly the inverse transform's (with
+    sides swapped to (L2, L1)) pass-1 input — so the two inner HBM
+    accesses are contiguous slabs; with blocked_mid on top only the
+    first read and last write of the whole sandwich stay strided."""
+    if blocked is None:
+        blocked = _blocked_mid_default()
     n = int(xr.shape[-1])
     gr, gi = _two_pass(xr, xi, Direction.FORWARD, interpret,
-                       h2=(h2r, h2i))
-    yr, yi = _two_pass(gr, gi, Direction.INVERSE, interpret)
+                       h2=(h2r, h2i), blocked_mid=blocked,
+                       out_blocked=blocked)
+    yr, yi = _two_pass(gr, gi, Direction.INVERSE, interpret,
+                       blocked_mid=blocked, in_blocked=blocked)
     s = jnp.asarray(1.0 / n, dtype=yr.dtype)
     return yr * s, yi * s
 
 
-def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None):
+def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
+                          blocked: bool | None = None):
     """FFT -> H -> IFFT on large signals in FOUR HBM passes total: the
     H multiply rides pass 2's epilogue (zero extra traffic), and the
     inverse is the same two-pass kernel with conjugated tables. The XLA
@@ -442,7 +458,7 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None):
         B *= int(d)
     yr, yi = _filter_large_impl(
         xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
-        interpret=bool(interpret),
+        interpret=bool(interpret), blocked=blocked,
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

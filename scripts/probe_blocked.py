@@ -27,7 +27,23 @@ def main():
     import jax.numpy as jnp
 
     t0 = time.time()
-    if name.startswith("fs"):
+    if name == "fs_filter_blocked":
+        from fftlab.kernels.fourstep_vmem import spectral_filter_large
+
+        import jax.numpy as jnp
+        import numpy as _np
+
+        n = 1 << 18
+        rng0 = _np.random.default_rng(1)
+        hr = jnp.asarray(rng0.standard_normal(n), jnp.float32)
+        hz = jnp.zeros(n, jnp.float32)
+        fn = lambda a, b: spectral_filter_large(a, b, hr, hz, blocked=True)
+    elif name == "ts_blocked":
+        from fftlab.kernels.threestep_vmem import fft_split_huge
+
+        n = 1 << 23
+        fn = lambda a, b: fft_split_huge(a, b, blocked=True)
+    elif name.startswith("fs"):
         from fftlab.kernels.fourstep_vmem import fft_split_large
 
         n = 1 << 18
@@ -35,11 +51,6 @@ def main():
         if name.endswith("w256"):
             kw["width"] = 256
         fn = lambda a, b: fft_split_large(a, b, **kw)
-    elif name == "ts_blocked":
-        from fftlab.kernels.threestep_vmem import fft_split_huge
-
-        n = 1 << 23
-        fn = lambda a, b: fft_split_huge(a, b, blocked=True)
     else:
         raise SystemExit(f"unknown probe {name!r}")
 
@@ -48,8 +59,15 @@ def main():
     xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
     yr, yi = fn(xr, xi)
     got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0], np.float64)
-    want = np.fft.fft(np.asarray(xr[0], np.float64)
-                      + 1j * np.asarray(xi[0], np.float64))
+    if name == "fs_filter_blocked":
+        import numpy as _np2
+        rng0 = _np2.random.default_rng(1)
+        h = rng0.standard_normal(n)
+        x = (np.asarray(xr[0], np.float64) + 1j * np.asarray(xi[0], np.float64))
+        want = np.fft.ifft(np.fft.fft(x) * h)
+    else:
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
     snr = 10 * np.log10(np.sum(abs(want) ** 2)
                         / max(np.sum(abs(got - want) ** 2), 1e-300))
     status = "OK" if snr > 100 else "BAD-SNR"

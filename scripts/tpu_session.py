@@ -157,6 +157,12 @@ def main():
 
     measure("filter_large_1m", step_filt, mk, B * n)
 
+    def step_filt_blk(a, b):
+        yr, yi = fv.spectral_filter_large(a, b, h, hz, blocked=True)
+        return yr, yi
+
+    measure("filter_blocked_1m", step_filt_blk, mk, B * n)
+
     # -- 16M single -------------------------------------------------------
     n16 = 1 << 24
     k1, k2 = jax.random.split(jax.random.key(1))

@@ -113,6 +113,30 @@ class TestSpectralFilterLarge:
         got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0], np.float64)
         assert _snr(got, want) > 110.0
 
+    @pytest.mark.parametrize("n", [1 << 18, 1 << 19])
+    def test_blocked_sandwich_matches(self, n):
+        """The fused-layout sandwich (forward writes blocked column
+        chunks, inverse with swapped sides reads them directly) equals
+        the natural-order sandwich for square and non-square sides."""
+        from fftlab.kernels.fourstep_vmem import spectral_filter_large
+
+        rng = np.random.default_rng(n % 83)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        hr = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        hi = jnp.asarray(rng.standard_normal(n), jnp.float32)
+        yr, yi = spectral_filter_large(xr, xi, hr, hi, interpret=True,
+                                       blocked=True)
+        x = np.asarray(xr[0], np.float64) + 1j * np.asarray(xi[0], np.float64)
+        h = np.asarray(hr, np.float64) + 1j * np.asarray(hi, np.float64)
+        want = np.fft.ifft(np.fft.fft(x) * h)
+        got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0], np.float64)
+        assert _snr(got, want) > 110.0
+        br, bi = spectral_filter_large(xr, xi, hr, hi, interpret=True,
+                                       blocked=False)
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(br),
+                                   rtol=1e-4, atol=1e-3)
+
     def test_identity_response(self):
         from fftlab.kernels.fourstep_vmem import spectral_filter_large
 
