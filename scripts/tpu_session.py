@@ -102,44 +102,30 @@ def main():
     import fftlab.kernels.fourstep_vmem as fv
     from fftlab.algos.split_stockham import fft_split
 
-    # -- 1M variants ------------------------------------------------------
+    # -- 1M variants (highest-value first: the blocked layouts are the
+    # round's lever; baselines re-run after) ------------------------------
     orig_factors = fv._split_factors
 
     def step_fs(a, b):
         yr, yi = fv.fft_split_large(a, b)
         return yr * scale, yi * scale
 
-    measure("fs_base_1m", step_fs, mk, B * n)
-
     def step_fs_w256(a, b):
         yr, yi = fv.fft_split_large(a, b, width=256)
         return yr * scale, yi * scale
-
-    measure("fs_w256_1m", step_fs_w256, mk, B * n)
 
     def step_fs_blocked(a, b):
         yr, yi = fv.fft_split_large(a, b, blocked=True)
         return yr * scale, yi * scale
 
-    measure("fs_blocked_1m", step_fs_blocked, mk, B * n)
-
     def step_fs_blocked_w256(a, b):
         yr, yi = fv.fft_split_large(a, b, blocked=True, width=256)
         return yr * scale, yi * scale
 
+    measure("fs_blocked_1m", step_fs_blocked, mk, B * n)
     measure("fs_blocked_w256_1m", step_fs_blocked_w256, mk, B * n)
-
-    # _split_factors is read at TRACE time; the jit cache is keyed only
-    # on avals/statics, so each variant must drop compiled entries or it
-    # would silently re-run the base kernel (code-review r2 finding).
-    fv._split_factors = lambda L: (min(128, L), L // min(128, L))
-    jax.clear_caches()
-    measure("fs_fa128_1m", step_fs, mk, B * n)
-    fv._split_factors = lambda L: (64, L // 64)
-    jax.clear_caches()
-    measure("fs_fa64_1m", step_fs, mk, B * n)
-    fv._split_factors = orig_factors
-    jax.clear_caches()
+    measure("fs_base_1m", step_fs, mk, B * n)
+    measure("fs_w256_1m", step_fs_w256, mk, B * n)
 
     def step_einsum(a, b):
         yr, yi = fft_split(a, b)
@@ -206,6 +192,19 @@ def main():
         return yr * s16, yi * s16
 
     measure("einsum_16m", step_e16, mk16, n16, ks=(2, 8))
+
+    # -- factor-split variants (low priority) -----------------------------
+    # _split_factors is read at TRACE time; the jit cache is keyed only
+    # on avals/statics, so each variant must drop compiled entries or it
+    # would silently re-run the base kernel (code-review r2 finding).
+    fv._split_factors = lambda L: (min(128, L), L // min(128, L))
+    jax.clear_caches()
+    measure("fs_fa128_1m", step_fs, mk, B * n)
+    fv._split_factors = lambda L: (64, L // 64)
+    jax.clear_caches()
+    measure("fs_fa64_1m", step_fs, mk, B * n)
+    fv._split_factors = orig_factors
+    jax.clear_caches()
 
     # -- 4K/8K crossover: pallas_vmem multirow vs einsum ------------------
     from fftlab.kernels.fft_vmem import pallas_fft_split
