@@ -13,6 +13,7 @@ against numpy, printing `OK <name> snr=<dB> <seconds>s` on success.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -23,7 +24,14 @@ sys.path.insert(0, ".")
 
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "fs_blocked"
+    os.makedirs(os.path.expanduser("~/.cache/jax_comp"), exist_ok=True)
     import jax
+
+    # Share the persistent compile cache with scripts/tpu_session.py so
+    # probe compiles carry over to the measurement run.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     t0 = time.time()
