@@ -59,6 +59,10 @@ def main():
         if name.endswith("w256"):
             kw["width"] = 256
         fn = lambda a, b: fft_split_large(a, b, **kw)
+    elif name == "stft_small":
+        return _probe_stft_small(t0)
+    elif name == "os_batched":
+        return _probe_os_batched(t0)
     else:
         raise SystemExit(f"unknown probe {name!r}")
 
@@ -80,6 +84,55 @@ def main():
                         / max(np.sum(abs(got - want) ** 2), 1e-300))
     status = "OK" if snr > 100 else "BAD-SNR"
     print(f"{status} {name} snr={snr:.1f}dB {time.time()-t0:.0f}s",
+          flush=True)
+
+
+def _probe_stft_small(t0):
+    """Welch-class small-frame STFT kernel (256-pt frames, 50% overlap)."""
+    import jax.numpy as jnp
+
+    from fftlab.core.window import hann
+    from fftlab.kernels.stft_vmem import pallas_stft_split
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1 << 16).astype(np.float32)
+    yr, yi = pallas_stft_split(jnp.asarray(x), 256, 128)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    w = hann(256)
+    n_frames = (len(x) - 256) // 128 + 1
+    want = np.stack([
+        np.fft.rfft(x[k * 128: k * 128 + 256].astype(np.float64) * w)
+        for k in range(n_frames)
+    ])
+    snr = 10 * np.log10(np.sum(abs(want) ** 2)
+                        / max(np.sum(abs(got[: n_frames] - want) ** 2),
+                              1e-300))
+    status = "OK" if snr > 100 else "BAD-SNR"
+    print(f"{status} stft_small snr={snr:.1f}dB {time.time()-t0:.0f}s",
+          flush=True)
+
+
+def _probe_os_batched(t0):
+    """Batched-channel fused overlap-save filter kernel."""
+    import jax.numpy as jnp
+
+    from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+    rng = np.random.default_rng(0)
+    C, n, nh = 3, 1 << 16, 129
+    xr = jnp.asarray(rng.standard_normal((C, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((C, n)), jnp.float32)
+    h = rng.standard_normal(nh) / nh
+    yr, yi = pallas_os_filter_split(xr, xi, h, fft_size=2048)
+    worst = 1e9
+    for c in range(C):
+        w = np.convolve(np.asarray(xr[c], np.float64), h)[:n]
+        snr = 10 * np.log10(np.sum(w ** 2)
+                            / max(np.sum((np.asarray(yr[c]) - w) ** 2),
+                                  1e-300))
+        worst = min(worst, snr)
+    status = "OK" if worst > 100 else "BAD-SNR"
+    print(f"{status} os_batched snr={worst:.1f}dB {time.time()-t0:.0f}s",
           flush=True)
 
 
