@@ -389,7 +389,10 @@ def fft2_split(xr, xi, direction=FORWARD, leaf: int = DEFAULT_LEAF_SPLIT,
     if route is None:
         from fftlab.plan.dispatch import kernels_enabled
 
-        route = jax.default_backend() == "tpu" and kernels_enabled()
+        # The dispatch path uses the default MXU leaf; a caller-chosen
+        # leaf must stay on the direct path to be honored.
+        route = (jax.default_backend() == "tpu" and kernels_enabled()
+                 and leaf == DEFAULT_LEAF_SPLIT)
     if route:
         from fftlab.plan.dispatch import fft_split_auto
 

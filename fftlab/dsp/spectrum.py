@@ -231,11 +231,10 @@ def coherence_split(x, y, sample_rate: float = 1.0, window_size: int = 256,
     n_seg = max((n - window_size) // hop + 1, 1)
     if n_seg < 2:
         raise ValueError("coherence needs >= 2 Welch segments for averaging")
+    # x cut to exactly n_seg frames, so stft_split returns n_seg rows.
     cut = (n_seg - 1) * hop + window_size
     Xr, Xi = stft_split(x[:cut], window_size, hop, window)
     Yr, Yi = stft_split(y[:cut], window_size, hop, window)
-    Xr, Xi = Xr[:n_seg], Xi[:n_seg]
-    Yr, Yi = Yr[:n_seg], Yi[:n_seg]
     # S_xy = mean(conj(X) Y); S_xx, S_yy real
     Sxy_r = jnp.mean(Xr * Yr + Xi * Yi, axis=0)
     Sxy_i = jnp.mean(Xr * Yi - Xi * Yr, axis=0)

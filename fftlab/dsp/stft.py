@@ -84,8 +84,6 @@ def istft_split(Sr, Si, fft_size: int = 2048, hop: int = 512,
     The overlap-add is vectorized: when hop divides fft_size each frame
     splits into k = fft_size/hop hop-chunks and the sum unrolls over k
     diagonal shifts (k adds of whole arrays), not over n_frames."""
-    import jax
-
     from fftlab.algos.split_stockham import fft_split
     from fftlab.core.types import Direction
 

@@ -410,15 +410,13 @@ def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool,
 
 @functools.partial(jax.jit, static_argnames=("interpret", "blocked"))
 def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool,
-                       blocked: bool | None = None):
+                       blocked: bool = False):
     """FFT -> H -> IFFT in four launches. With `blocked` (sandwich
     fusion) the forward's pass 2 writes its natural (L2, L1) spectrum
     matrix in COLUMN BLOCKS — exactly the inverse transform's (with
     sides swapped to (L2, L1)) pass-1 input — so the two inner HBM
     accesses are contiguous slabs; with blocked_mid on top only the
     first read and last write of the whole sandwich stay strided."""
-    if blocked is None:
-        blocked = _blocked_mid_default()
     n = int(xr.shape[-1])
     gr, gi = _two_pass(xr, xi, Direction.FORWARD, interpret,
                        h2=(h2r, h2i), blocked_mid=blocked,
@@ -456,9 +454,11 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
     B = 1
     for d in batch:
         B *= int(d)
+    if blocked is None:
+        blocked = _blocked_mid_default()  # resolved outside jit (cache key)
     yr, yi = _filter_large_impl(
         xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
-        interpret=bool(interpret), blocked=blocked,
+        interpret=bool(interpret), blocked=bool(blocked),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 
@@ -476,6 +476,11 @@ def fft_split_large(xr, xi, direction=FORWARD,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if blocked is None:
+        # Resolve the env default OUTSIDE jit: `blocked` is a static jit
+        # arg, so deferring to trace time would let a stale cache entry
+        # (keyed on blocked=None) silently ignore later env changes.
+        blocked = _blocked_mid_default()
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
     n = int(xr.shape[-1])
@@ -490,7 +495,7 @@ def fft_split_large(xr, xi, direction=FORWARD,
     yr, yi = _fft_large_impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
-        width=width, blocked=blocked,
+        width=width, blocked=bool(blocked),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

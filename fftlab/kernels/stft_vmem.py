@@ -155,8 +155,12 @@ def _pallas_stft_small_impl(x2d, w2d, *, fft_size: int, hop: int,
     f_sets = m // hop_rows
     total_rows = int(x2d.shape[0])
     n_frames = (total_rows - m) // hop_rows + 1
-    n_sup = -(-n_frames // (FBS * f_sets))
-    need_rows = (n_sup * FBS * f_sets - 1) * hop_rows + m
+    # Shrink the per-program frame count for short signals so the last
+    # superblock does not round the work up by (FBS*f_sets - 1) padded
+    # zero frames (code-review r2s2 finding).
+    fb = max(min(FBS, -(-n_frames // f_sets)), 1)
+    n_sup = -(-n_frames // (fb * f_sets))
+    need_rows = (n_sup * fb * f_sets - 1) * hop_rows + m
     if need_rows > total_rows:
         x2d = jnp.pad(x2d, ((0, need_rows - total_rows), (0, 0)))
     tabs = _tables(fft_size, Direction.FORWARD, x2d.dtype)
@@ -165,22 +169,22 @@ def _pallas_stft_small_impl(x2d, w2d, *, fft_size: int, hop: int,
     twr = twr.T.reshape(1, N1, m)
     twi = twi.T.reshape(1, N1, m)
     const = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, FBS, N1, m),
+    out_spec = pl.BlockSpec((1, 1, fb, N1, m),
                             lambda s, sup: (s, sup, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         functools.partial(_stft_small_kernel, hop_rows=hop_rows, m=m,
-                          fb=FBS, f_sets=f_sets),
+                          fb=fb, f_sets=f_sets),
         grid=(f_sets, n_sup),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), const()]
                  + [const() for _ in range(6)],
         out_specs=(out_spec, out_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((f_sets, n_sup, FBS, N1, m), x2d.dtype),
-            jax.ShapeDtypeStruct((f_sets, n_sup, FBS, N1, m), x2d.dtype),
+            jax.ShapeDtypeStruct((f_sets, n_sup, fb, N1, m), x2d.dtype),
+            jax.ShapeDtypeStruct((f_sets, n_sup, fb, N1, m), x2d.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((FBS * m, N1), x2d.dtype),
+            pltpu.VMEM((fb * m, N1), x2d.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -51,7 +51,7 @@ def main():
 
         n = 1 << 23
         fn = lambda a, b: fft_split_huge(a, b, blocked=True)
-    elif name.startswith("fs"):
+    elif name in ("fs_blocked", "fs_blocked_w256"):
         from fftlab.kernels.fourstep_vmem import fft_split_large
 
         n = 1 << 18
