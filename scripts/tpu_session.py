@@ -63,13 +63,13 @@ def wait_healthy(tries=30) -> float:
     for _ in range(tries):
         bw = bandwidth()
         print(f"  [health {bw:.0f} GB/s]", flush=True)
-        if 200 < bw < 2000:  # >2000 = measurement artifact, not health
+        if 100 < bw < 2000:  # >2000 = measurement artifact, not health
             return bw
         time.sleep(25)
     return -1.0
 
 
-def measure(name, step, mk, total_samples, ks=(2, 10)):
+def measure(name, step, mk, total_samples, ks=(16, 96)):
     bw = wait_healthy()
     if bw < 0:
         log({"name": name, "error": "no healthy window"})
@@ -171,7 +171,7 @@ def main():
         yr, yi = fv.fft_split_large(a, b)
         return yr * s4, yi * s4
 
-    measure("fs_4m_batch4", step_fs4, mk4, 4 * n4, ks=(2, 8))
+    measure("fs_4m_batch4", step_fs4, mk4, 4 * n4, ks=(8, 48))
 
     from fftlab.kernels.threestep_vmem import fft_split_huge
 
@@ -179,19 +179,19 @@ def main():
         yr, yi = fft_split_huge(a, b)
         return yr * s16, yi * s16
 
-    measure("threestep_16m", step_h16, mk16, n16, ks=(2, 8))
+    measure("threestep_16m", step_h16, mk16, n16, ks=(8, 48))
 
     def step_h16_blk(a, b):
         yr, yi = fft_split_huge(a, b, blocked=True)
         return yr * s16, yi * s16
 
-    measure("threestep_blocked_16m", step_h16_blk, mk16, n16, ks=(2, 8))
+    measure("threestep_blocked_16m", step_h16_blk, mk16, n16, ks=(8, 48))
 
     def step_e16(a, b):
         yr, yi = fft_split(a, b)
         return yr * s16, yi * s16
 
-    measure("einsum_16m", step_e16, mk16, n16, ks=(2, 8))
+    measure("einsum_16m", step_e16, mk16, n16, ks=(8, 48))
 
     # -- factor-split variants (low priority) -----------------------------
     # _split_factors is read at TRACE time; the jit cache is keyed only
