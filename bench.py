@@ -86,7 +86,7 @@ def bench_bandwidth(jnp, on_tpu: bool) -> dict:
         return (base_r + t, base_i - t)
 
     step = lambda a, b: (a * 1.0000001 + 1.0, b * 1.0000001 + 1.0)
-    r = _spread(step, mk, ks=(4, 32), repeats=3)
+    r = _spread(step, mk, ks=(16, 128), repeats=3)
     r["gbps"] = round(nbytes / (r["ms"] / 1e3) / 1e9, 1)
     return r
 
@@ -151,7 +151,7 @@ def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     n = 1 << 20 if on_tpu else 1 << 12
     batch = 16 if on_tpu else 2
     return _bench_fft_size(jax, jnp, n, batch, bw_gbps,
-                           ks=(2, 10), repeats=4)
+                           ks=(8, 48), repeats=4)
 
 
 def _large_fft_candidates(n: int):
@@ -191,7 +191,7 @@ def bench_fft_16m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     the three-pass kernel sets the floor at 3 HBM passes."""
     n = 1 << 24 if on_tpu else 1 << 14
     return _bench_fft_size(jax, jnp, n, 1, bw_gbps,
-                           ks=(2, 8), repeats=3, min_passes=3.0, seed=1)
+                           ks=(8, 48), repeats=3, min_passes=3.0, seed=1)
 
 
 def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
@@ -233,7 +233,7 @@ def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
         t = jnp.float32(1e-3 * i)
         return (xr + t, xi - t)
 
-    r = _spread(step, mk, ks=(2, 8), repeats=3)
+    r = _spread(step, mk, ks=(8, 48), repeats=3)
     r["gsps"] = round(2 * n / (r["ms"] / 1e3) / 1e9, 4)  # 2 real channels
     r["snr_db"] = round(snr, 1)
     r["path"] = path
@@ -265,7 +265,7 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
     out = {}
     try:
         r = _spread(xla_step, lambda i: (x + jnp.float32(i),),
-                    ks=(2, 8), repeats=3)
+                    ks=(8, 48), repeats=3)
         n_frames = (n - frame) // hop + 1
         r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
         out["xla"] = r
@@ -281,7 +281,7 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
                 return (sig + jnp.float32(1e-30) * fr[0, 0],)
 
             r = _spread(k_step, lambda i: (x + jnp.float32(i),),
-                        ks=(2, 8), repeats=3)
+                        ks=(8, 48), repeats=3)
             n_frames = (n - frame) // hop + 1
             r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
             out["pallas"] = r
