@@ -97,7 +97,7 @@ def _os_filter_impl(xr, xi, hr2, hi2, *, nh: int, fft_size: int,
         functools.partial(_os_kernel, hop_rows=hop_rows,
                           halo_rows=halo_rows, m=m),
         grid=(C, n_blocks),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   const(), const()]
                  + [const() for _ in range(12)],
         out_specs=(out_spec, out_spec),

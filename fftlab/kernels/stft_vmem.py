@@ -78,7 +78,7 @@ def _pallas_stft_impl(x2d, w2d, *, fft_size: int, hop: int,
     yr, yi = pl.pallas_call(
         functools.partial(_stft_kernel, hop_rows=hop_rows),
         grid=(n_frames,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), const()]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), const()]
                  + [const() for _ in range(len(tabs))],
         out_specs=(out_spec, out_spec),
         out_shape=(
@@ -176,7 +176,7 @@ def _pallas_stft_small_impl(x2d, w2d, *, fft_size: int, hop: int,
         functools.partial(_stft_small_kernel, hop_rows=hop_rows, m=m,
                           fb=fb, f_sets=f_sets),
         grid=(f_sets, n_sup),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), const()]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), const()]
                  + [const() for _ in range(6)],
         out_specs=(out_spec, out_spec),
         out_shape=(
