@@ -65,7 +65,7 @@ def slope_time(fn: Callable, make_args: Callable[[int], Sequence],
 
 def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
                ks: Sequence[int] = (8, 128), repeats: int = 5,
-               return_all: bool = False):
+               return_all: bool = False, return_raw: bool = False):
     """Per-application seconds of a shape-preserving `step` measured by
     chaining k applications inside ONE jitted fori_loop.
 
@@ -96,6 +96,7 @@ def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
     for k in ks:
         _ = np.asarray(_first_leaf(fns[k](s0))).ravel()[:1]  # compile+warm
     slopes = []
+    raw: dict = {}
     for r in range(repeats):
         ts = {}
         for k in ks:
@@ -106,6 +107,24 @@ def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
             _ = np.asarray(_first_leaf(out)).ravel()[:1]
             ts[k] = time.perf_counter() - t0
         slopes.append((ts[ks[-1]] - ts[ks[0]]) / (ks[-1] - ks[0]))
+        for k in ks:
+            raw.setdefault(k, []).append(ts[k])
+    if return_raw:
+        return {int(k): [float(t) for t in v] for k, v in raw.items()}
     if return_all:
         return [float(s) for s in slopes]
     return float(np.median(slopes))
+
+
+def min_slope(raw: dict) -> float:
+    """Per-application seconds from a `chain_time(..., return_raw=True)`
+    sample: slope between the per-k MINIMUM chain times.
+
+    On a multi-tenant service, congestion only ever ADDS time (each
+    chain's completion is fenced by a readback), so min-over-repeats
+    converges to the uncongested chain cost and the min-slope is the
+    robust estimator — the median of per-repeat slopes can go negative
+    when a single congestion spike lands inside one repeat.
+    """
+    ks = sorted(raw)
+    return (min(raw[ks[-1]]) - min(raw[ks[0]])) / (ks[-1] - ks[0])

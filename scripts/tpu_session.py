@@ -27,7 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp  # noqa: E402
 
 sys.path.insert(0, ".")
-from fftlab.bench.timing import chain_time  # noqa: E402
+from fftlab.bench.timing import chain_time, min_slope  # noqa: E402
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "bench_artifacts/session.jsonl"
 os.makedirs(os.path.dirname(OUT) or ".", exist_ok=True)
@@ -75,17 +75,24 @@ def measure(name, step, mk, total_samples, ks=(16, 96)):
         log({"name": name, "error": "no healthy window"})
         return
     try:
-        ts = chain_time(step, mk, ks=ks, repeats=3, return_all=True)
+        raw = chain_time(step, mk, ks=ks, repeats=5, return_raw=True)
     except Exception as e:
         log({"name": name, "error": str(e)[:160]})
         return
+    kk = sorted(raw)
+    ts = [(b - a) / (kk[-1] - kk[0])
+          for a, b in zip(raw[kk[0]], raw[kk[-1]])]
     lo, hi = min(ts), max(ts)
-    dt = float(np.median(ts))
+    dt = min_slope(raw)  # congestion only adds time: min-slope is robust
+    if dt <= 0:
+        log({"name": name, "error": "non-positive min-slope",
+             "health_gbps": round(bw, 0)})
+        return
     rec = {"name": name, "ms": round(dt * 1e3, 3),
            "ms_spread": [round(lo * 1e3, 3), round(hi * 1e3, 3)],
            "gsps": round(total_samples / dt / 1e9, 3),
            "health_gbps": round(bw, 0)}
-    if lo <= 0 or hi / max(lo, 1e-9) > 2.0:
+    if hi / dt > 2.0:
         rec["noisy"] = True
     log(rec)
 
