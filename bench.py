@@ -182,9 +182,21 @@ def _large_fft_candidates(n: int):
             if supported_large(n):
                 cands.append(((lambda a, b: fft_split_large(a, b)),
                               "fourstep_vmem"))
+                # Layout variants: blocked intermediates (contiguous
+                # inter-pass DMA) and wider lane blocks (bigger strided
+                # bursts). The fastest SNR-passing candidate wins, so
+                # the round bench self-tunes even when the offline sweep
+                # (scripts/tpu_session.py) never got a healthy window.
+                cands.append(((lambda a, b: fft_split_large(
+                    a, b, blocked=True)), "fourstep_vmem_blocked"))
+                cands.append(((lambda a, b: fft_split_large(
+                    a, b, blocked=True, width=256)),
+                    "fourstep_vmem_blocked_w256"))
             if supported_huge(n):
                 cands.append(((lambda a, b: fft_split_huge(a, b)),
                               "threestep_vmem"))
+                cands.append(((lambda a, b: fft_split_huge(
+                    a, b, blocked=True)), "threestep_vmem_blocked"))
         except ImportError:
             pass
     from fftlab.algos.split_stockham import fft_split
