@@ -9,7 +9,7 @@ import numpy as np
 import jax, jax.numpy as jnp
 
 sys.path.insert(0, ".")
-from fftlab.bench.timing import chain_time
+from fftlab.bench.timing import chain_time, min_slope
 
 def main():
     d = jax.devices()[0]
@@ -20,8 +20,8 @@ def main():
     x = jnp.ones(shape, jnp.float32)
     y = jnp.ones(shape, jnp.float32)
     mk = lambda i: (x + jnp.float32(i), y - jnp.float32(i))
-    dt = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(4, 64),
-                    repeats=3)
+    dt = min_slope(chain_time(lambda a, b: (a + 1.0, b + 1.0), mk,
+                              ks=(4, 64), repeats=3, return_raw=True))
     gbps = 2 * 2 * 4 * shape[0] * shape[1] / dt / 1e9
     print(f"platform={d.platform} first-sync={rtt*1e3:.0f}ms "
           f"copy={dt*1e3:.3f}ms eff_bw={gbps:.0f} GB/s "

@@ -54,8 +54,11 @@ def _next() -> int:
 def bandwidth() -> float:
     mk = lambda i: (_HX + jnp.float32(_next() * 1e-3),
                     _HY - jnp.float32(_next() * 1e-3))
-    dt = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(4, 64),
-                    repeats=2)
+    raw = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(4, 64),
+                     repeats=3, return_raw=True)
+    dt = min_slope(raw)  # 2-repeat medians went negative under spikes
+    if dt <= 0:
+        return -1.0
     return 2 * 2 * 4 * 16 * (1 << 20) / dt / 1e9
 
 

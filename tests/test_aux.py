@@ -236,3 +236,34 @@ class TestMeasureProtocol:
         t_small = slope_time(heavy, lambda i: (small[i % 4],), iters=4)
         t_big = slope_time(heavy, lambda i: (big[i % 4],), iters=4)
         assert t_big > t_small
+
+    def test_min_slope_ignores_one_sided_spikes(self):
+        # Congestion on a shared service only ever ADDS time; the
+        # min-slope estimator must recover the true per-iteration cost
+        # from samples where single spikes make per-repeat slopes
+        # negative (the failure mode recorded in bench_artifacts r2s1).
+        from fftlab.bench.timing import min_slope
+
+        true_cost = 2e-3
+        fixed = 30e-3
+        raw = {8: [fixed + 8 * true_cost, fixed + 8 * true_cost + 0.25,
+                   fixed + 8 * true_cost + 0.01],
+               48: [fixed + 48 * true_cost + 0.5, fixed + 48 * true_cost,
+                    fixed + 48 * true_cost + 0.03]}
+        # per-repeat slopes: repeat 0 = +0.0145, repeat 1 = -0.00425 -> a
+        # median over few repeats is easily polluted; the min-slope is
+        # exact here.
+        est = min_slope(raw)
+        assert abs(est - true_cost) < 1e-9
+
+    def test_chain_time_return_raw_shape(self):
+        import jax.numpy as jnp
+        from fftlab.bench.timing import chain_time
+
+        x = jnp.ones((8, 128), jnp.float32)
+        raw = chain_time(lambda a: (a * 1.0001,),
+                         lambda i: (x + jnp.float32(i),),
+                         ks=(2, 8), repeats=3, return_raw=True)
+        assert sorted(raw) == [2, 8]
+        assert all(len(v) == 3 for v in raw.values())
+        assert all(t > 0 for v in raw.values() for t in v)
