@@ -101,7 +101,13 @@ def bench_bandwidth(jnp, on_tpu: bool) -> dict:
 
 
 def _measure_path(jax, jnp, fn, path, xr, xi, want, ks, repeats):
-    """SNR-gate + time one candidate FFT path. Returns a result dict."""
+    """SNR-gate + time one candidate FFT path. Returns a result dict.
+
+    fn(a, b, scale=None) must return the (scaled) transform; the chain
+    needs a 1/sqrt(n) normalization to keep magnitudes constant, and
+    passing it through the candidate lets kernel paths fold it into
+    their tables (a trailing elementwise multiply would add a whole
+    HBM pass that XLA cannot fuse into a pallas_call)."""
     n = int(xr.shape[-1])
     gr, gi = jax.jit(fn)(xr[:1], xi[:1])
     got = np.asarray(gr[0], np.float64) + 1j * np.asarray(gi[0], np.float64)
@@ -109,11 +115,10 @@ def _measure_path(jax, jnp, fn, path, xr, xi, want, ks, repeats):
     if snr < 100.0:
         return {"error": f"accuracy gate failed: {snr:.1f} dB < 100",
                 "snr_db": round(snr, 1), "path": path}
-    scale = jnp.float32(1.0 / np.sqrt(n))  # keep chained magnitudes ~const
+    scale = 1.0 / float(np.sqrt(n))  # keep chained magnitudes ~const
 
     def step(a, b):
-        yr, yi = fn(a, b)
-        return yr * scale, yi * scale
+        return fn(a, b, scale=scale)
 
     def mk(i):  # on-device variants (host->device transfer is slow here)
         t = jnp.float32(1e-3 * i)
@@ -180,28 +185,39 @@ def _large_fft_candidates(n: int):
             )
 
             if supported_large(n):
-                cands.append(((lambda a, b: fft_split_large(a, b)),
-                              "fourstep_vmem"))
+                cands.append(((lambda a, b, scale=None: fft_split_large(
+                    a, b, scale=scale)), "fourstep_vmem"))
                 # Layout variants: blocked intermediates (contiguous
                 # inter-pass DMA) and wider lane blocks (bigger strided
                 # bursts). The fastest SNR-passing candidate wins, so
                 # the round bench self-tunes even when the offline sweep
                 # (scripts/tpu_session.py) never got a healthy window.
-                cands.append(((lambda a, b: fft_split_large(
-                    a, b, blocked=True)), "fourstep_vmem_blocked"))
-                cands.append(((lambda a, b: fft_split_large(
-                    a, b, blocked=True, width=256)),
+                cands.append(((lambda a, b, scale=None: fft_split_large(
+                    a, b, blocked=True, scale=scale)),
+                    "fourstep_vmem_blocked"))
+                cands.append(((lambda a, b, scale=None: fft_split_large(
+                    a, b, blocked=True, width=256, scale=scale)),
                     "fourstep_vmem_blocked_w256"))
             if supported_huge(n):
-                cands.append(((lambda a, b: fft_split_huge(a, b)),
-                              "threestep_vmem"))
-                cands.append(((lambda a, b: fft_split_huge(
-                    a, b, blocked=True)), "threestep_vmem_blocked"))
+                cands.append(((lambda a, b, scale=None: fft_split_huge(
+                    a, b, scale=scale)), "threestep_vmem"))
+                cands.append(((lambda a, b, scale=None: fft_split_huge(
+                    a, b, blocked=True, scale=scale)),
+                    "threestep_vmem_blocked"))
         except ImportError:
             pass
     from fftlab.algos.split_stockham import fft_split
 
-    cands.append(((lambda a, b: fft_split(a, b)), "einsum_stockham"))
+    def _einsum(a, b, scale=None):
+        yr, yi = fft_split(a, b)
+        if scale is None:
+            return yr, yi
+        import jax.numpy as jnp
+
+        s = jnp.float32(scale)  # XLA fuses this into the last einsum
+        return yr * s, yi * s
+
+    cands.append((_einsum, "einsum_stockham"))
     return cands
 
 

@@ -77,12 +77,21 @@ def _split_factors(L: int) -> tuple[int, int]:
     return fa, L // fa
 
 
-def _col_fft_tables(L: int, direction: Direction):
+def _col_fft_tables(L: int, direction: Direction,
+                    scale: float | None = None):
     """Host tables for the in-VMEM length-L column FFT: Fa, Fb, and the
-    inter-stage twiddle W_L^{k1a*j1b} (all float64 -> float32)."""
+    inter-stage twiddle W_L^{k1a*j1b} (all float64 -> float32).
+
+    `scale` folds a normalization into Fb (the final contraction of the
+    LAST pass): an output scaling that would otherwise cost a whole
+    read+write HBM pass (the reference's separate 1/n loop,
+    radix2_dit.c:115-119) becomes free — fold it only into the last
+    pass's tables."""
     fa, fb = _split_factors(L)
     Fa = dft_matrix_np(fa, direction)
     Fb = dft_matrix_np(fb, direction)
+    if scale is not None:
+        Fb = Fb * float(scale)
     ka = np.arange(fa).reshape(fa, 1)
     jb = np.arange(fb).reshape(1, fb)
     tw = np.exp(2j * np.pi * float(int(direction)) * ka * jb / L)
@@ -259,7 +268,7 @@ def _blocked_mid_default() -> bool:
 def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
               width=None, blocked_mid: bool | None = None,
               sides=None, in_blocked: bool = False,
-              out_blocked: bool = False):
+              out_blocked: bool = False, scale: float | None = None):
     """The two pallas launches of one transform. `h2` (pair of (1, L2, L1)
     natural-order response planes) fuses a spectral multiply into pass 2's
     epilogue for zero extra passes. Returns (B, n) unscaled.
@@ -302,7 +311,7 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     fa1, fb1 = _split_factors(L1)
     fa2, fb2 = _split_factors(L2)
     tabs1 = _col_fft_tables(L1, direction)
-    tabs2 = _col_fft_tables(L2, direction)
+    tabs2 = _col_fft_tables(L2, direction, scale)  # scale rides pass 2
     A, P = _rank1_twiddle_np(L1, L2, W1, direction)
     Ar = jnp.asarray(A.real.astype(np.float32))
     Ai = jnp.asarray(A.imag.astype(np.float32))
@@ -395,17 +404,17 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("direction", "interpret", "width", "blocked")
+    jax.jit,
+    static_argnames=("direction", "interpret", "width", "blocked", "scale"),
 )
 def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool,
-                    width=None, blocked=None):
+                    width=None, blocked=None, scale=None):
     n = int(xr.shape[-1])
-    yr, yi = _two_pass(xr, xi, direction, interpret, width=width,
-                       blocked_mid=blocked)
-    if direction == Direction.INVERSE:
-        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
-        return yr * s, yi * s
-    return yr, yi
+    eff = (1.0 / n if direction == Direction.INVERSE else 1.0)
+    eff *= (scale if scale is not None else 1.0)
+    return _two_pass(xr, xi, direction, interpret, width=width,
+                     blocked_mid=blocked,
+                     scale=None if eff == 1.0 else eff)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "blocked"))
@@ -421,10 +430,10 @@ def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool,
     gr, gi = _two_pass(xr, xi, Direction.FORWARD, interpret,
                        h2=(h2r, h2i), blocked_mid=blocked,
                        out_blocked=blocked)
-    yr, yi = _two_pass(gr, gi, Direction.INVERSE, interpret,
-                       blocked_mid=blocked, in_blocked=blocked)
-    s = jnp.asarray(1.0 / n, dtype=yr.dtype)
-    return yr * s, yi * s
+    # inverse 1/n rides the last pass's tables: four passes, no more
+    return _two_pass(gr, gi, Direction.INVERSE, interpret,
+                     blocked_mid=blocked, in_blocked=blocked,
+                     scale=1.0 / n)
 
 
 def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
@@ -465,14 +474,17 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
 
 def fft_split_large(xr, xi, direction=FORWARD,
                     interpret: bool | None = None, width: int | None = None,
-                    blocked: bool | None = None):
+                    blocked: bool | None = None,
+                    scale: float | None = None):
     """Batched large-n FFT on split planes via the two-pass VMEM kernel.
 
     xr, xi: float32 [B, n] (or [..., n]; batch dims are flattened),
     n = 2^18..2^22 pow2 (see MAX_N note). Forward unscaled / inverse 1/n (reference
     convention, radix2_dit.c:115-119). Natural-order output.
     `blocked` picks the intermediate layout (None = FFTLAB_FS_BLOCKED env,
-    see _blocked_mid_default).
+    see _blocked_mid_default). `scale` folds an extra output
+    normalization into the pass-2 tables for free (it composes with the
+    inverse 1/n) — a separate multiply would cost a whole HBM pass.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -496,6 +508,7 @@ def fft_split_large(xr, xi, direction=FORWARD,
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
         width=width, blocked=bool(blocked),
+        scale=None if scale is None else float(scale),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

@@ -108,12 +108,15 @@ def blocked_huge_feasible(n: int, r2: int = 8) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("direction", "interpret", "blocked")
+    jax.jit, static_argnames=("direction", "interpret", "blocked", "scale")
 )
 def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool,
-                   blocked: bool = False):
+                   blocked: bool = False, scale=None):
+    eff = (1.0 / xr.shape[-1] if direction == Direction.INVERSE else 1.0)
+    eff *= (scale if scale is not None else 1.0)
+    scale = None if eff == 1.0 else eff
     if blocked:
-        return _fft_huge_blocked(xr, xi, direction, interpret)
+        return _fft_huge_blocked(xr, xi, direction, interpret, scale)
     B, n = xr.shape
     F1, F2, F3 = _split_three(n)
     C23 = (F2 * F3) // LANES
@@ -124,7 +127,7 @@ def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool,
     fa3, fb3 = _split_factors(F3)
     tabs1 = _col_fft_tables(F1, direction)
     tabs2 = _col_fft_tables(F2, direction)
-    tabs3 = _col_fft_tables(F3, direction)
+    tabs3 = _col_fft_tables(F3, direction, scale)  # scale rides pass 3
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # ---- pass 1: (B, F1, F2*F3), fused W_n^{k1*j23} (rank-1 form) -----
@@ -199,12 +202,7 @@ def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool,
         interpret=interpret,
     )(in3r, in3i, *tabs3)
 
-    yr = yr.reshape(B, n)
-    yi = yi.reshape(B, n)
-    if direction == Direction.INVERSE:
-        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
-        return yr * s, yi * s
-    return yr, yi
+    return yr.reshape(B, n), yi.reshape(B, n)
 
 
 def _pass2t_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
@@ -293,7 +291,7 @@ def _pass3_kernel_blk3(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
 
 
 def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
-                      r2: int = 8):
+                      scale: float | None = None, r2: int = 8):
     """Three passes with blocked intermediates. `r2` = k1-rows per
     pass-2 program (VMEM: in+out slabs are F2*r2*LANES floats each)."""
     B, n = xr.shape
@@ -308,7 +306,7 @@ def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
     fa3, fb3 = _split_factors(F3)
     tabs1 = _col_fft_tables(F1, direction)
     tabs2 = _col_fft_tables(F2, direction)
-    tabs3 = _col_fft_tables(F3, direction)
+    tabs3 = _col_fft_tables(F3, direction, scale)  # scale rides pass 3
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # ---- pass 1: strided column read (unavoidable), blocked write -----
@@ -388,23 +386,21 @@ def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
     )(m2r.reshape(B, F2, C3, F1, LANES),
       m2i.reshape(B, F2, C3, F1, LANES), *tabs3)
 
-    yr = yr.reshape(B, n)
-    yi = yi.reshape(B, n)
-    if direction == Direction.INVERSE:
-        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
-        return yr * s, yi * s
-    return yr, yi
+    return yr.reshape(B, n), yi.reshape(B, n)
 
 
 def fft_split_huge(xr, xi, direction=FORWARD,
                    interpret: bool | None = None,
-                   blocked: bool | None = None):
+                   blocked: bool | None = None,
+                   scale: float | None = None):
     """Batched huge-n FFT on split planes via the three-pass kernel.
 
     xr, xi: float32 [..., n], n = 2^23..2^26 pow2. Forward unscaled /
     inverse 1/n. Natural-order output. `blocked` picks the intermediate
     layout (None = FFTLAB_TS_BLOCKED env; silently row-major where the
-    blocked slabs would not fit VMEM — see blocked_huge_feasible)."""
+    blocked slabs would not fit VMEM — see blocked_huge_feasible).
+    `scale` folds an extra output normalization into the pass-3 tables
+    for free (composes with the inverse 1/n)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xr = jnp.asarray(xr)
@@ -424,7 +420,7 @@ def fft_split_huge(xr, xi, direction=FORWARD,
     yr, yi = _fft_huge_impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
-        blocked=blocked,
+        blocked=blocked, scale=None if scale is None else float(scale),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

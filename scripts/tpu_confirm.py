@@ -54,25 +54,24 @@ def main():
         t = jnp.float32(1e-3 * ctr[0])
         return (xr + t, xi - t)
 
-    scale = jnp.float32(1.0 / np.sqrt(n))
+    s = 1.0 / float(np.sqrt(n))  # chain normalization, kernel-folded
+    sj = jnp.float32(s)
 
     import fftlab.kernels.fourstep_vmem as fv
     from fftlab.algos.split_stockham import fft_split
 
-    def wrap(fn):
-        def step(a, b):
-            yr, yi = fn(a, b)
-            return yr * scale, yi * scale
-        return step
+    def ein(a, b):
+        yr, yi = fft_split(a, b)
+        return yr * sj, yi * sj  # XLA fuses this; kernels fold instead
 
     cands = {
-        "fs_blocked": wrap(lambda a, b: fv.fft_split_large(a, b,
-                                                           blocked=True)),
-        "fs_base": wrap(lambda a, b: fv.fft_split_large(a, b,
-                                                        blocked=False)),
-        "fs_blocked_w256": wrap(lambda a, b: fv.fft_split_large(
-            a, b, blocked=True, width=256)),
-        "einsum": wrap(lambda a, b: fft_split(a, b)),
+        "fs_blocked": lambda a, b: fv.fft_split_large(a, b, blocked=True,
+                                                      scale=s),
+        "fs_base": lambda a, b: fv.fft_split_large(a, b, blocked=False,
+                                                   scale=s),
+        "fs_blocked_w256": lambda a, b: fv.fft_split_large(
+            a, b, blocked=True, width=256, scale=s),
+        "einsum": ein,
     }
 
     best: dict[str, float] = {}

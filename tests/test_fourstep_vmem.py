@@ -198,3 +198,32 @@ class TestLargeAD:
         np.testing.assert_allclose(np.asarray(gr[0])[:256],
                                    want_r[:256].astype(np.float32),
                                    atol=2e-2)
+
+
+class TestScaleFolding:
+    def test_scaled_forward_matches_postmultiply(self):
+        # `scale` folds into the pass-2 tables: same transform scaled,
+        # zero extra HBM passes (the bench chain + inverse rely on it).
+        n = 1 << 18
+        rng = np.random.default_rng(7)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        s = 1.0 / np.sqrt(n)
+        yr, yi = fft_split_large(xr, xi, interpret=True)
+        sr, si = fft_split_large(xr, xi, interpret=True, scale=s)
+        got = (np.asarray(sr[0], np.float64)
+               + 1j * np.asarray(si[0], np.float64))
+        want = (np.asarray(yr[0], np.float64)
+                + 1j * np.asarray(yi[0], np.float64)) * s
+        assert _snr(got, want) > 120.0
+
+    def test_inverse_roundtrip_still_unit(self):
+        # the inverse 1/n now rides the tables; round-trip must stay 1.
+        n = 1 << 18
+        rng = np.random.default_rng(8)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_large(xr, xi, interpret=True)
+        br, bi = fft_split_large(yr, yi, Direction.INVERSE, interpret=True)
+        assert _snr(np.asarray(br[0]), np.asarray(xr[0])) > 110.0
+        assert _snr(np.asarray(bi[0]), np.asarray(xi[0])) > 110.0

@@ -85,3 +85,19 @@ class TestThreestep:
             fft_split_huge(jnp.zeros((1, 1 << 20), jnp.float32),
                            jnp.zeros((1, 1 << 20), jnp.float32),
                            interpret=True)
+
+
+class TestScaleFoldingHuge:
+    def test_scaled_forward_matches_postmultiply(self):
+        n = 1 << 23
+        rng = np.random.default_rng(9)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        s = 1.0 / np.sqrt(n)
+        yr, yi = fft_split_huge(xr, xi, interpret=True)
+        sr, si = fft_split_huge(xr, xi, interpret=True, scale=s)
+        got = (np.asarray(sr[0], np.float64)
+               + 1j * np.asarray(si[0], np.float64))
+        want = (np.asarray(yr[0], np.float64)
+                + 1j * np.asarray(yi[0], np.float64)) * s
+        assert _snr(got, want) > 120.0
