@@ -54,11 +54,19 @@ def _cdot(ar, ai, br, bi):
     return rr, ri
 
 
-def _tables(n: int, direction: Direction, dtype=np.float32):
-    """Host-side constant tables for the kernel: F_m, F_128, W_n^{j1*k2}."""
+def _tables(n: int, direction: Direction, dtype=np.float32,
+            scale: float | None = None):
+    """Host-side constant tables for the kernel: F_m, F_128, W_n^{j1*k2}.
+
+    `scale` folds an output normalization into F_128 (the LAST
+    contraction of `_fwd_body`) so scaled transforms cost zero extra
+    HBM passes. Only for `_fwd_body` consumers — `_inv_body` applies
+    its own in-kernel 1/n and must get unscaled tables."""
     m = n // N1
     Fm = dft_matrix_np(m, direction)
     F1 = dft_matrix_np(N1, direction)
+    if scale is not None:
+        F1 = F1 * float(scale)
     # tw[k2, j1] = W_n^{j1*k2}: stage_twiddle_np(r=m, m=N1) gives
     # T[a, b] = W_{m*N1}^{a*b} with a over k2 (m) and b over j1 (N1).
     tw = stage_twiddle_np(m, N1, direction)
@@ -144,8 +152,11 @@ def _rows_per_program(m: int, B: int) -> int:
     return max(r, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("direction", "interpret"))
-def _pallas_fft_impl(xr, xi, *, direction: Direction, interpret: bool):
+@functools.partial(
+    jax.jit, static_argnames=("direction", "interpret", "scale")
+)
+def _pallas_fft_impl(xr, xi, *, direction: Direction, interpret: bool,
+                     scale=None):
     batch = xr.shape[:-1]
     n = int(xr.shape[-1])
     m = n // N1
@@ -153,7 +164,10 @@ def _pallas_fft_impl(xr, xi, *, direction: Direction, interpret: bool):
     R = _rows_per_program(m, B)
     xr3 = xr.reshape(B, m, N1)
     xi3 = xi.reshape(B, m, N1)
-    tabs = _tables(n, direction, xr.dtype)
+    eff = (1.0 / n if direction == Direction.INVERSE else 1.0)
+    eff *= (scale if scale is not None else 1.0)
+    tabs = _tables(n, direction, xr.dtype,
+                   scale=None if eff == 1.0 else eff)
     row_in = pl.BlockSpec((R, m, N1), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     consts = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tabs]
@@ -174,19 +188,16 @@ def _pallas_fft_impl(xr, xi, *, direction: Direction, interpret: bool):
         ),
         interpret=interpret,
     )(xr3, xi3, *tabs)
-    yr = yr.reshape(*batch, n)
-    yi = yi.reshape(*batch, n)
-    if direction == Direction.INVERSE:
-        s = jnp.asarray(1.0 / n, dtype=yr.dtype)
-        return yr * s, yi * s
-    return yr, yi
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
 
 
-def pallas_fft_split(xr, xi, direction=FORWARD, interpret: bool = False):
+def pallas_fft_split(xr, xi, direction=FORWARD, interpret: bool = False,
+                     scale: float | None = None):
     """Batched FFT on split planes via the VMEM-resident kernel.
 
     xr, xi: float32 [..., n] with n = m*128, m in {8..128} pow2.
-    Forward unscaled / inverse 1/n (reference convention)."""
+    Forward unscaled / inverse 1/n (reference convention). `scale`
+    folds an extra output normalization into the tables for free."""
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
     n = int(xr.shape[-1])
@@ -195,7 +206,9 @@ def pallas_fft_split(xr, xi, direction=FORWARD, interpret: bool = False):
             f"pallas_fft_split supports n = m*128, m in 8..128 pow2; got {n}"
         )
     return _pallas_fft_impl(
-        xr, xi, direction=Direction(int(direction)), interpret=bool(interpret)
+        xr, xi, direction=Direction(int(direction)),
+        interpret=bool(interpret),
+        scale=None if scale is None else float(scale),
     )
 
 
