@@ -265,6 +265,23 @@ def _blocked_mid_default() -> bool:
     return os.environ.get("FFTLAB_FS_BLOCKED", "0") != "0"
 
 
+def _blocked_filter_default() -> bool:
+    """Sandwich (filter) blocked-layout default: ON.
+
+    Measured r2 on-device (bench_artifacts/session_r2s3.jsonl): the
+    blocked sandwich runs the 16x1M filter in 2.53 ms vs 6.25 ms
+    row-major — the forward's out_blocked chunks feed the inverse's
+    in_blocked pass 1 as contiguous slabs, so only the first read and
+    last write of the whole four-pass sandwich stay strided.
+    FFTLAB_FS_BLOCKED (set to anything) still overrides both ways."""
+    import os
+
+    env = os.environ.get("FFTLAB_FS_BLOCKED")
+    if env is not None:
+        return env != "0"
+    return True
+
+
 def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
               width=None, blocked_mid: bool | None = None,
               sides=None, in_blocked: bool = False,
@@ -464,7 +481,7 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
     for d in batch:
         B *= int(d)
     if blocked is None:
-        blocked = _blocked_mid_default()  # resolved outside jit (cache key)
+        blocked = _blocked_filter_default()  # resolved outside jit (cache key)
     yr, yi = _filter_large_impl(
         xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
         interpret=bool(interpret), blocked=bool(blocked),
