@@ -334,7 +334,16 @@ def main() -> None:
     import os
     import time as _time
 
+    # Persistent compile cache shared with scripts/tpu_session.py etc.:
+    # kernel compiles over this tunnel cost 20-120 s each, and the
+    # candidate set is ~8 pallas variants — warm cache turns the bench
+    # from ~15 min of compiling into seconds.
+    cache_dir = os.path.expanduser("~/.cache/jax_comp")
+    os.makedirs(cache_dir, exist_ok=True)
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     t_start = _time.time()
