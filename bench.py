@@ -243,7 +243,9 @@ def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
     if on_tpu:
         from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
 
-        fn = lambda a, b: pallas_os_filter_split(a, b, h, fft_size=2048)
+        # default fft_size: the pipelined aligned kernel (16K blocks,
+        # BlockSpec double-buffering) when the taps fit its halo grid
+        fn = lambda a, b: pallas_os_filter_split(a, b, h)
         path = "os_filter_vmem"
     else:
         from fftlab.plan.filter_plan import FilterPlan

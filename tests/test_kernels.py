@@ -216,3 +216,56 @@ class TestPallasOsFilter:
                                    np.zeros(5000, np.float32),
                                    np.ones(2000), fft_size=1024,
                                    interpret=True)
+
+
+class TestOsFilterAligned:
+    """The pipelined BlockSpec-framed overlap-save variant."""
+
+    def test_aligned_equals_legacy_kernel(self, monkeypatch):
+        from fftlab.kernels import os_filter_vmem as m
+
+        rng = np.random.default_rng(5)
+        n, nh = 30000, 65
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        h = rng.standard_normal(nh)
+        ya = m.pallas_os_filter_split(xr, xi, h, fft_size=2048,
+                                      interpret=True)
+        monkeypatch.setenv("FFTLAB_OS_ALIGNED", "0")
+        yl = m.pallas_os_filter_split(xr, xi, h, fft_size=2048,
+                                      interpret=True)
+        # same math, different frame size => equal to f32 rounding
+        assert np.abs(np.asarray(ya[0]) - np.asarray(yl[0])).max() < 1e-4
+        assert np.abs(np.asarray(ya[1]) - np.asarray(yl[1])).max() < 1e-4
+
+    def test_long_taps_fall_back_to_legacy(self):
+        from fftlab.kernels.os_filter_vmem import (
+            _aligned_layout,
+            pallas_os_filter_split,
+        )
+
+        # need = 12 rows -> halo rounds to 16 = m: aligned impossible,
+        # legacy manual-DMA path (halo_rows=12) must still serve it.
+        assert _aligned_layout(1537, 2048) is None
+        rng = np.random.default_rng(6)
+        n, nh = 9000, 1537
+        x = rng.standard_normal(n).astype(np.float32)
+        h = rng.standard_normal(nh) / nh
+        yr, _ = pallas_os_filter_split(x, np.zeros_like(x), h,
+                                       fft_size=2048, interpret=True)
+        want = np.convolve(x.astype(np.float64), h)[:n]
+        assert np.abs(np.asarray(yr) - want).max() < 1e-5
+
+    def test_frame_count_not_multiple_of_r(self):
+        # n chosen so n_blocks % frames_per_program != 0: the padded
+        # tail super-block must not corrupt the valid samples.
+        from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+        rng = np.random.default_rng(7)
+        n, nh = 3 * 1024 + 17, 129
+        x = rng.standard_normal(n).astype(np.float32)
+        h = rng.standard_normal(nh) / nh
+        yr, _ = pallas_os_filter_split(x, np.zeros_like(x), h,
+                                       fft_size=2048, interpret=True)
+        want = np.convolve(x.astype(np.float64), h)[:n]
+        assert np.abs(np.asarray(yr) - want).max() < 1e-5
