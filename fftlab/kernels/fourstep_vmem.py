@@ -258,11 +258,13 @@ def _blocked_mid_default() -> bool:
     With the (B, L1, L2) intermediate, three of the four HBM accesses are
     W-wide strided row bursts; the blocked (B, C2, L1, W1) intermediate
     makes pass 1's write and pass 2's read contiguous full-slab DMAs,
-    leaving only the two unavoidable strided sides. Off by default until
-    the on-device sweep confirms both compile and speedup."""
+    leaving only the two unavoidable strided sides. ON by default:
+    blocked led row-major in both on-device measurement campaigns
+    (session_r2s3: 3.10 vs 3.40 ms at 16×1M; confirm round 0 with the
+    folded scale: 2.65 vs 2.75 ms)."""
     import os
 
-    return os.environ.get("FFTLAB_FS_BLOCKED", "0") != "0"
+    return os.environ.get("FFTLAB_FS_BLOCKED", "1") != "0"
 
 
 def _blocked_filter_default() -> bool:

@@ -74,7 +74,13 @@ def main():
         "einsum": ein,
     }
 
-    best: dict[str, float] = {}
+    # Pool RAW chain times across rounds per candidate, then take the
+    # slope of the pooled per-k minimums. (Taking min over per-round
+    # slopes is NOT conservative — a round whose short chain was
+    # congested in every repeat yields a spuriously tiny slope, and the
+    # min keeps it; pooled per-k mins can only converge downward to the
+    # true chain cost.)
+    pooled: dict[str, dict[int, list[float]]] = {}
     for r in range(ROUNDS):
         for name, step in cands.items():
             try:
@@ -83,15 +89,17 @@ def main():
             except Exception as e:
                 log({"name": name, "round": r, "error": str(e)[:160]})
                 continue
+            acc = pooled.setdefault(name, {})
+            for k, ts in raw.items():
+                acc.setdefault(k, []).extend(ts)
             dt = min_slope(raw)
-            if dt <= 0:
-                log({"name": name, "round": r,
-                     "error": "non-positive min-slope"})
-                continue
-            rec = {"name": name, "round": r, "ms": round(dt * 1e3, 3),
-                   "gsps": round(B * n / dt / 1e9, 3)}
+            rec = {"name": name, "round": r,
+                   "ms": round(dt * 1e3, 3) if dt > 0 else None,
+                   "gsps": round(B * n / dt / 1e9, 3) if dt > 0 else None}
             log(rec)
-            best[name] = min(best.get(name, float("inf")), dt)
+    best = {name: min_slope(acc) for name, acc in pooled.items()
+            if len(acc) == 2}
+    best = {k: v for k, v in best.items() if v > 0}
     if best:
         summary = {k: {"ms": round(v * 1e3, 3),
                        "gsps": round(B * n / v / 1e9, 3)}
