@@ -285,9 +285,12 @@ def pallas_os_filter_split(xr, xi, h, fft_size: int | None = None,
     hr2 = jnp.asarray(H.real.astype(np.float32)).reshape(N1, m)
     hi2 = jnp.asarray(H.imag.astype(np.float32)).reshape(N1, m)
     if _use_aligned(nh, fft_size):
+        import os
+
+        R = int(os.environ.get("FFTLAB_OS_FRAMES", "8"))
         yr, yi = _os_filter_aligned_impl(
             xr, xi, hr2, hi2, nh=nh, fft_size=fft_size,
-            interpret=bool(interpret))
+            interpret=bool(interpret), frames_per_program=R)
     else:
         yr, yi = _os_filter_impl(xr, xi, hr2, hi2, nh=nh,
                                  fft_size=fft_size,
