@@ -15,7 +15,7 @@ fraction against the bandwidth measured IN THIS RUN:
 
 Timing = chain_time (fftlab/bench/timing.py): k applications chained in
 one jitted fori_loop, one dispatch+readback per measurement, slope over
-two k values. This is the only protocol that survives the tunnel's
+three k values. This is the only protocol that survives the tunnel's
 dispatch jitter; inputs vary per repeat so the backend's computation
 memoization never hits.
 
@@ -51,8 +51,11 @@ def _spread(step, mk_state, ks, repeats=4):
     .min_slope): congestion on this multi-tenant service only ever adds
     time, so min-over-repeats per chain length converges to the
     uncongested cost while the median of per-repeat slopes can go
-    negative under a single spike. The per-repeat slopes are still
-    reported as the spread/noise diagnostic."""
+    negative under a single spike. Three chain lengths are used so the
+    estimator can take the max over pairwise min-slopes — with only two,
+    a short chain congested in EVERY repeat deflates the slope below
+    physics (observed: 14.4 GS/s at a 2.9 ms HBM floor). The per-repeat
+    slopes are still reported as the spread/noise diagnostic."""
     import time as _time
 
     from fftlab.bench.timing import min_slope
@@ -95,7 +98,7 @@ def bench_bandwidth(jnp, on_tpu: bool) -> dict:
         return (base_r + t, base_i - t)
 
     step = lambda a, b: (a * 1.0000001 + 1.0, b * 1.0000001 + 1.0)
-    r = _spread(step, mk, ks=(16, 128), repeats=3)
+    r = _spread(step, mk, ks=(16, 56, 128), repeats=3)
     r["gbps"] = round(nbytes / (r["ms"] / 1e3) / 1e9, 1)
     return r
 
@@ -155,6 +158,22 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
     out = dict(best)
     out["paths"] = results
     t_min_ms = min_passes * 16.0 * batch * n / (bw_gbps * 1e9) * 1e3
+    if out["ms"] < t_min_ms:
+        # Faster than the HBM floor is a measurement artifact, not a
+        # result (a deflated slope under congestion). Re-measure the
+        # winning path once and keep the LARGER (conservative) time;
+        # if it still violates the floor, say so rather than publish it.
+        fn = dict((p, f) for f, p in _large_fft_candidates(n))[out["path"]]
+        try:
+            redo = _measure_path(jax, jnp, fn, out["path"], xr, xi, want,
+                                 ks=ks, repeats=repeats)
+        except Exception:
+            redo = {}
+        if redo.get("ms", 0.0) > out["ms"]:
+            out.update({k: redo[k] for k in
+                        ("ms", "ms_median", "ms_max", "gsps") if k in redo})
+        if out["ms"] < t_min_ms:
+            out["floor_violation"] = True
     out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
     out["roofline_floor_ms"] = round(t_min_ms, 3)
     return out
@@ -165,7 +184,7 @@ def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     n = 1 << 20 if on_tpu else 1 << 12
     batch = 16 if on_tpu else 2
     return _bench_fft_size(jax, jnp, n, batch, bw_gbps,
-                           ks=(8, 48), repeats=4)
+                           ks=(8, 24, 48), repeats=4)
 
 
 def _large_fft_candidates(n: int):
@@ -228,7 +247,7 @@ def bench_fft_16m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     the three-pass kernel sets the floor at 3 HBM passes."""
     n = 1 << 24 if on_tpu else 1 << 14
     return _bench_fft_size(jax, jnp, n, 1, bw_gbps,
-                           ks=(8, 48), repeats=3, min_passes=3.0, seed=1)
+                           ks=(8, 24, 48), repeats=3, min_passes=3.0, seed=1)
 
 
 def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
@@ -272,7 +291,7 @@ def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
         t = jnp.float32(1e-3 * i)
         return (xr + t, xi - t)
 
-    r = _spread(step, mk, ks=(8, 48), repeats=3)
+    r = _spread(step, mk, ks=(8, 24, 48), repeats=3)
     r["gsps"] = round(2 * n / (r["ms"] / 1e3) / 1e9, 4)  # 2 real channels
     r["snr_db"] = round(snr, 1)
     r["path"] = path
@@ -304,7 +323,7 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
     out = {}
     try:
         r = _spread(xla_step, lambda i: (x + jnp.float32(i),),
-                    ks=(8, 48), repeats=3)
+                    ks=(8, 24, 48), repeats=3)
         n_frames = (n - frame) // hop + 1
         r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
         out["xla"] = r
@@ -320,7 +339,7 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
                 return (sig + jnp.float32(1e-30) * fr[0, 0],)
 
             r = _spread(k_step, lambda i: (x + jnp.float32(i),),
-                        ks=(8, 48), repeats=3)
+                        ks=(8, 24, 48), repeats=3)
             n_frames = (n - frame) // hop + 1
             r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
             out["pallas"] = r

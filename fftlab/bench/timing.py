@@ -118,13 +118,27 @@ def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
 
 def min_slope(raw: dict) -> float:
     """Per-application seconds from a `chain_time(..., return_raw=True)`
-    sample: slope between the per-k MINIMUM chain times.
+    sample: slope between per-k MINIMUM chain times.
 
     On a multi-tenant service, congestion only ever ADDS time (each
     chain's completion is fenced by a readback), so min-over-repeats
-    converges to the uncongested chain cost and the min-slope is the
-    robust estimator — the median of per-repeat slopes can go negative
-    when a single congestion spike lands inside one repeat.
+    converges to the uncongested chain cost and a min-slope is robust
+    where the median of per-repeat slopes can go negative under a
+    single spike.
+
+    With two chain lengths the estimate can still DEFLATE: if the short
+    chain is congested in every repeat while the long chain catches one
+    clean window, the slope comes out below the true cost — we observed
+    a physically impossible 14.4 GS/s (2.5x the HBM floor) from exactly
+    this failure. So with >= 3 chain lengths this returns the MAX over
+    all pairwise min-slopes: each pair's slope is
+    c + (e_long - e_short)/(k_long - k_short) with e_k >= 0 the
+    residual congestion on that chain's best repeat, so under-estimates
+    need e_short > 0 on every pair sharing its short end; the max picks
+    the best-supported pair, and its bias is CONSERVATIVE (a congested
+    long chain over-states time, never physics-breaking under-states).
     """
     ks = sorted(raw)
-    return (min(raw[ks[-1]]) - min(raw[ks[0]])) / (ks[-1] - ks[0])
+    m = {k: min(raw[k]) for k in ks}
+    return max((m[b] - m[a]) / (b - a)
+               for i, a in enumerate(ks) for b in ks[i + 1:])

@@ -256,6 +256,25 @@ class TestMeasureProtocol:
         est = min_slope(raw)
         assert abs(est - true_cost) < 1e-9
 
+    def test_min_slope_three_ks_rejects_deflation(self):
+        # With two chain lengths, a short chain congested in EVERY
+        # repeat while the long chain catches a clean window deflates
+        # the slope below the true cost (the impossible 14.4 GS/s
+        # artifact in bench_r2s3.json). With three lengths the
+        # estimator takes the max over pairwise min-slopes, and the
+        # clean (24, 48) pair wins.
+        from fftlab.bench.timing import min_slope
+
+        c, d = 2e-3, 30e-3
+        raw = {8: [d + 8 * c + 0.04, d + 8 * c + 0.05],   # always congested
+               24: [d + 24 * c, d + 24 * c + 0.01],        # clean repeat
+               48: [d + 48 * c, d + 48 * c + 0.2]}         # clean repeat
+        est = min_slope(raw)
+        assert abs(est - c) < 1e-9
+        # the deflated 2-point estimate would have been (t48-t8)/40 < c:
+        deflated = (min(raw[48]) - min(raw[8])) / 40
+        assert deflated < c
+
     def test_chain_time_return_raw_shape(self):
         import jax.numpy as jnp
         from fftlab.bench.timing import chain_time
