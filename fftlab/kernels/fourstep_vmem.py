@@ -1,4 +1,4 @@
-"""Two-pass four-step FFT for large n (2^18..2^22): the round-2 fast path.
+"""Two-pass four-step FFT for large n (2^15..2^22): the round-2 fast path.
 
 The XLA einsum pipeline (algos/split_stockham.py) makes ~6 HBM passes
 at n=1M (3 stage matmuls + 2 twiddle passes + the digit-reversal
@@ -49,7 +49,7 @@ from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
 LANES = 128
 _P = jax.lax.Precision.HIGHEST
 
-MIN_N = 1 << 18       # below this the einsum/fft_vmem paths win
+MIN_N = 1 << 15       # below this the fft_vmem/einsum paths win
 # Per-pass VMEM budget bounds the sides: a pass holds in+out+twiddle
 # slabs x 2 planes x Pallas double-buffering = 12 slabs of L*128*4 B.
 # L = 2048 -> 12 MB (fits); L = 4096 -> 24 MB (compile fails with the
@@ -318,8 +318,8 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
         L1, L2 = sides if sides is not None else _split_sides(n)
         if L1 * L2 != n:
             raise ValueError(f"sides {L1}x{L2} != n {n}")
-        W1 = width or _blk_width(L1)
-    R2 = width or _blk_width(L2)
+        W1 = min(width or _blk_width(L1), L2)
+    R2 = min(width or _blk_width(L2), L1)
     if L2 % W1 or W1 % LANES or L1 % R2 or R2 % LANES:
         raise ValueError(
             f"block widths ({W1}, {R2}) must be multiples of {LANES} "
@@ -462,7 +462,7 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
     inverse is the same two-pass kernel with conjugated tables. The XLA
     einsum sandwich costs ~12 passes at these sizes.
 
-    xr, xi: [..., n] split planes (n = 2^18..2^22 pow2).
+    xr, xi: [..., n] split planes (n = 2^15..2^22 pow2).
     hr, hi: the length-n frequency response H[k], natural bin order.
     Equivalent numerics: ifft(fft(x) * H) with 1/n scaling
     (SURVEY.md §3.4 sandwich; fft_filtering.c:111-132 semantics)."""
@@ -498,7 +498,7 @@ def fft_split_large(xr, xi, direction=FORWARD,
     """Batched large-n FFT on split planes via the two-pass VMEM kernel.
 
     xr, xi: float32 [B, n] (or [..., n]; batch dims are flattened),
-    n = 2^18..2^22 pow2 (see MAX_N note). Forward unscaled / inverse 1/n (reference
+    n = 2^15..2^22 pow2 (see MAX_N note). Forward unscaled / inverse 1/n (reference
     convention, radix2_dit.c:115-119). Natural-order output.
     `blocked` picks the intermediate layout (None = FFTLAB_FS_BLOCKED env,
     see _blocked_mid_default). `scale` folds an extra output
@@ -536,7 +536,7 @@ def rfft_split_large(x, interpret: bool | None = None):
     """Real-input FFT for huge signals: real [..., n] -> one-sided
     (re, im) pair of n//2+1 bins, running the half-size complex
     transform on the two-pass kernel (pack-two-reals, real_fft.py
-    semantics). n must be 2*supported_large, i.e. 2^19..2^27."""
+    semantics). n must be 2*supported_large, i.e. 2^16..2^27."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     from fftlab.algos.split_stockham import rfft_split

@@ -10,7 +10,7 @@ fft_auto.c:55-93 + :136-172, actually consumed.
 Routes (split re/im planes, [..., n] batch-first):
 
   pallas_vmem      one-residency kernel, TPU, n = m*128 (m 8..128 pow2)
-  fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^18..2^22
+  fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^15..2^22
                    (blocked layout; measured 2.65 ms/16×1M = 6.3 GS/s
                    vs einsum's 3.2, r2s3 confirm)
   threestep_vmem   three-pass huge-n kernel, TPU, pow2 n in 2^23..2^26

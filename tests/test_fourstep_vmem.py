@@ -22,7 +22,7 @@ def _snr(got, want):
 
 
 class TestFourstepVmem:
-    @pytest.mark.parametrize("n", [1 << 18, 1 << 19])
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 16, 1 << 18, 1 << 19])
     def test_matches_numpy(self, n):
         rng = np.random.default_rng(n % 97)
         xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
@@ -35,7 +35,7 @@ class TestFourstepVmem:
                               + 1j * np.asarray(xi[b], np.float64))
             assert _snr(got, want) > 120.0
 
-    @pytest.mark.parametrize("n", [1 << 18, 1 << 19])
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 18, 1 << 19])
     def test_blocked_mid_matches_numpy(self, n):
         """The blocked-intermediate layout is numerically identical to
         the row-major one (same math, different DMA shapes)."""
@@ -170,7 +170,11 @@ class TestRfftLarge:
         from fftlab.kernels.fourstep_vmem import rfft_split_large
 
         with pytest.raises(ValueError):
-            rfft_split_large(jnp.zeros((1, 1 << 17), jnp.float32),
+            # n/2 = 2^14 is below the two-pass kernel's floor
+            rfft_split_large(jnp.zeros((1, 1 << 15), jnp.float32),
+                             interpret=True)
+        with pytest.raises(ValueError):
+            rfft_split_large(jnp.zeros((1, 12345), jnp.float32),
                              interpret=True)
 
 
