@@ -48,6 +48,13 @@ def select_split_impl(n: int, batch: int = 1) -> str:
     caps = detect_hardware()
     if caps.platform != "tpu" or os.environ.get("FFTLAB_NO_PALLAS"):
         return "einsum"
+    # Measured wisdom (plan.split_tuning.tune_split_route) outranks the
+    # static heuristic: FFT_MEASURE consumed at the dispatch level.
+    from fftlab.plan.split_tuning import best_route
+
+    measured = best_route(n)
+    if measured is not None:
+        return measured
     from fftlab.kernels.fft_vmem import supported_size
     from fftlab.kernels.fourstep_vmem import supported_large
 

@@ -71,3 +71,97 @@ def best_leaf(n: int) -> int:
     if cached and cached["algorithm"].startswith("leaf="):
         return int(cached["algorithm"].split("=", 1)[1])
     return DEFAULT_LEAF_SPLIT
+
+
+def _route_candidates(n: int) -> list[str]:
+    """Execution routes measurable for an n-point split FFT on the
+    current platform (mirrors plan.dispatch's capability gates)."""
+    import jax
+
+    cands = ["einsum"]
+    if jax.default_backend() != "tpu":
+        return cands
+    from fftlab.kernels.fft_vmem import supported_size
+    from fftlab.kernels.fourstep_vmem import supported_large
+    from fftlab.kernels.threestep_vmem import supported_huge
+
+    if supported_size(n):
+        cands.append("pallas_vmem")
+    if supported_large(n):
+        cands.append("fourstep_vmem")
+    if supported_huge(n):
+        cands.append("threestep_vmem")
+    return cands
+
+
+def _route_fn(route: str):
+    if route == "pallas_vmem":
+        from fftlab.kernels.fft_vmem import pallas_fft_split
+
+        return lambda a, b: pallas_fft_split(a, b)
+    if route == "fourstep_vmem":
+        from fftlab.kernels.fourstep_vmem import fft_split_large
+
+        return lambda a, b: fft_split_large(a, b)
+    if route == "threestep_vmem":
+        from fftlab.kernels.threestep_vmem import fft_split_huge
+
+        return lambda a, b: fft_split_huge(a, b)
+    from fftlab.algos.split_stockham import fft_split
+
+    return lambda a, b: fft_split(a, b)
+
+
+def tune_split_route(n: int, batch: int = 4, persist: bool = True) -> str:
+    """FFT_MEASURE at the DISPATCH level: time every execution route
+    available for (n, batch) on this device with the hardened chain
+    protocol and record the winner under kind='route'; plan.dispatch
+    consults it before its static heuristic. The reference's planner
+    declares exactly this measure-once-then-reuse loop and stubs it
+    (fft_auto.c:233-235 + wisdom stubs :418-426)."""
+    import jax.numpy as jnp
+
+    from fftlab.bench.timing import PROTOCOL, chain_time, min_slope
+
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    scale = 1.0 / float(np.sqrt(n))  # keep chained magnitudes bounded
+
+    timings: dict[str, float] = {}
+    for route in _route_candidates(n):
+        fn = _route_fn(route)
+
+        def step(a, b, fn=fn):
+            yr, yi = fn(a, b)
+            s = jnp.float32(scale)
+            return yr * s, yi * s
+
+        try:
+            raw = chain_time(step, lambda i: (xr + jnp.float32(1e-3 * i),
+                                              xi - jnp.float32(1e-3 * i)),
+                             ks=(4, 10, 16), repeats=3, return_raw=True)
+            dt = min_slope(raw)
+        except Exception:
+            continue
+        if dt > 0:
+            timings[route] = dt
+    if not timings:
+        return "einsum"
+    best = min(timings, key=timings.get)
+    if persist:
+        wisdom.record(n, "f32", best, timings[best] * 1e3, kind="route",
+                      extra={"protocol": PROTOCOL, "batch": batch,
+                             "timings_ms": {r: round(t * 1e3, 4)
+                                            for r, t in timings.items()}})
+    return best
+
+
+def best_route(n: int) -> str | None:
+    """Wisdom-recorded dispatch route for n (None if never measured or
+    the recorded route is no longer valid for this n/platform)."""
+    cached = wisdom.lookup(n, "f32", kind="route")
+    if not cached:
+        return None
+    route = cached.get("algorithm")
+    return route if route in _route_candidates(n) else None

@@ -91,6 +91,33 @@ class TestSplitTuning:
         assert tune_split_leaf(10007, leaves=(64, 128),
                                persist=False) == DEFAULT_LEAF_SPLIT
 
+    def test_route_tune_records_and_dispatch_consults(self, monkeypatch):
+        # On CPU the only measurable route is einsum; the point is the
+        # loop: measure -> wisdom(kind='route') -> dispatch override.
+        from fftlab.plan import wisdom
+        from fftlab.plan.split_tuning import best_route, tune_split_route
+
+        wisdom.forget()
+        assert best_route(1024) is None
+        route = tune_split_route(1024, batch=1)
+        assert route == "einsum"
+        rec = wisdom.lookup(1024, "f32", kind="route")
+        assert rec["algorithm"] == "einsum"
+        assert rec["protocol"] == "slope"
+        assert "einsum" in rec["timings_ms"]
+        wisdom.forget()
+
+    def test_stale_route_wisdom_ignored(self):
+        # A recorded route that is not measurable on this platform
+        # (pallas on CPU) must not be returned.
+        from fftlab.plan import wisdom
+        from fftlab.plan.split_tuning import best_route
+
+        wisdom.forget()
+        wisdom.record(8192, "f32", "pallas_vmem", 1.0, kind="route")
+        assert best_route(8192) is None
+        wisdom.forget()
+
 
 class TestEdgeSizes:
     @pytest.mark.parametrize("n", [1, 2, 3])
@@ -154,6 +181,19 @@ class TestCapsDispatch:
 
         self._fake_caps(monkeypatch, "cpu")
         assert select_split_impl(8192) == "einsum"
+
+    def test_measured_route_wisdom_outranks_heuristic(self, monkeypatch):
+        from fftlab.plan import wisdom
+        from fftlab.plan.dispatch import select_split_impl
+
+        self._fake_caps(monkeypatch, "tpu")
+        # heuristic says pallas_vmem at 8192; a measured 'einsum' win
+        # recorded in wisdom must override it
+        wisdom.forget()
+        wisdom.record(8192, "f32", "einsum", 0.5, kind="route")
+        assert select_split_impl(8192) == "einsum"
+        wisdom.forget()
+        assert select_split_impl(8192) == "pallas_vmem"
 
     def test_env_override_wins(self, monkeypatch):
         from fftlab.plan.dispatch import select_split_impl
