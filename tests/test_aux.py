@@ -108,6 +108,50 @@ class TestBenchHarness:
         assert r["bound"] in ("bandwidth", "compute")
         assert r["effective_gflops"] > 0
 
+    def test_bench_floor_violation_remeasure(self, monkeypatch):
+        """bench.py must not publish a sub-HBM-floor time: a deflated
+        first measurement triggers a re-measure; the larger time wins
+        and a still-impossible result is flagged."""
+        import importlib.util
+        import jax
+        import jax.numpy as jnp
+
+        spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        calls = {"n": 0}
+
+        def fake_measure(jax_, jnp_, fn, path, xr, xi, want, ks, repeats):
+            calls["n"] += 1
+            # first sweep: einsum path deflated below the floor;
+            # the redo returns an honest (slower) time
+            ms = 0.001 if calls["n"] == 1 else 0.02
+            return {"ms": ms, "gsps": 1.0 / ms, "snr_db": 140.0,
+                    "path": path}
+
+        monkeypatch.setattr(bench, "_measure_path", fake_measure)
+        monkeypatch.setattr(bench, "_large_fft_candidates",
+                            lambda n: [(lambda a, b, scale=None: (a, b),
+                                        "einsum_stockham")])
+        out = bench._bench_fft_size(jax, jnp, n=1 << 12, batch=2,
+                                    bw_gbps=100.0, ks=(2, 3, 4), repeats=1)
+        # floor = 2 * 16 B * 2*4096 / 100 GB/s = 0.0026 ms > 0.001 ->
+        # re-measure ran and its 0.02 ms replaced the artifact
+        assert calls["n"] == 2
+        assert out["ms"] == 0.02
+        assert "floor_violation" not in out
+        assert out["roofline_fraction"] <= 1.0
+
+        calls["n"] = 0
+        monkeypatch.setattr(
+            bench, "_measure_path",
+            lambda *a, **k: {"ms": 0.001, "gsps": 1000.0,
+                             "snr_db": 140.0, "path": "einsum_stockham"})
+        out = bench._bench_fft_size(jax, jnp, n=1 << 12, batch=2,
+                                    bw_gbps=100.0, ks=(2, 3, 4), repeats=1)
+        assert out["floor_violation"] is True
+
     def test_complexity_exponent_nlogn(self):
         from fftlab.bench.harness import BenchResult, complexity_exponent
 
