@@ -62,26 +62,35 @@ def _spread(step, mk_state, ks, repeats=4):
 
     from fftlab.bench.timing import chain_time
 
-    for attempt in range(2):
-        raw = chain_time(step, mk_state, ks=ks, repeats=repeats,
-                         return_raw=True)
+    raw: dict = {}
+    for attempt in range(3):
+        fresh = chain_time(step, mk_state, ks=ks, repeats=repeats,
+                           return_raw=True)
+        for k, v in fresh.items():
+            raw.setdefault(k, []).extend(v)
         kk = sorted(raw)
         slopes = [(b - a) / (kk[-1] - kk[0])
                   for a, b in zip(raw[kk[0]], raw[kk[-1]])]
         good = [t for t in slopes if t > 0]
         ms = min_slope(raw)
-        if ms > 0:
+        n_rep = len(raw[kk[0]])
+        noisy = len(good) < n_rep or (ms > 0 and (max(slopes) / ms) > 2.0)
+        if ms > 0 and (not noisy or attempt >= 1):
+            # noisy first round: sample once more and merge — per-k
+            # minima get more chances to catch a clean window; after
+            # the merge, publish whatever we have (flagged).
             r = {
                 "ms": round(float(ms) * 1e3, 4),
                 "ms_median": round(float(np.median(good or slopes)) * 1e3, 4),
                 "ms_max": round(float(np.max(slopes)) * 1e3, 4),
-                "repeats": repeats,
+                "repeats": n_rep,
             }
-            if len(good) < repeats or (max(slopes) / ms) > 2.0:
+            if noisy:
                 r["noisy"] = True
             return r
-        _time.sleep(30)
-    raise RuntimeError("min-slope non-positive twice (congested service)")
+        if ms <= 0:
+            _time.sleep(30)
+    raise RuntimeError("min-slope non-positive thrice (congested service)")
 
 
 def bench_bandwidth(jnp, on_tpu: bool) -> dict:
