@@ -27,6 +27,7 @@ from fftlab.plan.api import (
     ifft,
     fft_auto,
     plan_dft_1d,
+    plan_dft_1d_split,
     plan_r2c_1d,
     plan_c2r_1d,
     plan_dft_2d,
@@ -61,6 +62,7 @@ __all__ = [
     "ifft",
     "fft_auto",
     "plan_dft_1d",
+    "plan_dft_1d_split",
     "plan_r2c_1d",
     "plan_c2r_1d",
     "plan_dft_2d",

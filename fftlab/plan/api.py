@@ -135,6 +135,50 @@ def plan_dft_2d(rows: int, cols: int, direction=FORWARD,
     )
 
 
+def plan_dft_1d_split(n: int, direction=FORWARD,
+                      flags: Flags = Flags.ESTIMATE,
+                      batch: int = 1) -> Plan:
+    """Device-native plan for split re/im float32 planes — the
+    TPU-first counterpart of `plan_dft_1d` (this environment's TPU
+    rejects complex dtypes, so the complex plan path is CPU-only).
+
+    Flag semantics (fft_auto.h:17-29 analogs, realized at the DISPATCH
+    level):
+      ESTIMATE     capability heuristic (+ any previously measured
+                   route wisdom) picks the execution route
+      MEASURE/PATIENT/EXHAUSTIVE
+                   time every route available for (n, batch) on this
+                   device (plan.split_tuning.tune_split_route) and pin
+                   the winner; the measurement persists as wisdom
+      WISDOM_ONLY  require a previously measured route (RuntimeError
+                   otherwise — fft_auto semantics)
+
+    The returned Plan's execute takes and returns an (re, im) pair.
+    """
+    from fftlab.plan.dispatch import run_route, select_split_impl
+    from fftlab.plan.split_tuning import best_route, tune_split_route
+
+    n = int(n)
+    direction = Direction(int(direction))
+    if flags & (Flags.MEASURE | Flags.PATIENT | Flags.EXHAUSTIVE):
+        route = best_route(n) or tune_split_route(n, batch=batch)
+    elif flags & Flags.WISDOM_ONLY:
+        route = best_route(n)
+        if route is None:
+            raise RuntimeError(
+                f"WISDOM_ONLY set but no measured route wisdom for n={n}"
+            )
+    else:
+        route = select_split_impl(n, batch)
+
+    def fn(pair):
+        xr, xi = pair
+        return run_route(route, xr, xi, direction)
+
+    return Plan("c2c_split", n, direction, np.float32, route,
+                PlanConfig(flags=flags), fn)
+
+
 def execute(plan: Plan, x):
     """fft_execute analog."""
     return plan.execute(x)

@@ -95,6 +95,24 @@ def fft_split_auto(xr, xi, direction=None):
     for d in xr.shape[:-1]:
         batch *= int(d)
     route = select_split_impl(n, batch)
+    return run_route(route, xr, xi, direction)
+
+
+def run_route(route: str, xr, xi, direction):
+    """Execute a split-plane FFT through a NAMED route (the vtable row
+    of fft_gpu.c:140-287, keyed by route name instead of backend enum).
+    Used by fft_split_auto and by split plans (plan.api), which pin the
+    route at plan time."""
+    import jax.numpy as jnp
+
+    if route not in ROUTES:
+        raise ValueError(f"unknown route {route!r}; want one of {ROUTES}")
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    batch = 1
+    for d in xr.shape[:-1]:
+        batch *= int(d)
     if route == "pallas_vmem":
         from fftlab.kernels.fft_vmem import pallas_fft_split
 

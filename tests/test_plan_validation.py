@@ -107,6 +107,47 @@ class TestSplitTuning:
         assert "einsum" in rec["timings_ms"]
         wisdom.forget()
 
+    def test_split_plan_estimate_and_execute(self):
+        import jax.numpy as jnp
+        from fftlab.plan.api import plan_dft_1d_split
+
+        n = 1024
+        p = plan_dft_1d_split(n)
+        assert p.kind == "c2c_split"
+        assert p.algorithm == "einsum"  # CPU route
+        rng = np.random.default_rng(3)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        yr, yi = p.execute((xr, xi))
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        snr = 10 * np.log10(np.sum(np.abs(want) ** 2)
+                            / np.sum(np.abs(got - want) ** 2))
+        assert snr > 120.0
+
+    def test_split_plan_measure_records_wisdom(self):
+        from fftlab.plan import wisdom
+        from fftlab.plan.api import plan_dft_1d_split
+        from fftlab.plan.flags import Flags
+
+        wisdom.forget()
+        p = plan_dft_1d_split(512, flags=Flags.MEASURE, batch=1)
+        assert p.algorithm == "einsum"
+        assert wisdom.lookup(512, "f32", kind="route") is not None
+        wisdom.forget()
+
+    def test_split_plan_wisdom_only_requires_measurement(self):
+        import pytest as _pytest
+        from fftlab.plan import wisdom
+        from fftlab.plan.api import plan_dft_1d_split
+        from fftlab.plan.flags import Flags
+
+        wisdom.forget()
+        with _pytest.raises(RuntimeError):
+            plan_dft_1d_split(2048, flags=Flags.WISDOM_ONLY)
+
     def test_stale_route_wisdom_ignored(self):
         # A recorded route that is not measurable on this platform
         # (pallas on CPU) must not be returned.
