@@ -44,6 +44,19 @@ def main() -> None:
     print(f"  executed batch {x.shape} -> {X.shape} on "
           f"{jax.devices()[0].platform}")
 
+    print("\nDevice-native split plan (route pinned at plan time):")
+    from fftlab.plan.api import plan_dft_1d_split
+
+    sp = plan_dft_1d_split(1 << 16)
+    print(f"  {sp.describe()}")
+    xr = np.asarray(np.real(x), np.float32)
+    xi = np.asarray(np.imag(x), np.float32)
+    sp1k = plan_dft_1d_split(1024)
+    Yr, Yi = sp1k.execute((xr, xi))
+    print(f"  executed split batch {xr.shape} via route "
+          f"'{sp1k.algorithm}'; Flags.MEASURE would time every route "
+          f"on-device and persist the winner as wisdom")
+
     from fftlab.utils.viz import (
         butterfly_diagram,
         memory_access_trace,
