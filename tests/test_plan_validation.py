@@ -107,6 +107,15 @@ class TestSplitTuning:
         assert "einsum" in rec["timings_ms"]
         wisdom.forget()
 
+    def test_run_route_rejects_unknown(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+        from fftlab.plan.dispatch import run_route
+
+        z = jnp.zeros((1, 128), jnp.float32)
+        with _pytest.raises(ValueError):
+            run_route("bogus", z, z, 1)
+
     def test_split_plan_estimate_and_execute(self):
         import jax.numpy as jnp
         from fftlab.plan.api import plan_dft_1d_split
