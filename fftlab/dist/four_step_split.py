@@ -40,10 +40,11 @@ def _twiddle_cs(n1_local: int, n2: int, n: int, j1_offset,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("direction", "n1", "axis_name", "mesh")
+    jax.jit,
+    static_argnames=("direction", "n1", "axis_name", "mesh", "chunks"),
 )
 def _impl(xr, xi, *, direction: Direction, n1: int, axis_name: str,
-          mesh: Mesh):
+          mesh: Mesh, chunks: int = 1):
     n = int(xr.shape[-1])
     n2 = n // n1
     p = mesh.shape[axis_name]
@@ -51,14 +52,10 @@ def _impl(xr, xi, *, direction: Direction, n1: int, axis_name: str,
     bnd = len(batch)
     rdtype = xr.dtype
 
-    def local(br, bi):
-        n1_local = n1 // p
-        idx = jax.lax.axis_index(axis_name)
-        cr, ci = stockham_fft_split_unscaled(
-            jnp.swapaxes(br, -1, -2), jnp.swapaxes(bi, -1, -2), direction
-        )  # [..., n1/p, n2]
-        tc, ts = _twiddle_cs(n1_local, n2, n, idx * n1_local, direction,
-                             rdtype)
+    def _col_stage(xrT, xiT, row_offset, rows):
+        """Column FFT + four-step twiddle on a slab of local rows."""
+        cr, ci = stockham_fft_split_unscaled(xrT, xiT, direction)
+        tc, ts = _twiddle_cs(rows, n2, n, row_offset, direction, rdtype)
         tc = jnp.swapaxes(tc, -1, -2)
         ts = jnp.swapaxes(ts, -1, -2)
         yr = cr * tc - ci * ts
@@ -67,6 +64,43 @@ def _impl(xr, xi, *, direction: Direction, n1: int, axis_name: str,
                                 concat_axis=bnd, tiled=True)
         yi = jax.lax.all_to_all(yi, axis_name, split_axis=bnd + 1,
                                 concat_axis=bnd, tiled=True)
+        return yr, yi  # [..., rows*p, n2/p]
+
+    def local(br, bi):
+        n1_local = n1 // p
+        idx = jax.lax.axis_index(axis_name)
+        xrT = jnp.swapaxes(br, -1, -2)  # [..., n1/p, n2]
+        xiT = jnp.swapaxes(bi, -1, -2)
+        if chunks == 1:
+            yr, yi = _col_stage(xrT, xiT, idx * n1_local, n1_local)
+        else:
+            # Comm/compute overlap: the column stage is independent per
+            # local-row slab, so K unrolled chunks give the scheduler K
+            # all_to_alls each overlappable with the NEXT chunk's column
+            # FFT (async collectives on real ICI; the four-step
+            # transpose of parallel_fft.c:263-271, pipelined). The final
+            # row FFT needs every chunk, so it stays a barrier.
+            rows = n1_local // chunks
+            parts = [
+                _col_stage(
+                    xrT[..., c * rows:(c + 1) * rows, :],
+                    xiT[..., c * rows:(c + 1) * rows, :],
+                    idx * n1_local + c * rows, rows,
+                )
+                for c in range(chunks)
+            ]
+            # Chunk c's rows are globally j1 = d*n1_local + c*rows + r
+            # but arrive ordered (d, r): restack (c, d, r) -> (d, c, r)
+            # so the flattened axis is j1-ordered for the row FFT.
+            def reorder(arrs):
+                a = jnp.stack(arrs, axis=bnd)  # [..., K, rows*p, n2/p]
+                shp = a.shape
+                a = a.reshape(*shp[:bnd], chunks, p, rows, shp[-1])
+                a = jnp.moveaxis(a, bnd + 1, bnd)  # (p, K, rows)
+                return a.reshape(*shp[:bnd], n1, shp[-1])
+
+            yr = reorder([pr for pr, _ in parts])
+            yi = reorder([pi for _, pi in parts])
         dr, di = stockham_fft_split_unscaled(
             jnp.swapaxes(yr, -1, -2), jnp.swapaxes(yi, -1, -2), direction
         )  # [..., n2/p, n1]
@@ -86,12 +120,18 @@ def _impl(xr, xi, *, direction: Direction, n1: int, axis_name: str,
 
 def four_step_fft_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
                                 direction=FORWARD, n1: int | None = None,
-                                flatten: bool = True):
+                                flatten: bool = True, chunks: int = 1):
     """Sharded single transform on split planes: [..., n] re/im pair ->
     spectrum pair. Complex-dtype-free end to end (collectives included).
 
     `flatten=False` returns the [..., n1, n2] matrix pair still sharded
     over k2 for fused downstream pointwise stages.
+
+    `chunks=K` pipelines the column stage: K independent
+    column-FFT+twiddle+all_to_all slabs let the scheduler overlap each
+    chunk's ICI transfer with the next chunk's compute (at the price of
+    one local re-stack before the row FFT). Numerics are identical;
+    K must divide n1/p. Default 1 = the single-collective form.
     """
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
@@ -103,8 +143,13 @@ def four_step_fft_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
         raise ValueError(
             f"mesh axis {axis_name}={p} must divide both n1={n1_} and n2={n2_}"
         )
+    chunks = int(chunks)
+    if chunks < 1 or (n1_ // p) % chunks:
+        raise ValueError(
+            f"chunks={chunks} must be >= 1 and divide n1/p = {n1_ // p}"
+        )
     yr, yi = _impl(xr, xi, direction=direction, n1=n1_,
-                   axis_name=axis_name, mesh=mesh)
+                   axis_name=axis_name, mesh=mesh, chunks=chunks)
     if flatten:
         yr = jax.device_put(yr, NamedSharding(mesh, P()))
         yi = jax.device_put(yi, NamedSharding(mesh, P()))

@@ -23,6 +23,22 @@ class TestFourStepSplit:
         want = np.asarray(four_step_fft(xr + 1j * xi))
         np.testing.assert_allclose(got, want, atol=1e-8 * n)
 
+    def test_chunked_overlap_identical(self, mesh8):
+        """The comm/compute-overlap form (chunks=K pipelined
+        column-stage all_to_alls) is bitwise identical to the
+        single-collective form."""
+        n = 1 << 14
+        rng = np.random.default_rng(9)
+        xr = rng.standard_normal(n).astype(np.float32)
+        xi = rng.standard_normal(n).astype(np.float32)
+        y1 = four_step_fft_sharded_split(xr, xi, mesh8, "x", chunks=1)
+        for k in (2, 4):
+            yk = four_step_fft_sharded_split(xr, xi, mesh8, "x", chunks=k)
+            for a, b in zip(y1, yk):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError):
+            four_step_fft_sharded_split(xr, xi, mesh8, "x", chunks=7)
+
     def test_inverse_roundtrip(self, mesh8):
         from fftlab.core.types import Direction
 
