@@ -88,7 +88,7 @@ def _spread(step, mk_state, ks, repeats=4):
             if noisy:
                 r["noisy"] = True
             return r
-        if ms <= 0:
+        if ms <= 0 and attempt < 2:
             _time.sleep(30)
     raise RuntimeError("min-slope non-positive thrice (congested service)")
 
@@ -179,10 +179,16 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
         except Exception:
             redo = {}
         if redo.get("ms", 0.0) > out["ms"]:
+            redo["deflated_ms"] = out["ms"]
             out.update({k: redo[k] for k in
                         ("ms", "ms_median", "ms_max", "gsps") if k in redo})
+            # keep the per-path table consistent with the headline —
+            # consumers read paths[winner] too
+            out["paths"] = dict(results, **{out["path"]: redo})
         if out["ms"] < t_min_ms:
             out["floor_violation"] = True
+            out["paths"][out["path"]] = dict(
+                out["paths"][out["path"]], floor_violation=True)
     out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
     out["roofline_floor_ms"] = round(t_min_ms, 3)
     return out

@@ -318,8 +318,12 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
         L1, L2 = sides if sides is not None else _split_sides(n)
         if L1 * L2 != n:
             raise ValueError(f"sides {L1}x{L2} != n {n}")
-        W1 = min(width or _blk_width(L1), L2)
-    R2 = min(width or _blk_width(L2), L1)
+        # Only the DEFAULT width is clamped to the (possibly smaller)
+        # opposing side; an explicit `width` that doesn't fit must fail
+        # the divisibility check below, not silently measure something
+        # else than the caller asked for.
+        W1 = width or min(_blk_width(L1), L2)
+    R2 = width or min(_blk_width(L2), L1)
     if L2 % W1 or W1 % LANES or L1 % R2 or R2 % LANES:
         raise ValueError(
             f"block widths ({W1}, {R2}) must be multiples of {LANES} "

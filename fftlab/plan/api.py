@@ -155,12 +155,19 @@ def plan_dft_1d_split(n: int, direction=FORWARD,
 
     The returned Plan's execute takes and returns an (re, im) pair.
     """
+    import os
+
     from fftlab.plan.dispatch import run_route, select_split_impl
     from fftlab.plan.split_tuning import best_route, tune_split_route
 
     n = int(n)
     direction = Direction(int(direction))
-    if flags & (Flags.MEASURE | Flags.PATIENT | Flags.EXHAUSTIVE):
+    # Env overrides outrank every flag (same contract as dispatch):
+    # FFTLAB_FORCE_IMPL pins the route; FFTLAB_NO_PALLAS is honored by
+    # the tuning candidate set, so MEASURE under it can only pick einsum.
+    if os.environ.get("FFTLAB_FORCE_IMPL"):
+        route = select_split_impl(n, batch)  # validates + returns forced
+    elif flags & (Flags.MEASURE | Flags.PATIENT | Flags.EXHAUSTIVE):
         route = best_route(n) or tune_split_route(n, batch=batch)
     elif flags & Flags.WISDOM_ONLY:
         route = best_route(n)

@@ -98,11 +98,19 @@ def fft_split_auto(xr, xi, direction=None):
     return run_route(route, xr, xi, direction)
 
 
-def run_route(route: str, xr, xi, direction):
+def run_route(route: str, xr, xi, direction, scale: float | None = None):
     """Execute a split-plane FFT through a NAMED route (the vtable row
     of fft_gpu.c:140-287, keyed by route name instead of backend enum).
-    Used by fft_split_auto and by split plans (plan.api), which pin the
-    route at plan time."""
+    Used by fft_split_auto, split plans (plan.api), and route tuning
+    (plan.split_tuning) — ONE mapping so tuning measures exactly what
+    dispatch executes.
+
+    `scale` folds an output normalization into the route the cheapest
+    way it supports: kernel routes bake it into their last-pass DFT
+    tables (zero extra HBM traffic); XLA routes multiply after, which
+    fuses into the last contraction. Timing loops need this — a trailing
+    multiply that XLA can fuse but a pallas_call cannot would bias any
+    cross-route measurement against the kernels."""
     import jax.numpy as jnp
 
     if route not in ROUTES:
@@ -113,18 +121,25 @@ def run_route(route: str, xr, xi, direction):
     batch = 1
     for d in xr.shape[:-1]:
         batch *= int(d)
+
+    def _post(yr, yi):  # XLA paths: fuses into the preceding op
+        if scale is None:
+            return yr, yi
+        s = jnp.asarray(scale, dtype=yr.dtype)
+        return yr * s, yi * s
+
     if route == "pallas_vmem":
         from fftlab.kernels.fft_vmem import pallas_fft_split
 
-        return pallas_fft_split(xr, xi, direction)
+        return pallas_fft_split(xr, xi, direction, scale=scale)
     if route == "fourstep_vmem":
         from fftlab.kernels.fourstep_vmem import fft_split_large
 
-        return fft_split_large(xr, xi, direction)
+        return fft_split_large(xr, xi, direction, scale=scale)
     if route == "threestep_vmem":
         from fftlab.kernels.threestep_vmem import fft_split_huge
 
-        return fft_split_huge(xr, xi, direction)
+        return fft_split_huge(xr, xi, direction, scale=scale)
     if route == "pallas_pipeline":
         from fftlab.kernels.stage_fused import fft_split_pipeline
         from fftlab.algos.stockham import plan_factors
@@ -133,7 +148,8 @@ def run_route(route: str, xr, xi, direction):
         yr, yi = fft_split_pipeline(xr.reshape(batch, n),
                                     xi.reshape(batch, n),
                                     direction, factors=factors)
+        yr, yi = _post(yr, yi)
         return yr.reshape(xr.shape), yi.reshape(xr.shape)
     from fftlab.algos.split_stockham import fft_split
 
-    return fft_split(xr, xi, direction)
+    return _post(*fft_split(xr, xi, direction))

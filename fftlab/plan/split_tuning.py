@@ -75,11 +75,14 @@ def best_leaf(n: int) -> int:
 
 def _route_candidates(n: int) -> list[str]:
     """Execution routes measurable for an n-point split FFT on the
-    current platform (mirrors plan.dispatch's capability gates)."""
+    current platform (mirrors plan.dispatch's capability gates,
+    including the FFTLAB_NO_PALLAS / FFTLAB_FORCE_IMPL kill switches)."""
     import jax
 
+    from fftlab.plan.dispatch import kernels_enabled
+
     cands = ["einsum"]
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or not kernels_enabled():
         return cands
     from fftlab.kernels.fft_vmem import supported_size
     from fftlab.kernels.fourstep_vmem import supported_large
@@ -94,34 +97,26 @@ def _route_candidates(n: int) -> list[str]:
     return cands
 
 
-def _route_fn(route: str):
-    if route == "pallas_vmem":
-        from fftlab.kernels.fft_vmem import pallas_fft_split
-
-        return lambda a, b: pallas_fft_split(a, b)
-    if route == "fourstep_vmem":
-        from fftlab.kernels.fourstep_vmem import fft_split_large
-
-        return lambda a, b: fft_split_large(a, b)
-    if route == "threestep_vmem":
-        from fftlab.kernels.threestep_vmem import fft_split_huge
-
-        return lambda a, b: fft_split_huge(a, b)
-    from fftlab.algos.split_stockham import fft_split
-
-    return lambda a, b: fft_split(a, b)
-
-
-def tune_split_route(n: int, batch: int = 4, persist: bool = True) -> str:
+def tune_split_route(n: int, batch: int = 4, persist: bool = True,
+                     ks=(4, 10, 16), repeats: int = 3) -> str:
     """FFT_MEASURE at the DISPATCH level: time every execution route
     available for (n, batch) on this device with the hardened chain
     protocol and record the winner under kind='route'; plan.dispatch
     consults it before its static heuristic. The reference's planner
     declares exactly this measure-once-then-reuse loop and stubs it
-    (fft_auto.c:233-235 + wisdom stubs :418-426)."""
+    (fft_auto.c:233-235 + wisdom stubs :418-426).
+
+    Each route executes through dispatch.run_route with the chain's
+    1/sqrt(n) normalization FOLDED IN (kernel routes bake it into their
+    tables): a trailing multiply that XLA fuses into the einsum path but
+    cannot fuse into a pallas_call would charge the kernels a phantom
+    HBM pass and record the wrong winner."""
+    import jax
+
     import jax.numpy as jnp
 
     from fftlab.bench.timing import PROTOCOL, chain_time, min_slope
+    from fftlab.plan.dispatch import run_route
 
     rng = np.random.default_rng(0)
     xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
@@ -130,17 +125,15 @@ def tune_split_route(n: int, batch: int = 4, persist: bool = True) -> str:
 
     timings: dict[str, float] = {}
     for route in _route_candidates(n):
-        fn = _route_fn(route)
+        def step(a, b, route=route):
+            from fftlab.core.types import FORWARD
 
-        def step(a, b, fn=fn):
-            yr, yi = fn(a, b)
-            s = jnp.float32(scale)
-            return yr * s, yi * s
+            return run_route(route, a, b, FORWARD, scale=scale)
 
         try:
             raw = chain_time(step, lambda i: (xr + jnp.float32(1e-3 * i),
                                               xi - jnp.float32(1e-3 * i)),
-                             ks=(4, 10, 16), repeats=3, return_raw=True)
+                             ks=ks, repeats=repeats, return_raw=True)
             dt = min_slope(raw)
         except Exception:
             continue
@@ -152,16 +145,23 @@ def tune_split_route(n: int, batch: int = 4, persist: bool = True) -> str:
     if persist:
         wisdom.record(n, "f32", best, timings[best] * 1e3, kind="route",
                       extra={"protocol": PROTOCOL, "batch": batch,
+                             "platform": jax.default_backend(),
                              "timings_ms": {r: round(t * 1e3, 4)
                                             for r, t in timings.items()}})
     return best
 
 
 def best_route(n: int) -> str | None:
-    """Wisdom-recorded dispatch route for n (None if never measured or
-    the recorded route is no longer valid for this n/platform)."""
+    """Wisdom-recorded dispatch route for n (None if never measured,
+    measured on a DIFFERENT platform — wisdom files travel via
+    export/import — or no longer a valid candidate here)."""
+    import jax
+
     cached = wisdom.lookup(n, "f32", kind="route")
     if not cached:
+        return None
+    rec_platform = cached.get("platform")
+    if rec_platform is not None and rec_platform != jax.default_backend():
         return None
     route = cached.get("algorithm")
     return route if route in _route_candidates(n) else None

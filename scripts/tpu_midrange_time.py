@@ -1,8 +1,12 @@
-"""Time the mid-range (2^15..2^17) routes on the real TPU: two-pass
-kernel (blocked/row-major) vs the XLA einsum path, total work held at
-2^22 samples per measurement. Records route wisdom for the winners so
-dispatch serves measured routes, and appends to
-bench_artifacts/midrange_time.jsonl.
+"""Time the mid-range (2^15..2^17) routes on the real TPU through
+plan.split_tuning.tune_split_route — the SAME measure-and-persist loop
+dispatch consumes (routes execute via dispatch.run_route with the chain
+normalization folded into kernel tables, so no route pays a phantom
+pass). Also times the two-pass kernel's row-major layout against its
+blocked default (a kernel-internal knob, not a route).
+
+Appends to bench_artifacts/midrange_time.jsonl and exports wisdom so
+later processes dispatch the measured winners.
 """
 import json
 import os
@@ -33,66 +37,44 @@ def log(**kw):
 
 def main():
     assert jax.devices()[0].platform == "tpu"
-    from fftlab.algos.split_stockham import fft_split
     from fftlab.bench.timing import chain_time, min_slope
     from fftlab.kernels.fourstep_vmem import fft_split_large
+    from fftlab.plan import wisdom
+    from fftlab.plan.split_tuning import tune_split_route
 
-    results = {}
     for e in (15, 16, 17):
         n = 1 << e
         B = (1 << 22) // n
+        winner = tune_split_route(n, batch=B, ks=(8, 24, 48))
+        rec = wisdom.lookup(n, "f32", kind="route") or {}
+        log(name=f"route_2^{e}", winner=winner,
+            timings_ms=rec.get("timings_ms"), batch=B)
+
+        # Layout A/B inside the two-pass kernel (default blocked=True):
         rng = np.random.default_rng(e)
         xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
         xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
         sc = 1.0 / float(np.sqrt(n))
-        mk = lambda i: (xr + jnp.float32(1e-3 * i), xi - jnp.float32(1e-3 * i))
-
-        def fs_step(a, b):
-            return fft_split_large(a, b, scale=sc)
-
-        def fs_blk_step(a, b):
-            return fft_split_large(a, b, blocked=True, scale=sc)
-
-        def ein_step(a, b):
-            yr, yi = fft_split(a, b)
-            s = jnp.float32(sc)
-            return yr * s, yi * s
-
-        per = {}
-        for name, step in (("fourstep", fs_step),
-                           ("fourstep_blocked", fs_blk_step),
-                           ("einsum", ein_step)):
+        mk = lambda i: (xr + jnp.float32(1e-3 * i),
+                        xi - jnp.float32(1e-3 * i))
+        for label, blocked in (("rowmajor", False), ("blocked", True)):
+            step = lambda a, b, blk=blocked: fft_split_large(
+                a, b, blocked=blk, scale=sc)
             try:
                 raw = chain_time(step, mk, ks=(8, 24, 48), repeats=3,
                                  return_raw=True)
                 dt = min_slope(raw)
-                if dt <= 0:
-                    log(name=f"{name}_2^{e}", error="non-positive slope")
-                    continue
-                gsps = B * n / dt / 1e9
-                per[name] = dt
-                log(name=f"{name}_2^{e}", ms=round(dt * 1e3, 3),
-                    gsps=round(gsps, 3))
+                if dt > 0:
+                    log(name=f"fs_{label}_2^{e}", ms=round(dt * 1e3, 3),
+                        gsps=round(B * n / dt / 1e9, 3))
+                else:
+                    log(name=f"fs_{label}_2^{e}",
+                        error="non-positive slope")
             except Exception as ex:  # noqa: BLE001
-                log(name=f"{name}_2^{e}", error=str(ex)[:160])
-        if per:
-            results[n] = min(per, key=per.get)
-            # Persist the measured winner as route wisdom.
-            from fftlab.bench.timing import PROTOCOL
-            from fftlab.plan import wisdom
+                log(name=f"fs_{label}_2^{e}", error=str(ex)[:160])
 
-            route = {"fourstep": "fourstep_vmem",
-                     "fourstep_blocked": "fourstep_vmem",
-                     "einsum": "einsum"}[results[n]]
-            wisdom.record(n, "f32", route, per[results[n]] * 1e3,
-                          kind="route",
-                          extra={"protocol": PROTOCOL, "batch": B})
-    if results:
-        from fftlab.plan import wisdom
-
-        path = wisdom.export_wisdom()
-        log(name="winners", winners={str(k): v for k, v in results.items()},
-            wisdom_path=path)
+    path = wisdom.export_wisdom()
+    log(name="done", wisdom_path=path)
 
 
 if __name__ == "__main__":

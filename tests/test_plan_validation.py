@@ -157,6 +157,33 @@ class TestSplitTuning:
         with _pytest.raises(RuntimeError):
             plan_dft_1d_split(2048, flags=Flags.WISDOM_ONLY)
 
+    def test_split_plan_force_impl_outranks_measure(self, monkeypatch):
+        from fftlab.plan import wisdom
+        from fftlab.plan.api import plan_dft_1d_split
+        from fftlab.plan.flags import Flags
+
+        wisdom.forget()
+        monkeypatch.setenv("FFTLAB_FORCE_IMPL", "einsum")
+        p = plan_dft_1d_split(512, flags=Flags.MEASURE)
+        assert p.algorithm == "einsum"
+        # forced: no measurement ran, no wisdom written
+        assert wisdom.lookup(512, "f32", kind="route") is None
+
+    def test_route_wisdom_platform_filtered(self):
+        # Wisdom measured on another platform (files travel via
+        # export/import) must not be served here.
+        from fftlab.plan import wisdom
+        from fftlab.plan.split_tuning import best_route
+
+        wisdom.forget()
+        wisdom.record(1024, "f32", "einsum", 1.0, kind="route",
+                      extra={"platform": "tpu"})
+        assert best_route(1024) is None  # this test runs on cpu
+        wisdom.record(1024, "f32", "einsum", 1.0, kind="route",
+                      extra={"platform": "cpu"})
+        assert best_route(1024) == "einsum"
+        wisdom.forget()
+
     def test_stale_route_wisdom_ignored(self):
         # A recorded route that is not measurable on this platform
         # (pallas on CPU) must not be returned.
