@@ -31,20 +31,49 @@ except ImportError:  # pragma: no cover
 
 @functools.partial(
     jax.jit,
-    static_argnames=("direction", "axis_name", "mesh", "transposed_out"),
+    static_argnames=("direction", "axis_name", "mesh", "transposed_out",
+                     "chunks"),
 )
 def _impl(xr, xi, *, direction: Direction, axis_name: str, mesh: Mesh,
-          transposed_out: bool):
+          transposed_out: bool, chunks: int = 1):
     R, C = int(xr.shape[-2]), int(xr.shape[-1])
+    p = mesh.shape[axis_name]
 
-    def local(br, bi):
-        # [R/p, C]: FFT along C.
+    def _row_stage(br, bi):
+        """Row FFTs + the exposing all_to_all on a slab of local rows."""
         cr, ci = stockham_fft_split_unscaled(br, bi, direction)
-        # Expose rows: [R/p, C] -> [R, C/p].
         cr = jax.lax.all_to_all(cr, axis_name, split_axis=1, concat_axis=0,
                                 tiled=True)
         ci = jax.lax.all_to_all(ci, axis_name, split_axis=1, concat_axis=0,
                                 tiled=True)
+        return cr, ci  # [rows*p, C/p]
+
+    def local(br, bi):
+        if chunks == 1:
+            # [R/p, C]: FFT along C, then expose rows: -> [R, C/p].
+            cr, ci = _row_stage(br, bi)
+        else:
+            # Comm/compute overlap (same pipelining as
+            # dist.four_step_split chunks): the row stage is independent
+            # per local-row slab, so K unrolled chunks give K
+            # all_to_alls each overlappable with the next chunk's FFTs;
+            # the column FFT below needs every row and stays a barrier.
+            rloc = R // p
+            rows = rloc // chunks
+            parts = [_row_stage(br[c * rows:(c + 1) * rows, :],
+                                bi[c * rows:(c + 1) * rows, :])
+                     for c in range(chunks)]
+
+            # Chunk c delivers global rows d*rloc + c*rows + r ordered
+            # (d, r); restack (c, d, r) -> (d, c, r).
+            def reorder(arrs):
+                a = jnp.stack(arrs, axis=0)  # [K, rows*p, C/p]
+                a = a.reshape(chunks, p, rows, a.shape[-1])
+                a = jnp.moveaxis(a, 1, 0)
+                return a.reshape(R, a.shape[-1])
+
+            cr = reorder([x for x, _ in parts])
+            ci = reorder([x for _, x in parts])
         # FFT along R: transpose so R is the last axis.
         dr, di = stockham_fft_split_unscaled(
             jnp.swapaxes(cr, -1, -2), jnp.swapaxes(ci, -1, -2), direction
@@ -73,7 +102,8 @@ def _impl(xr, xi, *, direction: Direction, axis_name: str, mesh: Mesh,
 
 
 def fft2_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
-                       direction=FORWARD, transposed_out: bool = False):
+                       direction=FORWARD, transposed_out: bool = False,
+                       chunks: int = 1):
     """2D FFT of [R, C] split planes with rows sharded over
     `mesh[axis_name]`.
 
@@ -81,6 +111,8 @@ def fft2_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
     the spectrum TRANSPOSED ([C, R], column-sharded) — half the
     communication when the consumer is orientation-agnostic (pointwise
     filters, magnitude spectra).
+    `chunks=K` pipelines the row stage (K all_to_alls overlappable with
+    compute — see dist.four_step_split); K must divide R/p.
     Requires the axis size to divide both R and C.
     """
     xr = jnp.asarray(xr)
@@ -91,6 +123,9 @@ def fft2_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
         raise ValueError(
             f"mesh axis {axis_name}={p} must divide rows={R} and cols={C}"
         )
+    chunks = int(chunks)
+    if chunks < 1 or (R // p) % chunks:
+        raise ValueError(f"chunks={chunks} must divide R/p = {R // p}")
     return _impl(xr, xi, direction=Direction(int(direction)),
                  axis_name=axis_name, mesh=mesh,
-                 transposed_out=bool(transposed_out))
+                 transposed_out=bool(transposed_out), chunks=chunks)

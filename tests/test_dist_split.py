@@ -145,6 +145,22 @@ class TestFft2Sharded:
         want = np.fft.fft2(xr + 1j * xi)
         np.testing.assert_allclose(got, want, atol=1e-8)
 
+    def test_chunked_overlap_identical(self, mesh8):
+        """chunks=K (pipelined row-stage all_to_alls) is bitwise
+        identical to the single-collective form."""
+        from fftlab.dist.fft2_sharded import fft2_sharded_split
+
+        rng = np.random.default_rng(4)
+        xr = rng.standard_normal((64, 128)).astype(np.float32)
+        xi = rng.standard_normal((64, 128)).astype(np.float32)
+        y1 = fft2_sharded_split(xr, xi, mesh8, "x", chunks=1)
+        for k in (2, 4):
+            yk = fft2_sharded_split(xr, xi, mesh8, "x", chunks=k)
+            for a, b in zip(y1, yk):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        with pytest.raises(ValueError):
+            fft2_sharded_split(xr, xi, mesh8, "x", chunks=3)
+
     def test_transposed_out(self, mesh8):
         from fftlab.dist.fft2_sharded import fft2_sharded_split
 
