@@ -151,12 +151,37 @@ def tune_split_route(n: int, batch: int = 4, persist: bool = True,
     return best
 
 
+_WISDOM_FILE_LOADED = False
+
+
+def _ensure_wisdom_loaded() -> None:
+    """Lazy one-time import of the default wisdom file, so route
+    winners measured by an earlier process (tune_split_route /
+    scripts/tpu_midrange_time.py) actually serve later ones — FFTW
+    auto-loads system wisdom the same way. Opt out with
+    FFTLAB_NO_WISDOM_FILE=1. In-process entries always win
+    (overwrite=False keeps them)."""
+    global _WISDOM_FILE_LOADED
+    if _WISDOM_FILE_LOADED:
+        return
+    _WISDOM_FILE_LOADED = True
+    import os
+
+    if os.environ.get("FFTLAB_NO_WISDOM_FILE"):
+        return
+    try:
+        wisdom.import_wisdom(overwrite=False)
+    except Exception:  # malformed file must never break dispatch
+        pass
+
+
 def best_route(n: int) -> str | None:
     """Wisdom-recorded dispatch route for n (None if never measured,
     measured on a DIFFERENT platform — wisdom files travel via
     export/import — or no longer a valid candidate here)."""
     import jax
 
+    _ensure_wisdom_loaded()
     cached = wisdom.lookup(n, "f32", kind="route")
     if not cached:
         return None

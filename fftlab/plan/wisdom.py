@@ -55,8 +55,12 @@ def export_wisdom(path: str = DEFAULT_PATH) -> str:
     return path
 
 
-def import_wisdom(path: str = DEFAULT_PATH) -> int:
-    """fft_import_wisdom analog (fft_auto.h:132) — returns #entries loaded."""
+def import_wisdom(path: str = DEFAULT_PATH, overwrite: bool = True) -> int:
+    """fft_import_wisdom analog (fft_auto.h:132) — returns #entries loaded.
+
+    `overwrite=False` keeps existing in-memory entries (used by the
+    lazy auto-load: a measurement taken THIS process is fresher than
+    the file)."""
     if not os.path.exists(path):
         return 0
     with open(path) as f:
@@ -64,7 +68,11 @@ def import_wisdom(path: str = DEFAULT_PATH) -> int:
     if not isinstance(data, dict):
         raise ValueError(f"malformed wisdom file {path}")
     with _LOCK:
-        _WISDOM.update(data)
+        if overwrite:
+            _WISDOM.update(data)
+        else:
+            for k, v in data.items():
+                _WISDOM.setdefault(k, v)
         return len(data)
 
 

@@ -13,6 +13,10 @@ because backends initialize lazily at first device use.
 import os
 import sys
 
+# Tests must not see the developer/device wisdom file (route entries
+# would leak measured state into dispatch assertions).
+os.environ.setdefault("FFTLAB_NO_WISDOM_FILE", "1")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

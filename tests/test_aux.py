@@ -86,6 +86,24 @@ class TestWisdom:
         wisdom.import_wisdom(p)
         assert wisdom.lookup(12345, "f32")["algorithm"] == "stockham_mxu"
 
+    def test_import_no_overwrite_keeps_fresh_entries(self, tmp_path):
+        # The lazy auto-load (split_tuning._ensure_wisdom_loaded) must
+        # not clobber measurements taken THIS process.
+        from fftlab.plan import wisdom
+
+        wisdom.forget()
+        wisdom.record(777, "f32", "old_algo", 9.9)
+        p = str(tmp_path / "wisdom.json")
+        wisdom.export_wisdom(p)
+        wisdom.forget()
+        wisdom.record(777, "f32", "fresh_algo", 0.1)
+        wisdom.record(888, "f32", "only_in_memory", 0.2)
+        n = wisdom.import_wisdom(p, overwrite=False)
+        assert n == 1
+        assert wisdom.lookup(777, "f32")["algorithm"] == "fresh_algo"
+        assert wisdom.lookup(888, "f32")["algorithm"] == "only_in_memory"
+        wisdom.forget()
+
 
 class TestBenchHarness:
     def test_benchmark_algorithm_result(self):
