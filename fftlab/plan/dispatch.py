@@ -9,7 +9,10 @@ fft_auto.c:55-93 + :136-172, actually consumed.
 
 Routes (split re/im planes, [..., n] batch-first):
 
-  pallas_vmem      one-residency kernel, TPU, n = m*128 (m 8..128 pow2)
+  pallas_vmem      one-launch kernel, TPU, n = m*128 (m 8..128 pow2)
+  resident_vmem    ONE-HBM-RESIDENCY kernel, TPU, pow2 n in 2^15..2^20:
+                   whole signal lives in VMEM, 16 B/sample traffic —
+                   half the two-pass floor
   fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^15..2^22
                    (blocked layout; measured 2.65 ms/16×1M = 6.3 GS/s
                    vs einsum's 3.2, r2s3 confirm)
@@ -29,8 +32,8 @@ import os
 
 from fftlab.plan.hardware import detect_hardware
 
-ROUTES = ("pallas_vmem", "fourstep_vmem", "threestep_vmem",
-          "pallas_pipeline", "einsum")
+ROUTES = ("pallas_vmem", "resident_vmem", "fourstep_vmem",
+          "threestep_vmem", "pallas_pipeline", "einsum")
 
 # Measured on the v5e (docs/performance.md): the one-residency kernel
 # beats the einsum path from 8K up; at 4K multi-row blocking makes it
@@ -57,9 +60,12 @@ def select_split_impl(n: int, batch: int = 1) -> str:
         return measured
     from fftlab.kernels.fft_vmem import supported_size
     from fftlab.kernels.fourstep_vmem import supported_large
+    from fftlab.kernels.resident_vmem import supported_resident
 
     if supported_size(n) and n >= _VMEM_MIN_N:
         return "pallas_vmem"
+    if supported_resident(n):
+        return "resident_vmem"
     if supported_large(n):
         return "fourstep_vmem"
     from fftlab.kernels.threestep_vmem import supported_huge
@@ -132,6 +138,10 @@ def run_route(route: str, xr, xi, direction, scale: float | None = None):
         from fftlab.kernels.fft_vmem import pallas_fft_split
 
         return pallas_fft_split(xr, xi, direction, scale=scale)
+    if route == "resident_vmem":
+        from fftlab.kernels.resident_vmem import fft_split_resident
+
+        return fft_split_resident(xr, xi, direction, scale=scale)
     if route == "fourstep_vmem":
         from fftlab.kernels.fourstep_vmem import fft_split_large
 

@@ -86,10 +86,13 @@ def _route_candidates(n: int) -> list[str]:
         return cands
     from fftlab.kernels.fft_vmem import supported_size
     from fftlab.kernels.fourstep_vmem import supported_large
+    from fftlab.kernels.resident_vmem import supported_resident
     from fftlab.kernels.threestep_vmem import supported_huge
 
     if supported_size(n):
         cands.append("pallas_vmem")
+    if supported_resident(n):
+        cands.append("resident_vmem")
     if supported_large(n):
         cands.append("fourstep_vmem")
     if supported_huge(n):

@@ -1,0 +1,117 @@
+"""One-HBM-residency VMEM kernel (kernels/resident_vmem.py), interpret
+mode: natural order, forward/inverse, batch handling, scale folding,
+route registration."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fftlab.core.types import Direction
+from fftlab.kernels.resident_vmem import (
+    MAX_N,
+    MIN_N,
+    fft_split_resident,
+    supported_resident,
+)
+
+
+def _snr(got, want):
+    return 10 * np.log10(
+        np.sum(np.abs(want) ** 2)
+        / max(np.sum(np.abs(got - want) ** 2), 1e-300)
+    )
+
+
+class TestResidentVmem:
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 16, 1 << 17, 1 << 19])
+    def test_matches_numpy(self, n):
+        rng = np.random.default_rng(n % 97)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        yr, yi = fft_split_resident(xr, xi, interpret=True)
+        for b in range(2):
+            got = (np.asarray(yr[b], np.float64)
+                   + 1j * np.asarray(yi[b], np.float64))
+            want = np.fft.fft(np.asarray(xr[b], np.float64)
+                              + 1j * np.asarray(xi[b], np.float64))
+            assert _snr(got, want) > 120.0
+
+    def test_matches_two_pass_kernel(self):
+        """Same math as fourstep_vmem, different residency: spectra
+        agree to f32 roundoff."""
+        from fftlab.kernels.fourstep_vmem import fft_split_large
+
+        n = 1 << 16
+        rng = np.random.default_rng(3)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        ar, ai = fft_split_resident(xr, xi, interpret=True)
+        br, bi = fft_split_large(xr, xi, interpret=True)
+        np.testing.assert_allclose(np.asarray(ar), np.asarray(br),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                   atol=2e-2)
+
+    def test_inverse_roundtrip(self):
+        n = 1 << 17
+        rng = np.random.default_rng(5)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_resident(xr, xi, interpret=True)
+        br, bi = fft_split_resident(yr, yi, Direction.INVERSE,
+                                    interpret=True)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(xr),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(xi),
+                                   atol=3e-4)
+
+    def test_scale_folds_into_tables(self):
+        n = 1 << 15
+        rng = np.random.default_rng(7)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_resident(xr, xi, interpret=True)
+        sr, si = fft_split_resident(xr, xi, interpret=True, scale=0.5)
+        np.testing.assert_allclose(np.asarray(sr), 0.5 * np.asarray(yr),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(si), 0.5 * np.asarray(yi),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_batch_dims_preserved(self):
+        n = 1 << 15
+        rng = np.random.default_rng(6)
+        xr = jnp.asarray(rng.standard_normal((2, 3, n)), jnp.float32)
+        xi = jnp.zeros((2, 3, n), jnp.float32)
+        yr, yi = fft_split_resident(xr, xi, interpret=True)
+        assert yr.shape == (2, 3, n) and yi.shape == (2, 3, n)
+        got = (np.asarray(yr[1, 2], np.float64)
+               + 1j * np.asarray(yi[1, 2], np.float64))
+        want = np.fft.fft(np.asarray(xr[1, 2], np.float64))
+        assert _snr(got, want) > 120.0
+
+    def test_size_gate(self):
+        assert not supported_resident(MIN_N // 2)
+        assert supported_resident(MIN_N)
+        assert supported_resident(MAX_N)
+        assert not supported_resident(MAX_N * 2)
+        assert not supported_resident(3 * (1 << 14))
+        xr = jnp.zeros((1, 1 << 14), jnp.float32)
+        with pytest.raises(ValueError):
+            fft_split_resident(xr, xr, interpret=True)
+
+    def test_route_registered(self):
+        from fftlab.plan.dispatch import ROUTES, run_route
+
+        assert "resident_vmem" in ROUTES
+        n = 1 << 15
+        rng = np.random.default_rng(9)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        # On CPU the route still runs (interpret resolves inside the
+        # kernel wrapper via default_backend).
+        yr, yi = run_route("resident_vmem", xr, xi, Direction.FORWARD)
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        assert _snr(got, want) > 120.0
