@@ -164,14 +164,15 @@ def _resident_kernel(xr_hbm, xi_hbm,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("direction", "interpret", "scale"),
+    static_argnames=("direction", "interpret", "scale", "R"),
 )
 def _fft_resident_impl(xr, xi, *, direction: Direction, interpret: bool,
-                       scale=None):
+                       scale=None, R: int | None = None):
     B, n = xr.shape
     L1, L2 = _split_sides(n)
     W = LANES
-    R = _out_chunk_rows(L1)
+    if R is None:
+        R = min(LANES, L1)
     fa1, fb1 = _split_factors(L1)
     fa2, fb2 = _split_factors(L2)
     eff = (1.0 / n if direction == Direction.INVERSE else 1.0)
@@ -245,9 +246,13 @@ def fft_split_resident(xr, xi, direction=FORWARD,
     B = 1
     for d in batch:
         B *= int(d)
+    L1, _ = _split_sides(n)
     yr, yi = _fft_resident_impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
         scale=None if scale is None else float(scale),
+        # Resolved OUTSIDE jit (static cache key): a stale entry keyed
+        # on the default must not shadow a later FFTLAB_RES_R change.
+        R=_out_chunk_rows(L1),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)

@@ -107,16 +107,43 @@ def blocked_huge_feasible(n: int, r2: int = 8) -> bool:
     return F2 <= 256 and F1 % max(r2, 8) == 0
 
 
+def _burst_widths(n: int) -> tuple[int, int]:
+    """(w1, r3) burst knobs for the blocked variant, env-overridable via
+    FFTLAB_TS_W1 / FFTLAB_TS_R3 (resolved OUTSIDE jit — static cache
+    keys). w1 widens the strided pass-1 read burst to 4*w1 bytes; r3
+    widens the strided natural-order pass-3 write burst to 4*r3 bytes.
+    Both must divide their side (F3 / F1). Defaults keep the
+    compile-proven 128."""
+    import os
+
+    F1, _, F3 = _split_three(n)
+    w1 = int(os.environ.get("FFTLAB_TS_W1", str(LANES)))
+    r3 = int(os.environ.get("FFTLAB_TS_R3", str(LANES)))
+    if w1 % LANES or r3 % LANES:
+        raise ValueError(f"FFTLAB_TS_W1/R3 ({w1}/{r3}) must be multiples "
+                         f"of {LANES}")
+    # Clamp to the largest width the factorization admits: a sweep sets
+    # one env value across sizes whose sides differ (2^23 has F1=128).
+    while F3 % w1:
+        w1 //= 2
+    while F1 % r3:
+        r3 //= 2
+    return w1, r3
+
+
 @functools.partial(
-    jax.jit, static_argnames=("direction", "interpret", "blocked", "scale")
+    jax.jit, static_argnames=("direction", "interpret", "blocked", "scale",
+                              "w1", "r3")
 )
 def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool,
-                   blocked: bool = False, scale=None):
+                   blocked: bool = False, scale=None,
+                   w1: int = LANES, r3: int = LANES):
     eff = (1.0 / xr.shape[-1] if direction == Direction.INVERSE else 1.0)
     eff *= (scale if scale is not None else 1.0)
     scale = None if eff == 1.0 else eff
     if blocked:
-        return _fft_huge_blocked(xr, xi, direction, interpret, scale)
+        return _fft_huge_blocked(xr, xi, direction, interpret, scale,
+                                 w1=w1, r3=r3)
     B, n = xr.shape
     F1, F2, F3 = _split_three(n)
     C23 = (F2 * F3) // LANES
@@ -291,13 +318,24 @@ def _pass3_kernel_blk3(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
 
 
 def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
-                      scale: float | None = None, r2: int = 8):
+                      scale: float | None = None, r2: int = 8,
+                      w1: int = LANES, r3: int = LANES):
     """Three passes with blocked intermediates. `r2` = k1-rows per
-    pass-2 program (VMEM: in+out slabs are F2*r2*LANES floats each)."""
+    pass-2 program (VMEM: in+out slabs are F2*r2*w1 floats each).
+    `w1` = pass-1 lane-chunk width: the strided input read's burst is
+    4*w1 bytes, so doubling it halves the per-burst overhead at the
+    cost of bigger slabs. `r3` = pass-3 k1-rows per program: the
+    strided natural-order write's burst is 4*r3 bytes."""
     B, n = xr.shape
     F1, F2, F3 = _split_three(n)
-    C23 = (F2 * F3) // LANES
-    C3 = F3 // LANES
+    if w1 % LANES or F3 % w1:
+        raise ValueError(f"w1={w1} must be a multiple of {LANES} dividing "
+                         f"F3={F3}")
+    if r3 % LANES or F1 % r3:
+        raise ValueError(f"r3={r3} must be a multiple of {LANES} dividing "
+                         f"F1={F1}")
+    C23 = (F2 * F3) // w1
+    C3 = F3 // w1
     while F1 % r2:
         r2 //= 2
     G1 = F1 // r2
@@ -310,18 +348,18 @@ def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # ---- pass 1: strided column read (unavoidable), blocked write -----
-    A1, P1 = _rank1_twiddle_np(F1, F2 * F3, LANES, direction)
+    A1, P1 = _rank1_twiddle_np(F1, F2 * F3, w1, direction)
     A1r = jnp.asarray(A1.real.astype(np.float32))
     A1i = jnp.asarray(A1.imag.astype(np.float32))
     P1r = jnp.asarray(P1.real.astype(np.float32))
     P1i = jnp.asarray(P1.imag.astype(np.float32))
     x3r = xr.reshape(B, F1, F2 * F3)
     x3i = xi.reshape(B, F1, F2 * F3)
-    col1 = pl.BlockSpec((1, F1, LANES), lambda c, b: (b, 0, c),
+    col1 = pl.BlockSpec((1, F1, w1), lambda c, b: (b, 0, c),
                         memory_space=pltpu.VMEM)
     a1b = pl.BlockSpec((1, F1, 1), lambda c, b: (c, 0, 0),
                        memory_space=pltpu.VMEM)
-    blk1 = pl.BlockSpec((1, 1, F1, LANES), lambda c, b: (b, c, 0, 0),
+    blk1 = pl.BlockSpec((1, 1, F1, w1), lambda c, b: (b, c, 0, 0),
                         memory_space=pltpu.VMEM)
     m1r, m1i = pl.pallas_call(
         functools.partial(_pass1_kernel_blk3, fa=fa1, fb=fb1),
@@ -329,22 +367,22 @@ def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
         in_specs=[col1, col1] + [const] * 6
                  + [a1b, a1b, const, const],
         out_specs=(blk1, blk1),
-        out_shape=(jax.ShapeDtypeStruct((B, C23, F1, LANES), xr.dtype),) * 2,
+        out_shape=(jax.ShapeDtypeStruct((B, C23, F1, w1), xr.dtype),) * 2,
         interpret=interpret,
     )(x3r, x3i, *tabs1, A1r, A1i, P1r, P1i)
 
     # ---- pass 2: contiguous read AND write through the blocked view ---
-    # mid1 blocked block index c = j2*C3 + c3 -> view (B, F2, C3, F1, L);
-    # a (1, F2, 1, r2, L) block is F2 contiguous 4*r2*L-byte runs.
-    A2, P2 = _rank1_twiddle_np(F2, F3, LANES, direction)
+    # mid1 blocked block index c = j2*C3 + c3 -> view (B, F2, C3, F1, w1);
+    # a (1, F2, 1, r2, w1) block is F2 contiguous 4*r2*w1-byte runs.
+    A2, P2 = _rank1_twiddle_np(F2, F3, w1, direction)
     A2r = jnp.asarray(A2.real.astype(np.float32))
     A2i = jnp.asarray(A2.imag.astype(np.float32))
     P2r = jnp.asarray(P2.real.astype(np.float32))
     P2i = jnp.asarray(P2.imag.astype(np.float32))
-    in2r = m1r.reshape(B, F2, C3, F1, LANES)
-    in2i = m1i.reshape(B, F2, C3, F1, LANES)
+    in2r = m1r.reshape(B, F2, C3, F1, w1)
+    in2i = m1i.reshape(B, F2, C3, F1, w1)
     blk2 = pl.BlockSpec(
-        (1, F2, 1, r2, LANES),
+        (1, F2, 1, r2, w1),
         lambda c3, g, b: (b, 0, c3, g, 0),
         memory_space=pltpu.VMEM,
     )
@@ -356,26 +394,26 @@ def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
         in_specs=[blk2, blk2] + [const] * 6
                  + [a2b, a2b, const, const],
         out_specs=(blk2, blk2),
-        out_shape=(jax.ShapeDtypeStruct((B, F2, C3, F1, LANES),
+        out_shape=(jax.ShapeDtypeStruct((B, F2, C3, F1, w1),
                                         xr.dtype),) * 2,
         interpret=interpret,
     )(in2r, in2i, *tabs2, A2r, A2i, P2r, P2i)
 
     # ---- pass 3: contiguous k1-chunk read, natural-order write --------
     row3 = pl.BlockSpec(
-        (1, 1, C3, LANES, LANES),
-        lambda q: (q // (F2 * (F1 // LANES)),
-                   (q // (F1 // LANES)) % F2,
-                   0, q % (F1 // LANES), 0),
+        (1, 1, C3, r3, w1),
+        lambda q: (q // (F2 * (F1 // r3)),
+                   (q // (F1 // r3)) % F2,
+                   0, q % (F1 // r3), 0),
         memory_space=pltpu.VMEM,
     )
-    P = (F2 * F1) // LANES
+    P = (F2 * F1) // r3
     out3 = pl.BlockSpec(
-        (1, F3, LANES),
+        (1, F3, r3),
         lambda q: (q // P, 0, q % P),
         memory_space=pltpu.VMEM,
     )
-    Q = B * F2 * (F1 // LANES)
+    Q = B * F2 * (F1 // r3)
     yr, yi = pl.pallas_call(
         functools.partial(_pass3_kernel_blk3, fa=fa3, fb=fb3),
         grid=(Q,),
@@ -383,8 +421,8 @@ def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
         out_specs=(out3, out3),
         out_shape=(jax.ShapeDtypeStruct((B, F3, F2 * F1), xr.dtype),) * 2,
         interpret=interpret,
-    )(m2r.reshape(B, F2, C3, F1, LANES),
-      m2i.reshape(B, F2, C3, F1, LANES), *tabs3)
+    )(m2r.reshape(B, F2, C3, F1, w1),
+      m2i.reshape(B, F2, C3, F1, w1), *tabs3)
 
     return yr.reshape(B, n), yi.reshape(B, n)
 
@@ -413,6 +451,7 @@ def fft_split_huge(xr, xi, direction=FORWARD,
     if blocked is None:
         blocked = _blocked_huge_default()
     blocked = bool(blocked) and blocked_huge_feasible(n)
+    w1, r3 = _burst_widths(n) if blocked else (LANES, LANES)
     batch = xr.shape[:-1]
     B = 1
     for d in batch:
@@ -421,6 +460,7 @@ def fft_split_huge(xr, xi, direction=FORWARD,
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
         blocked=blocked, scale=None if scale is None else float(scale),
+        w1=w1, r3=r3,
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

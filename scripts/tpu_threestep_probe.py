@@ -1,0 +1,97 @@
+"""Device probe for the three-pass kernel's burst-width knobs
+(FFTLAB_TS_W1 / FFTLAB_TS_R3): compile + SNR-gate the widened variants
+at 2^24, then A/B-time the 16M single transform across (w1, r3) combos
+with the hardened chain protocol.
+
+Appends JSON lines to bench_artifacts/threestep_probe.jsonl.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+cache = os.path.expanduser("~/.cache/jax_comp")
+os.makedirs(cache, exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp  # noqa: E402
+
+ART = "bench_artifacts/threestep_probe.jsonl"
+
+
+def log(**kw):
+    kw["t"] = round(time.time(), 1)
+    with open(ART, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+    print(kw, flush=True)
+
+
+def main():
+    assert jax.devices()[0].platform == "tpu", "probe needs the TPU"
+    from fftlab.bench.timing import chain_time, min_slope
+    from fftlab.core.types import FORWARD
+    from fftlab.kernels.threestep_vmem import fft_split_huge
+
+    n = 1 << 24
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    xr = jnp.asarray(x.real, jnp.float32)[None]
+    xi = jnp.asarray(x.imag, jnp.float32)[None]
+    want = np.fft.fft(x)
+
+    combos = [("128", "128"), ("256", "128"), ("512", "128"),
+              ("128", "256"), ("256", "256"), ("512", "256")]
+    live = []
+    for w1, r3 in combos:
+        os.environ["FFTLAB_TS_W1"] = w1
+        os.environ["FFTLAB_TS_R3"] = r3
+        t0 = time.time()
+        try:
+            yr, yi = fft_split_huge(xr, xi, blocked=True)
+            got = (np.asarray(yr[0], np.float64)
+                   + 1j * np.asarray(yi[0], np.float64))
+            snr = 10 * np.log10(np.sum(np.abs(want) ** 2)
+                                / np.sum(np.abs(got - want) ** 2))
+            log(name=f"ts_w{w1}_r{r3}", ok=bool(snr > 100),
+                snr_db=round(float(snr), 1),
+                compile_s=round(time.time() - t0, 1))
+            if snr > 100:
+                live.append((w1, r3))
+        except Exception as ex:  # noqa: BLE001
+            log(name=f"ts_w{w1}_r{r3}", error=str(ex)[:300],
+                compile_s=round(time.time() - t0, 1))
+
+    scale = 1.0 / float(np.sqrt(n))
+    for rnd in range(int(os.environ.get("PROBE_ROUNDS", "3"))):
+        for w1, r3 in live:
+            os.environ["FFTLAB_TS_W1"] = w1
+            os.environ["FFTLAB_TS_R3"] = r3
+
+            def step(a, b):
+                return fft_split_huge(a, b, FORWARD, blocked=True,
+                                      scale=scale)
+
+            try:
+                raw = chain_time(step,
+                                 lambda i: (xr + jnp.float32(1e-3 * i),
+                                            xi - jnp.float32(1e-3 * i)),
+                                 ks=(2, 5, 8), repeats=3, return_raw=True)
+                dt = min_slope(raw)
+                gsps = n / dt / 1e9 if dt > 0 else -1.0
+                log(name=f"time_w{w1}_r{r3}", round=rnd,
+                    ms=round(dt * 1e3, 4), gsps=round(gsps, 2))
+            except Exception as ex:  # noqa: BLE001
+                log(name=f"time_w{w1}_r{r3}", round=rnd,
+                    error=str(ex)[:200])
+    log(name="done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,3 +101,31 @@ class TestScaleFoldingHuge:
         want = (np.asarray(yr[0], np.float64)
                 + 1j * np.asarray(yi[0], np.float64)) * s
         assert _snr(got, want) > 120.0
+
+
+class TestBurstWidths:
+    def test_widened_bursts_match_oracle(self, monkeypatch):
+        """FFTLAB_TS_W1/R3 widen the strided DMA bursts without changing
+        the math (rank-1 twiddle regroups -> f32 roundoff only)."""
+        n = 1 << 23
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        xr = jnp.asarray(x.real, jnp.float32)[None]
+        xi = jnp.asarray(x.imag, jnp.float32)[None]
+        monkeypatch.setenv("FFTLAB_TS_W1", "256")
+        monkeypatch.setenv("FFTLAB_TS_R3", "256")  # clamps: F1=128 at 2^23
+        yr, yi = fft_split_huge(xr, xi, interpret=True, blocked=True)
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        assert _snr(got, np.fft.fft(x)) > 120.0
+
+    def test_burst_width_clamped_to_divisor(self, monkeypatch):
+        from fftlab.kernels.threestep_vmem import _burst_widths
+
+        monkeypatch.setenv("FFTLAB_TS_W1", "512")
+        monkeypatch.setenv("FFTLAB_TS_R3", "512")
+        w1, r3 = _burst_widths(1 << 23)  # F1=128, F3=256
+        assert w1 == 256 and r3 == 128
+        monkeypatch.setenv("FFTLAB_TS_W1", "129")
+        with pytest.raises(ValueError):
+            _burst_widths(1 << 23)
