@@ -188,9 +188,10 @@ def fft_convolution_split(xr, xi, h):
     convolution.c:34-68 semantics — zero-pad to pow2, FFT, pointwise,
     IFFT, truncate). Returns (yr, yi) of length nx + nh - 1.
 
-    For padded sizes the two-pass kernel supports, the whole sandwich
-    runs as kernels/fourstep_vmem.spectral_filter_large (4 HBM passes);
-    otherwise the fused zero-transpose einsum sandwich.
+    For padded sizes where the signal fits VMEM the whole sandwich runs
+    as kernels/resident_vmem.spectral_filter_resident (ONE HBM
+    residency); larger pow2 sizes use fourstep_vmem.spectral_filter_large
+    (4 HBM passes); otherwise the fused zero-transpose einsum sandwich.
     """
     import jax
     import jax.numpy as jnp
@@ -219,10 +220,17 @@ def fft_convolution_split(xr, xi, h):
         spectral_filter_large,
         supported_large,
     )
+    from fftlab.kernels.resident_vmem import (
+        spectral_filter_resident,
+        supported_resident,
+    )
 
     from fftlab.plan.dispatch import kernels_enabled
 
-    if (jax.default_backend() == "tpu" and supported_large(m)
+    if jax.default_backend() == "tpu" and kernels_enabled() \
+            and supported_resident(m):
+        yr, yi = spectral_filter_resident(xpr, xpi, Hr, Hi)
+    elif (jax.default_backend() == "tpu" and supported_large(m)
             and kernels_enabled()):
         yr, yi = spectral_filter_large(xpr, xpi, Hr, Hi)
     else:

@@ -159,7 +159,9 @@ def fft_filter_split(xr, xi, params: FilterParams):
     h = design_response(n, params)
     rdtype = xr.dtype
 
-    # Large sizes on TPU: the 4-HBM-pass fused kernel sandwich
+    # Large sizes on TPU: the single-residency fused sandwich where the
+    # signal fits VMEM (kernels/resident_vmem, 16 B/sample for the whole
+    # FFT->H->IFFT), else the 4-HBM-pass two-launch sandwich
     # (kernels/fourstep_vmem.spectral_filter_large).
     import jax
 
@@ -167,14 +169,22 @@ def fft_filter_split(xr, xi, params: FilterParams):
         spectral_filter_large,
         supported_large,
     )
+    from fftlab.kernels.resident_vmem import (
+        spectral_filter_resident,
+        supported_resident,
+    )
 
     from fftlab.plan.dispatch import kernels_enabled
 
-    if (jax.default_backend() == "tpu" and supported_large(n)
-            and kernels_enabled()):
-        return spectral_filter_large(
-            xr, xi, jnp.asarray(h.astype(rdtype)), jnp.zeros(n, rdtype)
-        )
+    if jax.default_backend() == "tpu" and kernels_enabled():
+        if supported_resident(n):
+            return spectral_filter_resident(
+                xr, xi, jnp.asarray(h.astype(rdtype)), jnp.zeros(n, rdtype)
+            )
+        if supported_large(n):
+            return spectral_filter_large(
+                xr, xi, jnp.asarray(h.astype(rdtype)), jnp.zeros(n, rdtype)
+            )
     hr_p, hi_p = permute_response(h.astype(rdtype), np.zeros(n, rdtype), n)
     return spectral_filter_split_fused(
         xr, xi, jnp.asarray(hr_p), jnp.asarray(hi_p), h_permuted=True,

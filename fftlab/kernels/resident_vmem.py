@@ -256,3 +256,262 @@ def fft_split_resident(xr, xi, direction=FORWARD,
         R=_out_chunk_rows(L1),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-residency spectral filter: FFT -> H -> IFFT in ONE kernel,
+# 16 B/sample for the WHOLE sandwich (the blocked two-pass sandwich costs
+# 64 B/sample; the XLA einsum pipeline ~12 passes).
+#
+# Why it fuses: the forward's phase-B output chunks are (L2, R) column
+# chunks of the natural spectrum matrix Y (L2, L1) — exactly the column
+# chunks the INVERSE four-step (sides swapped to (L2, L1)) consumes in
+# its phase A. So each mid-loop iteration g does
+#     fwd phase B -> ⊙H chunk -> inv phase A (+ inverse rank-1 twiddle)
+# without the spectrum ever leaving VMEM. The inverse intermediate M'
+# (L2, L1) is stored TRANSPOSED into the resident matrix's rows as they
+# are freed (chunk g reads M rows [gR, (g+1)R) for the forward and
+# writes the same rows at iteration end), which makes the inverse's
+# phase B a plain column slice — no transpose at all.
+#
+# Reference anchor: the FFT -> H[k] -> IFFT hot pipeline of
+# fft_filtering.c:111-132 + the overlap-save description convolution.c:
+# 284-290, as one VMEM residency.
+# ---------------------------------------------------------------------------
+
+
+def _resident_filter_kernel(xr_hbm, xi_hbm,
+                            F1r, F1i, G1r, G1i, T1r, T1i,      # fwd L1
+                            F2r, F2i, G2r, G2i, T2r, T2i,      # fwd L2
+                            Afr, Afi, Pfr, Pfi,                # fwd rank-1
+                            I2ar, I2ai, I2br, I2bi, I2tr, I2ti,  # inv L2
+                            Iar, Iai, Ipr, Ipi,                # inv rank-1
+                            I1ar, I1ai, I1br, I1bi, I1tr, I1ti,  # inv L1 (scaled)
+                            Hr, Hi,
+                            or_hbm, oi_hbm,
+                            *refs,
+                            L1: int, L2: int, W: int, R: int, S: int,
+                            fa1: int, fb1: int, fa2: int, fb2: int,
+                            h_stream: bool):
+    b = pl.program_id(0)
+    C2 = L2 // W
+    G = L1 // R
+    Q = L2 // S
+    if h_stream:
+        (Mr, Mi, s0r, s0i, s1r, s1i, h0r, h0i, h1r, h1i,
+         in_sems, out_sems, h_sems) = refs
+        hbufs = ((h0r, h0i), (h1r, h1i))
+    else:
+        Mr, Mi, s0r, s0i, s1r, s1i, in_sems, out_sems = refs
+
+    dr = pltpu.make_async_copy(xr_hbm.at[b], Mr, in_sems.at[0])
+    di = pltpu.make_async_copy(xi_hbm.at[b], Mi, in_sems.at[1])
+    dr.start()
+    di.start()
+    if h_stream:
+        # prefetch H chunk 0 while the signal loads
+        h_pend = []
+        hr0 = pltpu.make_async_copy(Hr.at[:, pl.ds(0, R)], h0r, h_sems.at[0])
+        hi0 = pltpu.make_async_copy(Hi.at[:, pl.ds(0, R)], h0i, h_sems.at[1])
+        hr0.start()
+        hi0.start()
+        h_pend = [(hr0, hi0), None]
+    dr.wait()
+    di.wait()
+
+    tabs1f = (F1r[...], F1i[...], G1r[...], G1i[...], T1r[...], T1i[...])
+    tabs2f = (F2r[...], F2i[...], G2r[...], G2i[...], T2r[...], T2i[...])
+    tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
+              I2tr[...], I2ti[...])
+    tabs1i = (I1ar[...], I1ai[...], I1br[...], I1bi[...],
+              I1tr[...], I1ti[...])
+    pfr = Pfr[...]
+    pfi = Pfi[...]
+    ipr = Ipr[...]
+    ipi = Ipi[...]
+
+    # --- forward phase A: in place on M -------------------------------
+    for c in range(C2):
+        sl = slice(c * W, (c + 1) * W)
+        yr, yi = _col_fft_vmem(Mr[:, sl], Mi[:, sl], tabs1f, fa1, fb1)
+        ar = Afr[c]
+        ai = Afi[c]
+        wr = ar * pfr - ai * pfi
+        wi = ar * pfi + ai * pfr
+        Mr[:, sl] = yr * wr - yi * wi
+        Mi[:, sl] = yr * wi + yi * wr
+
+    # --- mid loop: fwd phase B -> ⊙H -> inv phase A, rows recycled ----
+    fa2i, fb2i = fa2, fb2   # inverse uses the same factor split
+    for g in range(G):
+        rs = slice(g * R, (g + 1) * R)
+        tr_ = jnp.transpose(Mr[rs, :], (1, 0))   # (L2, R)
+        ti_ = jnp.transpose(Mi[rs, :], (1, 0))
+        yr, yi = _col_fft_vmem(tr_, ti_, tabs2f, fa2, fb2)
+        if h_stream:
+            slot = g % 2
+            h_pend[slot][0].wait()
+            h_pend[slot][1].wait()
+            hr = hbufs[slot][0][...]
+            hi = hbufs[slot][1][...]
+        else:
+            hr = Hr[:, rs]
+            hi = Hi[:, rs]
+        zr = yr * hr - yi * hi
+        zi = yr * hi + yi * hr
+        if h_stream and g + 1 < G:
+            nslot = (g + 1) % 2
+            hrn = pltpu.make_async_copy(
+                Hr.at[:, pl.ds((g + 1) * R, R)], hbufs[nslot][0],
+                h_sems.at[2 * nslot])
+            hin = pltpu.make_async_copy(
+                Hi.at[:, pl.ds((g + 1) * R, R)], hbufs[nslot][1],
+                h_sems.at[2 * nslot + 1])
+            hrn.start()
+            hin.start()
+            h_pend[nslot] = (hrn, hin)
+        # inverse phase A on the spectrum chunk (sides (L2, L1))
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2i, fb2i)
+        iar = Iar[g]            # (L2, 1) inverse rank-1 column
+        iai = Iai[g]
+        iwr = iar * ipr - iai * ipi
+        iwi = iar * ipi + iai * ipr
+        vr = mr2 * iwr - mi2 * iwi   # (L2, R) = M'[:, g chunk]
+        vi = mr2 * iwi + mi2 * iwr
+        # store TRANSPOSED into the rows just freed: Mbuf = M'^T
+        Mr[rs, :] = jnp.transpose(vr, (1, 0))
+        Mi[rs, :] = jnp.transpose(vi, (1, 0))
+
+    # --- inverse phase B: column slices of Mbuf, overlapped writes ----
+    stages = ((s0r, s0i), (s1r, s1i))
+    pending = [None, None]
+    for q in range(Q):
+        slot = q % 2
+        br_s, bi_s = stages[slot]
+        if pending[slot] is not None:
+            pending[slot][0].wait()
+            pending[slot][1].wait()
+        cs = slice(q * S, (q + 1) * S)
+        # Mbuf[:, q chunk] IS transpose(M'[q rows, :]) — no transpose op
+        yr, yi = _col_fft_vmem(Mr[:, cs], Mi[:, cs], tabs1i, fa1, fb1)
+        br_s[...] = yr
+        bi_s[...] = yi
+        dro = pltpu.make_async_copy(
+            br_s, or_hbm.at[b, :, pl.ds(q * S, S)], out_sems.at[2 * slot])
+        dio = pltpu.make_async_copy(
+            bi_s, oi_hbm.at[b, :, pl.ds(q * S, S)],
+            out_sems.at[2 * slot + 1])
+        dro.start()
+        dio.start()
+        pending[slot] = (dro, dio)
+    for pair in pending:
+        if pair is not None:
+            pair[0].wait()
+            pair[1].wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",),
+)
+def _filter_resident_impl(xr, xi, h2r, h2i, *, interpret: bool):
+    B, n = xr.shape
+    L1, L2 = _split_sides(n)
+    W = LANES
+    R = min(LANES, L1)
+    S = min(LANES, L1)   # staging is (L1, S); S must divide L2 (pow2 ok)
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)
+    fwd = Direction.FORWARD
+    inv = Direction.INVERSE
+    tabs1f = _col_fft_tables(L1, fwd)
+    tabs2f = _col_fft_tables(L2, fwd)
+    tabs2i = _col_fft_tables(L2, inv)
+    tabs1i = _col_fft_tables(L1, inv, 1.0 / n)   # 1/n rides the last pass
+    Af, Pf = _rank1_twiddle_np(L1, L2, W, fwd)
+    Ai_, Pi_ = _rank1_twiddle_np(L2, L1, R, inv)
+    c32 = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(np.float32))
+    consts = (*tabs1f, *tabs2f,
+              c32(Af.real), c32(Af.imag), c32(Pf.real), c32(Pf.imag),
+              *tabs2i,
+              c32(Ai_.real), c32(Ai_.imag), c32(Pi_.real), c32(Pi_.imag),
+              *tabs1i)
+
+    dt = xr.dtype
+    # H (both planes) in VMEM costs 8*n bytes; from 2^20 the resident
+    # matrix alone is 8 MB, so H streams from HBM chunk-by-chunk
+    # (+8 B/sample of read traffic — still 2.7x below the two-launch
+    # sandwich).
+    h_stream = n >= (1 << 20)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    h_spec = hbm if h_stream else const
+    scratch = [
+        pltpu.VMEM((L1, L2), dt),
+        pltpu.VMEM((L1, L2), dt),
+        pltpu.VMEM((L1, S), dt),
+        pltpu.VMEM((L1, S), dt),
+        pltpu.VMEM((L1, S), dt),
+        pltpu.VMEM((L1, S), dt),
+    ]
+    if h_stream:
+        scratch += [pltpu.VMEM((L2, R), dt) for _ in range(4)]
+    scratch += [pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((4,))]
+    if h_stream:
+        scratch += [pltpu.SemaphoreType.DMA((4,))]
+    x3r = xr.reshape(B, L1, L2)
+    x3i = xi.reshape(B, L1, L2)
+    yr, yi = pl.pallas_call(
+        functools.partial(_resident_filter_kernel, L1=L1, L2=L2, W=W,
+                          R=R, S=S, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2,
+                          h_stream=h_stream),
+        grid=(B,),
+        in_specs=[hbm, hbm] + [const] * 32 + [h_spec, h_spec],
+        out_specs=(hbm, hbm),
+        out_shape=(jax.ShapeDtypeStruct((B, L1, L2), dt),
+                   jax.ShapeDtypeStruct((B, L1, L2), dt)),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=16 * ((fa1 + fb1) + (fa2 + fb2)) * n * B,
+            transcendentals=0,
+            bytes_accessed=2 * 2 * 4 * n * B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, *consts, h2r, h2i)
+    # (B, L1, L2) flattens to [b, j1*L2 + j2] = natural time order
+    return yr.reshape(B, n), yi.reshape(B, n)
+
+
+def spectral_filter_resident(xr, xi, hr, hi,
+                             interpret: bool | None = None):
+    """ifft(fft(x) * H) on split planes in ONE kernel and ONE HBM
+    residency (n = 2^15..2^19; at 2^20 H streams chunk-wise from HBM).
+    hr, hi: length-n frequency response, natural bin order. Matches
+    fourstep_vmem.spectral_filter_large numerics (1/n inverse scaling;
+    fft_filtering.c:111-132 semantics)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_resident(n):
+        raise ValueError(
+            f"spectral_filter_resident supports pow2 n in "
+            f"[{MIN_N}, {MAX_N}]; got {n}"
+        )
+    L1, L2 = _split_sides(n)
+    # response as the natural spectrum matrix (L2, L1), column chunks
+    h2r = jnp.asarray(hr, dtype=xr.dtype).reshape(L2, L1)
+    h2i = jnp.asarray(hi, dtype=xr.dtype).reshape(L2, L1)
+    batch = xr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= int(d)
+    yr, yi = _filter_resident_impl(
+        xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
+        interpret=bool(interpret),
+    )
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
