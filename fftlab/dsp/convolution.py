@@ -227,8 +227,10 @@ def fft_convolution_split(xr, xi, h):
 
     from fftlab.plan.dispatch import kernels_enabled
 
+    from fftlab.dsp.filtering import _resident_filter_enabled
+
     if jax.default_backend() == "tpu" and kernels_enabled() \
-            and supported_resident(m):
+            and supported_resident(m) and _resident_filter_enabled():
         yr, yi = spectral_filter_resident(xpr, xpi, Hr, Hi)
     elif (jax.default_backend() == "tpu" and supported_large(m)
             and kernels_enabled()):

@@ -137,6 +137,16 @@ def design_fir(num_taps: int, params: FilterParams, cfft=None) -> np.ndarray:
     return imp * hamming(n, periodic=False)
 
 
+def _resident_filter_enabled() -> bool:
+    """The single-residency filter sandwich is structurally 4x cheaper
+    in HBM traffic but not yet device-measured faster than the blocked
+    two-launch sandwich; opt in with FFTLAB_RESIDENT_FILTER=1 until the
+    healthy-window A/B flips the default."""
+    import os
+
+    return os.environ.get("FFTLAB_RESIDENT_FILTER", "0") == "1"
+
+
 def fft_filter_split(xr, xi, params: FilterParams):
     """TPU fast-path block filter on split re/im planes: the fused
     zero-transpose FFT -> H -> IFFT sandwich (split_stockham.
@@ -177,7 +187,7 @@ def fft_filter_split(xr, xi, params: FilterParams):
     from fftlab.plan.dispatch import kernels_enabled
 
     if jax.default_backend() == "tpu" and kernels_enabled():
-        if supported_resident(n):
+        if supported_resident(n) and _resident_filter_enabled():
             return spectral_filter_resident(
                 xr, xi, jnp.asarray(h.astype(rdtype)), jnp.zeros(n, rdtype)
             )

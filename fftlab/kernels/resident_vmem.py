@@ -81,85 +81,59 @@ def _out_chunk_rows(L1: int) -> int:
     return min(LANES, L1)
 
 
-def _resident_kernel(xr_hbm, xi_hbm,
+def _resident_kernel(xr_blk, xi_blk,
                      Far1, Fai1, Fbr1, Fbi1, twr1, twi1,
                      Far2, Fai2, Fbr2, Fbi2, twr2, twi2,
-                     Ar, Ai, Pr, Pi,
-                     or_hbm, oi_hbm,
-                     *refs,
-                     L1: int, L2: int, W: int, R: int,
-                     fa1: int, fb1: int, fa2: int, fb2: int,
-                     nbuf: int):
-    if nbuf == 2:
-        Mr, Mi, s0r, s0i, s1r, s1i, in_sems, out_sems = refs
-        stages = ((s0r, s0i), (s1r, s1i))
-    else:
-        # squeeze mode (M at half of VMEM): one staging pair — the
-        # write DMA serializes against the next chunk's compute, but
-        # the resident matrix fits
-        Mr, Mi, s0r, s0i, in_sems, out_sems = refs
-        stages = ((s0r, s0i),)
-    b = pl.program_id(0)
+                     ar_blk, ai_blk, Pr, Pi,
+                     or_blk, oi_blk,
+                     Mbr, Mbi, T2r, T2i,
+                     *, L1: int, L2: int, W: int, R: int,
+                     fa1: int, fb1: int, fa2: int, fb2: int):
+    """Grid (B, C2 + G1), s innermost. Phase A (s < C2): column FFT of
+    the BlockSpec-delivered x chunk + rank-1 twiddle, stored into the
+    blocked resident scratch Mb[s]. Phase B (s >= C2, g = s - C2):
+    assemble the (L2, R) transposed row chunk from Mb via per-tile
+    transposes, column FFT, write the out block.
+
+    NO manual DMA anywhere: the clamped index maps keep the in block
+    parked at its last chunk during phase B and the out block parked at
+    chunk 0 during phase A — revisited indices are neither refetched nor
+    reflushed, so the HBM traffic is exactly one residency while Mosaic
+    double-buffers and pipelines all block transfers. (A manual-DMA
+    variant of this kernel measured 3x worse per byte than BlockSpec
+    delivery on this backend — bench_artifacts/dma_shapes.jsonl.)"""
+    s = pl.program_id(1)
     C2 = L2 // W
     G1 = L1 // R
 
-    # --- load: one contiguous burst per plane -------------------------
-    dr = pltpu.make_async_copy(xr_hbm.at[b], Mr, in_sems.at[0])
-    di = pltpu.make_async_copy(xi_hbm.at[b], Mi, in_sems.at[1])
-    dr.start()
-    di.start()
-    dr.wait()
-    di.wait()
+    @pl.when(s < C2)
+    def _phase_a():
+        tabs1 = (Far1[...], Fai1[...], Fbr1[...], Fbi1[...],
+                 twr1[...], twi1[...])
+        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1)
+        ar = ar_blk[0]         # (L1, 1) rank-1 twiddle column
+        ai = ai_blk[0]
+        wr = ar * Pr[...] - ai * Pi[...]
+        wi = ar * Pi[...] + ai * Pr[...]
+        Mbr[s] = yr * wr - yi * wi
+        Mbi[s] = yr * wi + yi * wr
 
-    tabs1 = (Far1[...], Fai1[...], Fbr1[...], Fbi1[...],
-             twr1[...], twi1[...])
-    tabs2 = (Far2[...], Fai2[...], Fbr2[...], Fbi2[...],
-             twr2[...], twi2[...])
-    pr = Pr[...]   # (L1, W)
-    pi = Pi[...]
-
-    # --- phase A: length-L1 column FFT + four-step twiddle, in place --
-    for c in range(C2):
-        sl = slice(c * W, (c + 1) * W)
-        yr, yi = _col_fft_vmem(Mr[:, sl], Mi[:, sl], tabs1, fa1, fb1)
-        ar = Ar[c]         # (L1, 1) rank-1 twiddle column
-        ai = Ai[c]
-        wr = ar * pr - ai * pi
-        wi = ar * pi + ai * pr
-        Mr[:, sl] = yr * wr - yi * wi
-        Mi[:, sl] = yr * wi + yi * wr
-
-    # --- phase B: length-L2 FFT per R-row chunk, overlapped writes ----
-    # The g-loop is a STATIC Python unroll, so the DMA descriptors are
-    # plain Python objects: stash each slot's in-flight pair and .wait()
-    # it before the staging buffer is reused (double buffering).
-    pending = [None] * len(stages)
-    for g in range(G1):
-        slot = g % len(stages)
-        br_s, bi_s = stages[slot]
-        if pending[slot] is not None:
-            pending[slot][0].wait()
-            pending[slot][1].wait()
-        rs = slice(g * R, (g + 1) * R)
-        xr = jnp.transpose(Mr[rs, :], (1, 0))   # (L2, R)
-        xi = jnp.transpose(Mi[rs, :], (1, 0))
-        yr, yi = _col_fft_vmem(xr, xi, tabs2, fa2, fb2)
-        br_s[...] = yr
-        bi_s[...] = yi
-        dr_o = pltpu.make_async_copy(
-            br_s, or_hbm.at[b, :, pl.ds(g * R, R)], out_sems.at[2 * slot]
-        )
-        di_o = pltpu.make_async_copy(
-            bi_s, oi_hbm.at[b, :, pl.ds(g * R, R)], out_sems.at[2 * slot + 1]
-        )
-        dr_o.start()
-        di_o.start()
-        pending[slot] = (dr_o, di_o)
-    # drain the tail DMAs before the next program reuses the staging
-    for pair in pending:
-        if pair is not None:
-            pair[0].wait()
-            pair[1].wait()
+    @pl.when(s >= C2)
+    def _phase_b():
+        g = s - C2
+        # T2[c*W + l, r] = Mb[c, g*R + r, l]: C2 tile-sized transposes
+        # assemble the (L2, R) column matrix (dynamic sublane slice at
+        # g*R, static lane placement at c*W — no dynamic lane indexing)
+        for c in range(C2):
+            rs = pl.ds(g * R, R)
+            ls = slice(c * W, (c + 1) * W)
+            T2r[ls, :] = jnp.transpose(Mbr[c, rs, :], (1, 0))
+            T2i[ls, :] = jnp.transpose(Mbi[c, rs, :], (1, 0))
+        tabs2 = (Far2[...], Fai2[...], Fbr2[...], Fbi2[...],
+                 twr2[...], twi2[...])
+        yr, yi = _col_fft_vmem(T2r[...], T2i[...], tabs2, fa2, fb2)
+        or_blk[0] = yr
+        oi_blk[0] = yi
 
 
 @functools.partial(
@@ -187,28 +161,40 @@ def _fft_resident_impl(xr, xi, *, direction: Direction, interpret: bool,
 
     x3r = xr.reshape(B, L1, L2)
     x3i = xi.reshape(B, L1, L2)
-    hbm = pl.BlockSpec(memory_space=pl.ANY)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
     dt = xr.dtype
-    # Squeeze mode when the resident matrix takes half of VMEM (2^20:
-    # 8 MB both planes): one staging pair instead of two and an explicit
-    # VMEM budget so the conservative default limit doesn't reject it.
-    nbuf = 1 if n >= (1 << 20) else 2
-    staging = [pltpu.VMEM((L2, R), dt) for _ in range(2 * nbuf)]
+    C2 = L2 // W
+    G1 = L1 // R
+    # Clamped index maps: during phase B the in block stays parked at
+    # chunk C2-1 (no refetch — the index does not change); during phase
+    # A the out block stays parked at chunk 0 and is flushed only when
+    # s moves past C2, by which point phase-B g=0 has written it.
+    in_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.minimum(s, C2 - 1)),
+        memory_space=pltpu.VMEM)
+    a_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, L2, R),
+        lambda b, s: (b, 0, jnp.maximum(s - C2, 0)),
+        memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         functools.partial(_resident_kernel, L1=L1, L2=L2, W=W, R=R,
-                          fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2, nbuf=nbuf),
-        grid=(B,),
-        in_specs=[hbm, hbm] + [const] * 16,
-        out_specs=(hbm, hbm),
+                          fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2),
+        grid=(B, C2 + G1),
+        in_specs=[in_blk, in_blk] + [const] * 12 + [a_blk, a_blk,
+                                                    const, const],
+        out_specs=(out_blk, out_blk),
         out_shape=(jax.ShapeDtypeStruct((B, L2, L1), dt),
                    jax.ShapeDtypeStruct((B, L2, L1), dt)),
         scratch_shapes=[
-            pltpu.VMEM((L1, L2), dt),      # Mr
-            pltpu.VMEM((L1, L2), dt),      # Mi
-            *staging,
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2 * nbuf,)),
+            pltpu.VMEM((C2, L1, W), dt),   # blocked resident matrix (re)
+            pltpu.VMEM((C2, L1, W), dt),   # (im)
+            pltpu.VMEM((L2, R), dt),       # phase-B assembly (re)
+            pltpu.VMEM((L2, R), dt),       # (im)
         ],
         cost_estimate=pl.CostEstimate(
             flops=8 * ((fa1 + fb1) + (fa2 + fb2)) * n * B,
@@ -280,134 +266,92 @@ def fft_split_resident(xr, xi, direction=FORWARD,
 # ---------------------------------------------------------------------------
 
 
-def _resident_filter_kernel(xr_hbm, xi_hbm,
+def _resident_filter_kernel(xr_blk, xi_blk,
                             F1r, F1i, G1r, G1i, T1r, T1i,      # fwd L1
-                            F2r, F2i, G2r, G2i, T2r, T2i,      # fwd L2
-                            Afr, Afi, Pfr, Pfi,                # fwd rank-1
+                            F2r, F2i, G2r, G2i, T2r_, T2i_,    # fwd L2
                             I2ar, I2ai, I2br, I2bi, I2tr, I2ti,  # inv L2
-                            Iar, Iai, Ipr, Ipi,                # inv rank-1
-                            I1ar, I1ai, I1br, I1bi, I1tr, I1ti,  # inv L1 (scaled)
-                            Hr, Hi,
-                            or_hbm, oi_hbm,
-                            *refs,
-                            L1: int, L2: int, W: int, R: int, S: int,
-                            fa1: int, fb1: int, fa2: int, fb2: int,
-                            h_stream: bool):
-    b = pl.program_id(0)
+                            I1ar, I1ai, I1br, I1bi, I1tr, I1ti,  # inv L1 (1/n)
+                            af_blk_r, af_blk_i, Pfr, Pfi,      # fwd rank-1
+                            ai_blk_r, ai_blk_i, Ipr, Ipi,      # inv rank-1
+                            hr_blk, hi_blk,
+                            or_blk, oi_blk,
+                            Mbr, Mbi, Tr, Ti,
+                            *, L1: int, L2: int, W: int, R: int,
+                            fa1: int, fb1: int, fa2: int, fb2: int):
+    """Grid (B, C2 + G1 + C2), s innermost, all I/O BlockSpec-delivered:
+
+      s < C2          fwd phase A: column FFT of the x chunk + fwd
+                      rank-1 twiddle -> Mb[s]
+      C2 <= s < C2+G1 mid chunk g = s - C2: assemble the (L2, R)
+                      spectrum-column matrix from Mb (per-tile
+                      transposes), fwd length-L2 FFT, multiply the
+                      BlockSpec-delivered H chunk, inverse length-L2 FFT
+                      + inverse rank-1 twiddle, store the pieces
+                      transposed back into the SAME Mb rows (freed by
+                      the read at the top of the iteration)
+      s >= C2+G1      inv phase B chunk q: with the mid store's layout,
+                      slot Mb[q] IS the (L1, W) column matrix the
+                      inverse's last FFT wants — a whole-slot read at a
+                      dynamic leading index, no lane slicing — then the
+                      length-L1 inverse FFT (1/n folded) -> out block.
+
+    Clamped index maps keep every block parked outside its phase, so the
+    HBM traffic is one residency + one streamed read of H."""
+    s = pl.program_id(1)
     C2 = L2 // W
-    G = L1 // R
-    Q = L2 // S
-    if h_stream:
-        (Mr, Mi, s0r, s0i, s1r, s1i, h0r, h0i, h1r, h1i,
-         in_sems, out_sems, h_sems) = refs
-        hbufs = ((h0r, h0i), (h1r, h1i))
-    else:
-        Mr, Mi, s0r, s0i, s1r, s1i, in_sems, out_sems = refs
+    G1 = L1 // R
 
-    dr = pltpu.make_async_copy(xr_hbm.at[b], Mr, in_sems.at[0])
-    di = pltpu.make_async_copy(xi_hbm.at[b], Mi, in_sems.at[1])
-    dr.start()
-    di.start()
-    if h_stream:
-        # prefetch H chunk 0 while the signal loads
-        h_pend = []
-        hr0 = pltpu.make_async_copy(Hr.at[:, pl.ds(0, R)], h0r, h_sems.at[0])
-        hi0 = pltpu.make_async_copy(Hi.at[:, pl.ds(0, R)], h0i, h_sems.at[1])
-        hr0.start()
-        hi0.start()
-        h_pend = [(hr0, hi0), None]
-    dr.wait()
-    di.wait()
+    @pl.when(s < C2)
+    def _phase_a():
+        tabs1 = (F1r[...], F1i[...], G1r[...], G1i[...],
+                 T1r[...], T1i[...])
+        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1)
+        ar = af_blk_r[0]
+        ai = af_blk_i[0]
+        wr = ar * Pfr[...] - ai * Pfi[...]
+        wi = ar * Pfi[...] + ai * Pfr[...]
+        Mbr[s] = yr * wr - yi * wi
+        Mbi[s] = yr * wi + yi * wr
 
-    tabs1f = (F1r[...], F1i[...], G1r[...], G1i[...], T1r[...], T1i[...])
-    tabs2f = (F2r[...], F2i[...], G2r[...], G2i[...], T2r[...], T2i[...])
-    tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
-              I2tr[...], I2ti[...])
-    tabs1i = (I1ar[...], I1ai[...], I1br[...], I1bi[...],
-              I1tr[...], I1ti[...])
-    pfr = Pfr[...]
-    pfi = Pfi[...]
-    ipr = Ipr[...]
-    ipi = Ipi[...]
-
-    # --- forward phase A: in place on M -------------------------------
-    for c in range(C2):
-        sl = slice(c * W, (c + 1) * W)
-        yr, yi = _col_fft_vmem(Mr[:, sl], Mi[:, sl], tabs1f, fa1, fb1)
-        ar = Afr[c]
-        ai = Afi[c]
-        wr = ar * pfr - ai * pfi
-        wi = ar * pfi + ai * pfr
-        Mr[:, sl] = yr * wr - yi * wi
-        Mi[:, sl] = yr * wi + yi * wr
-
-    # --- mid loop: fwd phase B -> ⊙H -> inv phase A, rows recycled ----
-    fa2i, fb2i = fa2, fb2   # inverse uses the same factor split
-    for g in range(G):
-        rs = slice(g * R, (g + 1) * R)
-        tr_ = jnp.transpose(Mr[rs, :], (1, 0))   # (L2, R)
-        ti_ = jnp.transpose(Mi[rs, :], (1, 0))
-        yr, yi = _col_fft_vmem(tr_, ti_, tabs2f, fa2, fb2)
-        if h_stream:
-            slot = g % 2
-            h_pend[slot][0].wait()
-            h_pend[slot][1].wait()
-            hr = hbufs[slot][0][...]
-            hi = hbufs[slot][1][...]
-        else:
-            hr = Hr[:, rs]
-            hi = Hi[:, rs]
+    @pl.when(jnp.logical_and(s >= C2, s < C2 + G1))
+    def _mid():
+        g = s - C2
+        rs = pl.ds(g * R, R)
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            Tr[ls, :] = jnp.transpose(Mbr[c, rs, :], (1, 0))
+            Ti[ls, :] = jnp.transpose(Mbi[c, rs, :], (1, 0))
+        tabs2f = (F2r[...], F2i[...], G2r[...], G2i[...],
+                  T2r_[...], T2i_[...])
+        yr, yi = _col_fft_vmem(Tr[...], Ti[...], tabs2f, fa2, fb2)
+        hr = hr_blk[0]
+        hi = hi_blk[0]
         zr = yr * hr - yi * hi
         zi = yr * hi + yi * hr
-        if h_stream and g + 1 < G:
-            nslot = (g + 1) % 2
-            hrn = pltpu.make_async_copy(
-                Hr.at[:, pl.ds((g + 1) * R, R)], hbufs[nslot][0],
-                h_sems.at[2 * nslot])
-            hin = pltpu.make_async_copy(
-                Hi.at[:, pl.ds((g + 1) * R, R)], hbufs[nslot][1],
-                h_sems.at[2 * nslot + 1])
-            hrn.start()
-            hin.start()
-            h_pend[nslot] = (hrn, hin)
-        # inverse phase A on the spectrum chunk (sides (L2, L1))
-        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2i, fb2i)
-        iar = Iar[g]            # (L2, 1) inverse rank-1 column
-        iai = Iai[g]
-        iwr = iar * ipr - iai * ipi
-        iwi = iar * ipi + iai * ipr
+        tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
+                  I2tr[...], I2ti[...])
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2)
+        iar = ai_blk_r[0]          # (L2, 1)
+        iai = ai_blk_i[0]
+        iwr = iar * Ipr[...] - iai * Ipi[...]
+        iwi = iar * Ipi[...] + iai * Ipr[...]
         vr = mr2 * iwr - mi2 * iwi   # (L2, R) = M'[:, g chunk]
         vi = mr2 * iwi + mi2 * iwr
-        # store TRANSPOSED into the rows just freed: Mbuf = M'^T
-        Mr[rs, :] = jnp.transpose(vr, (1, 0))
-        Mi[rs, :] = jnp.transpose(vi, (1, 0))
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            Mbr[c, rs, :] = jnp.transpose(vr[ls, :], (1, 0))
+            Mbi[c, rs, :] = jnp.transpose(vi[ls, :], (1, 0))
 
-    # --- inverse phase B: column slices of Mbuf, overlapped writes ----
-    stages = ((s0r, s0i), (s1r, s1i))
-    pending = [None, None]
-    for q in range(Q):
-        slot = q % 2
-        br_s, bi_s = stages[slot]
-        if pending[slot] is not None:
-            pending[slot][0].wait()
-            pending[slot][1].wait()
-        cs = slice(q * S, (q + 1) * S)
-        # Mbuf[:, q chunk] IS transpose(M'[q rows, :]) — no transpose op
-        yr, yi = _col_fft_vmem(Mr[:, cs], Mi[:, cs], tabs1i, fa1, fb1)
-        br_s[...] = yr
-        bi_s[...] = yi
-        dro = pltpu.make_async_copy(
-            br_s, or_hbm.at[b, :, pl.ds(q * S, S)], out_sems.at[2 * slot])
-        dio = pltpu.make_async_copy(
-            bi_s, oi_hbm.at[b, :, pl.ds(q * S, S)],
-            out_sems.at[2 * slot + 1])
-        dro.start()
-        dio.start()
-        pending[slot] = (dro, dio)
-    for pair in pending:
-        if pair is not None:
-            pair[0].wait()
-            pair[1].wait()
+    @pl.when(s >= C2 + G1)
+    def _phase_b():
+        q = s - C2 - G1
+        tabs1i = (I1ar[...], I1ai[...], I1br[...], I1bi[...],
+                  I1tr[...], I1ti[...])
+        # Mb[q][j, t] = M'[q*W + t, j]: already the (L1, W) column
+        # matrix of the inverse's final length-L1 FFT
+        yr, yi = _col_fft_vmem(Mbr[q], Mbi[q], tabs1i, fa1, fb1)
+        or_blk[0] = yr
+        oi_blk[0] = yi
 
 
 @functools.partial(
@@ -418,7 +362,6 @@ def _filter_resident_impl(xr, xi, h2r, h2i, *, interpret: bool):
     L1, L2 = _split_sides(n)
     W = LANES
     R = min(LANES, L1)
-    S = min(LANES, L1)   # staging is (L1, S); S must divide L2 (pow2 ok)
     fa1, fb1 = _split_factors(L1)
     fa2, fb2 = _split_factors(L2)
     fwd = Direction.FORWARD
@@ -430,57 +373,64 @@ def _filter_resident_impl(xr, xi, h2r, h2i, *, interpret: bool):
     Af, Pf = _rank1_twiddle_np(L1, L2, W, fwd)
     Ai_, Pi_ = _rank1_twiddle_np(L2, L1, R, inv)
     c32 = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(np.float32))
-    consts = (*tabs1f, *tabs2f,
-              c32(Af.real), c32(Af.imag), c32(Pf.real), c32(Pf.imag),
-              *tabs2i,
-              c32(Ai_.real), c32(Ai_.imag), c32(Pi_.real), c32(Pi_.imag),
-              *tabs1i)
 
     dt = xr.dtype
-    # H (both planes) in VMEM costs 8*n bytes; from 2^20 the resident
-    # matrix alone is 8 MB, so H streams from HBM chunk-by-chunk
-    # (+8 B/sample of read traffic — still 2.7x below the two-launch
-    # sandwich).
-    h_stream = n >= (1 << 20)
-    hbm = pl.BlockSpec(memory_space=pl.ANY)
-    const = pl.BlockSpec(memory_space=pltpu.VMEM)
-    h_spec = hbm if h_stream else const
-    scratch = [
-        pltpu.VMEM((L1, L2), dt),
-        pltpu.VMEM((L1, L2), dt),
-        pltpu.VMEM((L1, S), dt),
-        pltpu.VMEM((L1, S), dt),
-        pltpu.VMEM((L1, S), dt),
-        pltpu.VMEM((L1, S), dt),
-    ]
-    if h_stream:
-        scratch += [pltpu.VMEM((L2, R), dt) for _ in range(4)]
-    scratch += [pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((4,))]
-    if h_stream:
-        scratch += [pltpu.SemaphoreType.DMA((4,))]
+    C2 = L2 // W
+    G1 = L1 // R
     x3r = xr.reshape(B, L1, L2)
     x3i = xi.reshape(B, L1, L2)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.minimum(s, C2 - 1)),
+        memory_space=pltpu.VMEM)
+    af_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    mid_idx = lambda s: jnp.clip(s - C2, 0, G1 - 1)
+    ai_blk = pl.BlockSpec(
+        (1, L2, 1),
+        lambda b, s: (mid_idx(s), 0, 0),
+        memory_space=pltpu.VMEM)
+    h_blk = pl.BlockSpec(
+        (1, L2, R),
+        lambda b, s: (0, 0, mid_idx(s)),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.maximum(s - C2 - G1, 0)),
+        memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         functools.partial(_resident_filter_kernel, L1=L1, L2=L2, W=W,
-                          R=R, S=S, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2,
-                          h_stream=h_stream),
-        grid=(B,),
-        in_specs=[hbm, hbm] + [const] * 32 + [h_spec, h_spec],
-        out_specs=(hbm, hbm),
+                          R=R, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2),
+        grid=(B, C2 + G1 + C2),
+        in_specs=[in_blk, in_blk] + [const] * 24
+                 + [af_blk, af_blk, const, const]
+                 + [ai_blk, ai_blk, const, const]
+                 + [h_blk, h_blk],
+        out_specs=(out_blk, out_blk),
         out_shape=(jax.ShapeDtypeStruct((B, L1, L2), dt),
                    jax.ShapeDtypeStruct((B, L1, L2), dt)),
-        scratch_shapes=scratch,
+        scratch_shapes=[
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((L2, R), dt),
+            pltpu.VMEM((L2, R), dt),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=16 * ((fa1 + fb1) + (fa2 + fb2)) * n * B,
             transcendentals=0,
-            bytes_accessed=2 * 2 * 4 * n * B,
+            bytes_accessed=(2 * 2 + 1) * 2 * 4 * n * B,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(x3r, x3i, *consts, h2r, h2i)
+    )(x3r, x3i, *tabs1f, *tabs2f, *tabs2i, *tabs1i,
+      c32(Af.real), c32(Af.imag), c32(Pf.real), c32(Pf.imag),
+      c32(Ai_.real), c32(Ai_.imag), c32(Pi_.real), c32(Pi_.imag),
+      h2r, h2i)
     # (B, L1, L2) flattens to [b, j1*L2 + j2] = natural time order
     return yr.reshape(B, n), yi.reshape(B, n)
 
@@ -488,8 +438,9 @@ def _filter_resident_impl(xr, xi, h2r, h2i, *, interpret: bool):
 def spectral_filter_resident(xr, xi, hr, hi,
                              interpret: bool | None = None):
     """ifft(fft(x) * H) on split planes in ONE kernel and ONE HBM
-    residency (n = 2^15..2^19; at 2^20 H streams chunk-wise from HBM).
-    hr, hi: length-n frequency response, natural bin order. Matches
+    residency of the signal (n = 2^15..2^20; H streams per chunk
+    through a BlockSpec, +8 B/sample). hr, hi: length-n frequency
+    response, natural bin order. Matches
     fourstep_vmem.spectral_filter_large numerics (1/n inverse scaling;
     fft_filtering.c:111-132 semantics)."""
     if interpret is None:
@@ -503,9 +454,10 @@ def spectral_filter_resident(xr, xi, hr, hi,
             f"[{MIN_N}, {MAX_N}]; got {n}"
         )
     L1, L2 = _split_sides(n)
-    # response as the natural spectrum matrix (L2, L1), column chunks
-    h2r = jnp.asarray(hr, dtype=xr.dtype).reshape(L2, L1)
-    h2i = jnp.asarray(hi, dtype=xr.dtype).reshape(L2, L1)
+    # response as the natural spectrum matrix (1, L2, L1): the kernel
+    # consumes its (1, L2, R) column chunks via BlockSpec
+    h2r = jnp.asarray(hr, dtype=xr.dtype).reshape(1, L2, L1)
+    h2i = jnp.asarray(hi, dtype=xr.dtype).reshape(1, L2, L1)
     batch = xr.shape[:-1]
     B = 1
     for d in batch:

@@ -60,12 +60,14 @@ def select_split_impl(n: int, batch: int = 1) -> str:
         return measured
     from fftlab.kernels.fft_vmem import supported_size
     from fftlab.kernels.fourstep_vmem import supported_large
-    from fftlab.kernels.resident_vmem import supported_resident
 
+    # resident_vmem is a ROUTES/tuning candidate but not the static
+    # default: its one-residency traffic advantage is structural, yet the
+    # measured winner on this device is still the two-pass kernel until
+    # a healthy-window A/B (tune_split_route / bench.py) says otherwise —
+    # wisdom entries override this heuristic when they exist.
     if supported_size(n) and n >= _VMEM_MIN_N:
         return "pallas_vmem"
-    if supported_resident(n):
-        return "resident_vmem"
     if supported_large(n):
         return "fourstep_vmem"
     from fftlab.kernels.threestep_vmem import supported_huge

@@ -1,0 +1,118 @@
+"""Health-gated interleaved A/B: resident_vmem (one-residency, v2
+BlockSpec) vs fourstep_vmem (blocked two-pass) for the 16x1M FFT and
+the 1M spectral-filter sandwich. Waits for a healthy window (copy-chain
+bandwidth > 150 GB/s), then times all four candidates back-to-back,
+repeating for several healthy rounds so the judge artifact carries
+same-window comparisons.
+
+Appends to bench_artifacts/resident_ab.jsonl.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+cache = os.path.expanduser("~/.cache/jax_comp")
+os.makedirs(cache, exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp  # noqa: E402
+
+ART = "bench_artifacts/resident_ab.jsonl"
+
+
+def log(**kw):
+    kw["t"] = round(time.time(), 1)
+    with open(ART, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+    print(kw, flush=True)
+
+
+def main():
+    assert jax.devices()[0].platform == "tpu"
+    from fftlab.bench.timing import chain_time, min_slope
+    from fftlab.core.types import FORWARD
+    from fftlab.kernels.fourstep_vmem import (
+        fft_split_large,
+        spectral_filter_large,
+    )
+    from fftlab.kernels.resident_vmem import (
+        fft_split_resident,
+        spectral_filter_resident,
+    )
+
+    B, n = 16, 1 << 20
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    scale = 1.0 / float(np.sqrt(n))
+    H = rng.standard_normal(n).astype(np.float32)
+    hr = jnp.asarray(H)
+    hi = jnp.zeros(n, jnp.float32)
+
+    cands = [
+        ("res", lambda a, b: fft_split_resident(a, b, FORWARD, scale=scale)),
+        ("fs_blocked", lambda a, b: fft_split_large(
+            a, b, FORWARD, blocked=True, scale=scale)),
+        ("resfilt", lambda a, b: spectral_filter_resident(a, b, hr, hi)),
+        ("fsfilt_blocked", lambda a, b: spectral_filter_large(
+            a, b, hr, hi, blocked=True)),
+    ]
+
+    # warm all compiles before any health gating
+    for name, fn in cands:
+        t0 = time.time()
+        fn(xr, xi)[0].block_until_ready()
+        log(name=f"warm_{name}", compile_s=round(time.time() - t0, 1))
+
+    counter = [0]
+
+    def nxt():
+        counter[0] += 1
+        return counter[0]
+
+    def bandwidth():
+        mk = lambda i: (xr + jnp.float32(nxt() * 1e-3),
+                        xi - jnp.float32(nxt() * 1e-3))
+        raw = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(4, 64),
+                         repeats=3, return_raw=True)
+        dt = min_slope(raw)
+        return (2 * 2 * 4 * B * n / dt / 1e9) if dt > 0 else -1.0
+
+    deadline = time.time() + float(os.environ.get("AB_WAIT_S", "14400"))
+    healthy_rounds = 0
+    want_rounds = int(os.environ.get("AB_ROUNDS", "3"))
+    while healthy_rounds < want_rounds and time.time() < deadline:
+        bw = bandwidth()
+        log(name="health", gbps=round(bw, 1))
+        if not (150.0 < bw < 2000.0):
+            time.sleep(120)
+            continue
+        rnd = {"name": "ab_round", "round": healthy_rounds,
+               "health_gbps": round(bw, 1)}
+        for name, fn in cands:
+            try:
+                raw = chain_time(fn,
+                                 lambda i: (xr + jnp.float32(1e-3 * nxt()),
+                                            xi - jnp.float32(1e-3 * nxt())),
+                                 ks=(3, 8, 14), repeats=3, return_raw=True)
+                dt = min_slope(raw)
+                rnd[name + "_ms"] = round(dt * 1e3, 4)
+                rnd[name + "_gsps"] = (round(B * n / dt / 1e9, 2)
+                                       if dt > 0 else -1.0)
+            except Exception as ex:  # noqa: BLE001
+                rnd[name + "_err"] = str(ex)[:160]
+        log(**rnd)
+        healthy_rounds += 1
+    log(name="done", healthy_rounds=healthy_rounds)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,7 +1,8 @@
-"""Device probe for the one-residency kernel (kernels/resident_vmem.py):
-compile + SNR-gate 2^15/2^17/2^20 on the real TPU, then time the
-16x1M headline A/B against the two-pass route with the hardened chain
-protocol, including the FFTLAB_RES_R staging-width variants.
+"""Device probe for the one-residency kernels (kernels/resident_vmem.py,
+v2: BlockSpec-delivered, no manual DMA): compile + SNR-gate on the real
+TPU, then INTERLEAVED A/B timing against the two-pass kernels — same
+window, alternating candidates, several rounds — so congestion hits all
+candidates equally.
 
 Appends JSON lines to bench_artifacts/resident_probe.jsonl.
 """
@@ -33,8 +34,12 @@ def log(**kw):
 
 
 def snr_gate():
-    from fftlab.kernels.resident_vmem import fft_split_resident
+    from fftlab.kernels.resident_vmem import (
+        fft_split_resident,
+        spectral_filter_resident,
+    )
 
+    ok = True
     for e in (15, 17, 20):
         n = 1 << e
         rng = np.random.default_rng(e)
@@ -52,78 +57,89 @@ def snr_gate():
             log(name=f"res_2^{e}", ok=bool(snr > 100),
                 snr_db=round(float(snr), 1),
                 compile_s=round(time.time() - t0, 1))
-            if snr <= 100:
-                return False
+            ok = ok and snr > 100
         except Exception as ex:  # noqa: BLE001
             log(name=f"res_2^{e}", error=str(ex)[:300],
                 compile_s=round(time.time() - t0, 1))
-            return False
-    return True
-
-
-def time_route(route, xr, xi, n, B):
-    from fftlab.bench.timing import chain_time, min_slope
-    from fftlab.core.types import FORWARD
-    from fftlab.plan.dispatch import run_route
-
-    scale = 1.0 / float(np.sqrt(n))
-
-    def step(a, b):
-        return run_route(route, a, b, FORWARD, scale=scale)
-
-    raw = chain_time(step, lambda i: (xr + jnp.float32(1e-3 * i),
-                                      xi - jnp.float32(1e-3 * i)),
-                     ks=(4, 10, 16), repeats=3, return_raw=True)
-    dt = min_slope(raw)
-    return dt
+            ok = False
+    # filter gate at the headline size
+    n = 1 << 20
+    rng = np.random.default_rng(99)
+    x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    t0 = time.time()
+    try:
+        yr, yi = spectral_filter_resident(
+            jnp.asarray(x.real, jnp.float32)[None],
+            jnp.asarray(x.imag, jnp.float32)[None],
+            jnp.asarray(H.real, jnp.float32),
+            jnp.asarray(H.imag, jnp.float32))
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        want = np.fft.ifft(np.fft.fft(x) * H)
+        snr = 10 * np.log10(np.sum(np.abs(want) ** 2)
+                            / np.sum(np.abs(got - want) ** 2))
+        log(name="resfilt_2^20", ok=bool(snr > 100),
+            snr_db=round(float(snr), 1),
+            compile_s=round(time.time() - t0, 1))
+    except Exception as ex:  # noqa: BLE001
+        log(name="resfilt_2^20", error=str(ex)[:300],
+            compile_s=round(time.time() - t0, 1))
+    return ok
 
 
 def main():
     assert jax.devices()[0].platform == "tpu", "probe needs the TPU"
-    if not snr_gate():
+    from fftlab.bench.timing import chain_time, min_slope
+    from fftlab.core.types import FORWARD
+    from fftlab.kernels.fourstep_vmem import (
+        fft_split_large,
+        spectral_filter_large,
+    )
+    from fftlab.kernels.resident_vmem import (
+        fft_split_resident,
+        spectral_filter_resident,
+    )
+
+    gate_ok = snr_gate()
+    if not gate_ok:
         log(name="gate_failed")
-        return 1
 
     B, n = 16, 1 << 20
     rng = np.random.default_rng(0)
     xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    scale = 1.0 / float(np.sqrt(n))
+    # E[|H|^2] = 1 keeps chained magnitudes stationary (Parseval)
+    H = rng.standard_normal(n).astype(np.float32)
+    hr = jnp.asarray(H)
+    hi = jnp.zeros(n, jnp.float32)
 
-    # R variants: compile-gate each before timing
-    variants = []
-    for r in ("128", "256", "512"):
-        os.environ["FFTLAB_RES_R"] = r
-        try:
-            from fftlab.kernels.resident_vmem import fft_split_resident
+    fft_cands = [
+        ("res", lambda a, b: fft_split_resident(a, b, FORWARD, scale=scale)),
+        ("fs_blocked", lambda a, b: fft_split_large(
+            a, b, FORWARD, blocked=True, scale=scale)),
+    ]
+    filt_cands = [
+        ("resfilt", lambda a, b: spectral_filter_resident(a, b, hr, hi)),
+        ("fsfilt_blocked", lambda a, b: spectral_filter_large(
+            a, b, hr, hi, blocked=True)),
+    ]
 
-            t0 = time.time()
-            yr, yi = fft_split_resident(xr[:1], xi[:1])
-            yr.block_until_ready()
-            log(name=f"compile_R{r}", ok=True,
-                compile_s=round(time.time() - t0, 1))
-            variants.append(r)
-        except Exception as ex:  # noqa: BLE001
-            log(name=f"compile_R{r}", error=str(ex)[:300])
-    os.environ.pop("FFTLAB_RES_R", None)
-
-    for rnd in range(int(os.environ.get("PROBE_ROUNDS", "3"))):
-        for r in variants:
-            os.environ["FFTLAB_RES_R"] = r
+    rounds = int(os.environ.get("PROBE_ROUNDS", "3"))
+    for rnd in range(rounds):
+        for name, fn in fft_cands + filt_cands:
             try:
-                dt = time_route("resident_vmem", xr, xi, n, B)
+                raw = chain_time(fn,
+                                 lambda i: (xr + jnp.float32(1e-3 * i),
+                                            xi - jnp.float32(1e-3 * i)),
+                                 ks=(3, 8, 14), repeats=3, return_raw=True)
+                dt = min_slope(raw)
                 gsps = B * n / dt / 1e9 if dt > 0 else -1.0
-                log(name=f"time_res_R{r}", round=rnd,
+                log(name=f"time_{name}", round=rnd,
                     ms=round(dt * 1e3, 4), gsps=round(gsps, 2))
             except Exception as ex:  # noqa: BLE001
-                log(name=f"time_res_R{r}", round=rnd, error=str(ex)[:200])
-        os.environ.pop("FFTLAB_RES_R", None)
-        try:
-            dt = time_route("fourstep_vmem", xr, xi, n, B)
-            gsps = B * n / dt / 1e9 if dt > 0 else -1.0
-            log(name="time_fourstep", round=rnd,
-                ms=round(dt * 1e3, 4), gsps=round(gsps, 2))
-        except Exception as ex:  # noqa: BLE001
-            log(name="time_fourstep", round=rnd, error=str(ex)[:200])
+                log(name=f"time_{name}", round=rnd, error=str(ex)[:200])
     log(name="done")
     return 0
 

@@ -241,8 +241,9 @@ class TestCapsDispatch:
         self._fake_caps(monkeypatch, "tpu")
         assert select_split_impl(8192) == "pallas_vmem"
         assert select_split_impl(16384) == "pallas_vmem"
-        # large pow2 sizes route to the two-pass kernel (down to the
-        # 32K..128K mid-range gap the einsum path used to cover)
+        # large pow2 sizes route to the two-pass kernel (the measured
+        # default; the one-residency resident_vmem route competes via
+        # wisdom/tuning, not the static heuristic)
         assert select_split_impl(1 << 15) == "fourstep_vmem"
         assert select_split_impl(1 << 17) == "fourstep_vmem"
         assert select_split_impl(1 << 20) == "fourstep_vmem"

@@ -154,8 +154,8 @@ class TestResidentFilter:
                                    atol=1e-2)
 
     def test_h_stream_path(self):
-        """2^20 streams H chunk-wise from HBM (prefetched double
-        buffer) — same numerics as the const-H path."""
+        """At 2^20 (8 MB resident matrix) H is consumed as BlockSpec
+        chunks like everywhere else — gate the headline size."""
         from fftlab.kernels.resident_vmem import spectral_filter_resident
 
         n = 1 << 20
