@@ -332,6 +332,66 @@ def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
     return r
 
 
+def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+    """The FFT -> H -> IFFT sandwich at 1M (fft_filtering.c:111-132 hot
+    path): two-launch blocked sandwich (4 HBM passes) vs the fused
+    single-residency kernel (1 residency + streamed H = 24 B/sample).
+    Floor = the fused kernel's 24 B/sample."""
+    n = 1 << 20 if on_tpu else 1 << 12
+    batch = 16 if on_tpu else 2
+    rng = np.random.default_rng(4)
+    xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    # E[|H|^2] = 1 keeps chained magnitudes stationary (Parseval)
+    H = rng.standard_normal(n).astype(np.float32)
+    hr = jnp.asarray(H)
+    hi = jnp.zeros(n, jnp.float32)
+    want = np.fft.ifft(np.fft.fft(
+        np.asarray(xr[0], np.float64) + 1j * np.asarray(xi[0], np.float64)
+    ) * H.astype(np.float64))
+
+    cands = []
+    if on_tpu:
+        from fftlab.kernels.fourstep_vmem import (
+            spectral_filter_large,
+            supported_large,
+        )
+        from fftlab.kernels.resident_vmem import (
+            spectral_filter_resident,
+            supported_resident,
+        )
+
+        if supported_resident(n):
+            cands.append((lambda a, b, scale=None: spectral_filter_resident(
+                a, b, hr, hi), "resident_filter"))
+        if supported_large(n):
+            cands.append((lambda a, b, scale=None: spectral_filter_large(
+                a, b, hr, hi, blocked=True), "fourstep_filter_blocked"))
+    if not cands:
+        from fftlab.algos.split_stockham import spectral_filter_split
+
+        cands.append((lambda a, b, scale=None: spectral_filter_split(
+            a, b, hr, hi), "einsum_filter"))
+
+    results = {}
+    for fn, path in cands:
+        try:
+            results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
+                                          want, ks=(3, 8, 14), repeats=3)
+        except Exception as e:
+            results[path] = {"error": str(e)[:140]}
+    ok = [r for r in results.values() if "gsps" in r]
+    if not ok:
+        return {"error": "no path passed", "paths": results}
+    best = max(ok, key=lambda r: r["gsps"])
+    out = dict(best)
+    out["paths"] = results
+    t_min_ms = 24.0 * batch * n / (bw_gbps * 1e9) * 1e3
+    out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
+    out["roofline_floor_ms"] = round(t_min_ms, 3)
+    return out
+
+
 def bench_stft(jax, jnp, on_tpu: bool) -> dict:
     """Pallas streaming STFT vs the XLA gather-framing STFT."""
     n = 1 << 22 if on_tpu else 1 << 14
@@ -434,6 +494,8 @@ def main() -> None:
     for name, f in (
         ("fft_1m_batched", lambda: bench_fft_1m(jax, jnp, on_tpu, bw_gbps)),
         ("fft_16m_single", lambda: bench_fft_16m(jax, jnp, on_tpu, bw_gbps)),
+        ("spectral_filter_1m",
+         lambda: bench_spectral_filter_1m(jax, jnp, on_tpu, bw_gbps)),
         ("serving_filter", lambda: bench_serving_filter(jax, jnp, on_tpu)),
         ("stft", lambda: bench_stft(jax, jnp, on_tpu)),
     ):

@@ -4,24 +4,15 @@ matrix, write the natural-order spectrum once.
 
 The two-pass kernel (kernels/fourstep_vmem.py) is floor-limited at
 32 B/sample: each pass reads and writes HBM. But a 1M-point split-f32
-signal is only 8 MB — it FITS in VMEM next to chunk workspaces. This
-kernel exploits that:
+signal is only 8 MB — it FITS in VMEM next to chunk workspaces, so this
+kernel runs BOTH four-step passes against a VMEM-resident blocked
+matrix and touches HBM exactly once per direction: 16 B/sample, HALF
+the two-pass floor.
 
-  per grid program (one batch row b):
-    1. ONE contiguous DMA x[b] (L1, L2) HBM -> VMEM M   (8 B/sample in)
-    2. phase A, in place on M: for each 128-lane column chunk c,
-       length-L1 column FFT (two MXU contractions, natural order) +
-       the rank-1-factored four-step twiddle W_n^{k1*j2}
-    3. phase B: for each R-row chunk g, transpose M[g] in VMEM,
-       length-L2 column FFT, async-DMA the (L2, R) natural-spectrum
-       column chunk to out[b, :, g] (double-buffered staging so the
-       strided write overlaps the next chunk's compute)
-                                                        (8 B/sample out)
-
-Traffic: 16 B/sample — HALF the two-pass kernel's floor — and the read
-side is a single full-bandwidth contiguous burst instead of strided
-column slabs. Only the output write stays strided (natural order is the
-API contract; a k2-row of the spectrum needs every k1 chunk).
+Delivery is pure BlockSpec over a (B, C2 + G1) grid with CLAMPED index
+maps (see _resident_kernel) — a manual-DMA formulation of the same
+structure measured ~3x worse per byte on this backend and 20-50x
+slower to compile (bench_artifacts/dma_shapes.jsonl, resident_diag).
 
 The in-VMEM column FFT and all tables are shared with the two-pass
 kernel (fourstep_vmem._col_fft_vmem): same math, same natural-order
@@ -53,9 +44,10 @@ from fftlab.kernels.fourstep_vmem import (
 )
 
 MIN_N = 1 << 15
-# M (both planes) + staging + tables must fit 16 MB VMEM: at 2^20 the
-# resident matrix is 8 MB, staging 2x(L2*R*4)x2 = 2 MB (R=128), chunk
-# temporaries ~3 MB peak -> ~14 MB. 2^21 would need a 16 MB matrix.
+# The blocked resident matrix (both planes) + double-buffered in/out
+# blocks + tables + chunk temporaries must fit 16 MB VMEM: at 2^20 the
+# matrix is 8 MB and the rest ~6 MB (device-verified). 2^21 would need
+# a 16 MB matrix alone.
 MAX_N = 1 << 20
 
 
@@ -65,9 +57,10 @@ def supported_resident(n: int) -> bool:
 
 def _out_chunk_rows(L1: int) -> int:
     """Output-chunk width R (k1 values per phase-B chunk). Wider R means
-    wider strided-write bursts (R*4 B at stride L1*4 B) but a bigger
-    staging footprint (2 buffers x L2*R*4 x 2 planes). Env knob
-    FFTLAB_RES_R for device tuning."""
+    wider strided-write bursts (R*4 B at stride L1*4 B) but bigger
+    out-block buffers (2 x L2*R*4 x 2 planes, Pallas double-buffered)
+    and a bigger phase-B assembly scratch. Env knob FFTLAB_RES_R for
+    device tuning."""
     import os
 
     forced = os.environ.get("FFTLAB_RES_R")
