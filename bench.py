@@ -192,7 +192,42 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
                 out["paths"][out["path"]], floor_violation=True)
     out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
     out["roofline_floor_ms"] = round(t_min_ms, 3)
+    _record_route_wisdom(jax, n, batch, out)
     return out
+
+
+_PATH_TO_ROUTE = {
+    "resident_vmem": "resident_vmem",
+    "fourstep_vmem": "fourstep_vmem",
+    "fourstep_vmem_blocked": "fourstep_vmem",
+    "fourstep_vmem_blocked_w256": "fourstep_vmem",
+    "threestep_vmem": "threestep_vmem",
+    "threestep_vmem_blocked": "threestep_vmem",
+    "einsum_stockham": "einsum",
+}
+
+
+def _record_route_wisdom(jax, n: int, batch: int, out: dict) -> None:
+    """Persist the crowned path as dispatch route wisdom: the driver
+    runs this bench every round on the real chip, so each bench run
+    re-tunes production dispatch (FFT_MEASURE through the front door —
+    the loop fft_auto.c:233-235 declares and stubs)."""
+    route = _PATH_TO_ROUTE.get(out.get("path", ""))
+    if (route is None or out.get("floor_violation")
+            or jax.default_backend() != "tpu"):
+        return
+    try:
+        from fftlab.bench.timing import PROTOCOL
+        from fftlab.plan import wisdom
+
+        wisdom.import_wisdom()   # merge the existing file first
+        wisdom.record(n, "f32", route, out["ms"], kind="route",
+                      extra={"protocol": PROTOCOL, "batch": batch,
+                             "platform": "tpu", "source": "bench.py",
+                             "variant": out.get("path")})
+        wisdom.export_wisdom()
+    except Exception:
+        pass  # wisdom persistence must never fail the bench
 
 
 def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:

@@ -348,3 +348,31 @@ class TestMeasureProtocol:
         assert sorted(raw) == [2, 8]
         assert all(len(v) == 3 for v in raw.values())
         assert all(t > 0 for v in raw.values() for t in v)
+
+
+class TestBenchRouteWisdom:
+    def test_bench_winner_feeds_dispatch(self, monkeypatch, tmp_path):
+        """bench.py's crowned path persists as route wisdom that
+        dispatch consumes (FFT_MEASURE through the front door)."""
+        import jax
+
+        import bench
+        from fftlab.plan import wisdom
+
+        monkeypatch.setattr(wisdom, "DEFAULT_PATH",
+                            str(tmp_path / "wisdom.json"))
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        wisdom.forget()
+        out = {"path": "resident_vmem", "ms": 1.5}
+        bench._record_route_wisdom(jax, 1 << 20, 16, out)
+        rec = wisdom.lookup(1 << 20, "f32", kind="route")
+        assert rec["algorithm"] == "resident_vmem"
+        assert rec["source"] == "bench.py"
+        assert rec["protocol"] == "slope"
+        # floor violations are never recorded
+        wisdom.forget()
+        bench._record_route_wisdom(
+            jax, 1 << 20, 16,
+            {"path": "resident_vmem", "ms": 0.1, "floor_violation": True})
+        assert wisdom.lookup(1 << 20, "f32", kind="route") is None
+        wisdom.forget()
