@@ -116,6 +116,63 @@ def chain_time(step: Callable, mk_state: Callable[[int], Sequence],
     return float(np.median(slopes))
 
 
+def copy_bandwidth(nbytes: int = 1 << 27) -> float:
+    """Effective HBM copy-chain bandwidth in GB/s (health probe).
+
+    Chains an elementwise +1 over two float32 arrays totalling
+    ``nbytes`` (read+write each => 4x traffic per step) and converts the
+    min-slope per-step time to GB/s. Known-healthy band on this service:
+    150-400 GB/s; readings far above are tunnel slope artifacts, far
+    below are congestion. Returns -1.0 on a non-positive slope.
+    """
+    import jax.numpy as jnp
+
+    n = max(nbytes // 8, 1 << 16)  # two f32 arrays of n elements
+    shape = (16, n // 16)
+    x = jnp.ones(shape, jnp.float32)
+    y = jnp.ones(shape, jnp.float32)
+    ctr = [0]
+
+    def mk(_i):
+        ctr[0] += 1
+        t = jnp.float32(ctr[0] * 1e-3)
+        return (x + t, y - t)
+
+    raw = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(4, 64),
+                     repeats=3, return_raw=True)
+    dt = min_slope(raw)
+    return (4.0 * 4 * shape[0] * shape[1] / dt / 1e9) if dt > 0 else -1.0
+
+
+def wait_healthy(lo: float = 150.0, hi: float = 400.0,
+                 deadline_s: float = 3600.0, sleep_s: float = 120.0,
+                 log: Callable[[dict], None] | None = None) -> bool:
+    """Block until TWO consecutive copy-bandwidth readings land inside
+    (lo, hi) GB/s, or the deadline passes. Returns True on healthy.
+
+    The double reading rejects the tunnel's two failure modes at once:
+    sustained congestion (readings below lo) and deflated-slope
+    artifacts (implausible readings above hi that a single sample can
+    produce). Shared by every device probe so 'health-gated' means the
+    same thing in every artifact.
+    """
+    t_end = time.time() + deadline_s
+    while time.time() < t_end:
+        bw = copy_bandwidth()
+        if log:
+            log({"name": "health", "gbps": round(bw, 1)})
+        if lo < bw < hi:
+            bw2 = copy_bandwidth()
+            if log:
+                log({"name": "health_confirm", "gbps": round(bw2, 1)})
+            if lo < bw2 < hi:
+                return True
+            time.sleep(sleep_s / 2)
+            continue
+        time.sleep(sleep_s)
+    return False
+
+
 def min_slope(raw: dict) -> float:
     """Per-application seconds from a `chain_time(..., return_raw=True)`
     sample: slope between per-k MINIMUM chain times.

@@ -103,10 +103,17 @@ def main():
                 for k in env:
                     os.environ.pop(k, None)
 
+    from fftlab.bench.timing import wait_healthy
+
+    if not wait_healthy(deadline_s=float(os.environ.get("PROBE_WAIT_S",
+                                                        "7200")),
+                        log=log):
+        log({"name": "probe_done", "healthy": False})
+        return
     timeit("aligned_16k", variants.get("aligned_16k"))
     timeit("aligned_2k", variants.get("aligned_2k"))
     timeit("legacy_2k", legacy, env={"FFTLAB_OS_ALIGNED": "0"})
-    log({"name": "probe_done"})
+    log({"name": "probe_done", "healthy": True})
 
 
 if __name__ == "__main__":

@@ -67,8 +67,15 @@ def main():
             log(name=f"ts_w{w1}_r{r3}", error=str(ex)[:300],
                 compile_s=round(time.time() - t0, 1))
 
+    from fftlab.bench.timing import wait_healthy
+
     scale = 1.0 / float(np.sqrt(n))
     for rnd in range(int(os.environ.get("PROBE_ROUNDS", "3"))):
+        if not wait_healthy(deadline_s=float(
+                os.environ.get("PROBE_WAIT_S", "7200")),
+                log=lambda r: log(**r)):
+            log(name="done", healthy=False, rounds=rnd)
+            return 0
         for w1, r3 in live:
             os.environ["FFTLAB_TS_W1"] = w1
             os.environ["FFTLAB_TS_R3"] = r3
