@@ -30,6 +30,8 @@ from fftlab.plan.api import (
     plan_dft_1d_split,
     plan_r2c_1d,
     plan_c2r_1d,
+    plan_r2c_1d_split,
+    plan_c2r_1d_split,
     plan_dft_2d,
     execute,
 )
@@ -48,6 +50,7 @@ from fftlab.plan.dispatch import fft_split_auto, select_split_impl
 from fftlab.kernels.fourstep_vmem import (
     fft_split_large,
     rfft_split_large,
+    irfft_split_large,
     spectral_filter_large,
 )
 from fftlab.kernels.threestep_vmem import fft_split_huge
@@ -65,6 +68,8 @@ __all__ = [
     "plan_dft_1d_split",
     "plan_r2c_1d",
     "plan_c2r_1d",
+    "plan_r2c_1d_split",
+    "plan_c2r_1d_split",
     "plan_dft_2d",
     "execute",
     "rfft",
@@ -85,6 +90,7 @@ __all__ = [
     "select_split_impl",
     "fft_split_large",
     "rfft_split_large",
+    "irfft_split_large",
     "spectral_filter_large",
     "fft_split_huge",
 ]

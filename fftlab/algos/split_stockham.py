@@ -185,9 +185,14 @@ def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
 
 
 def irfft_split(Xr, Xi, n: int | None = None,
-                leaf: int = DEFAULT_LEAF_SPLIT):
+                leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
     """One-sided (re, im) spectrum -> real [..., n] (inverse of
-    rfft_split; 1/n scaled)."""
+    rfft_split; 1/n scaled).
+
+    `cfft(re, im) -> (re, im)` overrides the half-size INVERSE complex
+    transform (must apply the usual 1/(n/2) inverse normalization, e.g.
+    a kernels/fourstep_vmem.fft_split_large INVERSE closure for huge n).
+    """
     Xr = jnp.asarray(Xr)
     Xi = jnp.asarray(Xi)
     h = int(Xr.shape[-1])
@@ -211,7 +216,9 @@ def irfft_split(Xr, Xi, n: int | None = None,
     # Z = E + i*O
     Zr = (Er - Oi)[..., : n // 2]
     Zi = (Ei + Or_)[..., : n // 2]
-    zr, zi = fft_split(Zr, Zi, Direction.INVERSE, leaf)
+    if cfft is None:
+        cfft = lambda a, b: fft_split(a, b, Direction.INVERSE, leaf)
+    zr, zi = cfft(Zr, Zi)
     out = jnp.stack([zr, zi], axis=-1)
     return out.reshape(*out.shape[:-2], n)
 

@@ -566,6 +566,42 @@ def rfft_split_large(x, interpret: bool | None = None):
     return rfft_split(x, cfft=cfft)
 
 
+def irfft_split_large(Xr, Xi, n: int | None = None,
+                      interpret: bool | None = None):
+    """Real-output inverse FFT for huge spectra: one-sided (re, im) of
+    n//2+1 bins -> real [..., n], running the half-size INVERSE complex
+    transform on the two-/three-pass kernel (the c2r the reference
+    declares and returns NULL for, fft_auto.c:405-408). n must satisfy
+    n/2 in [2^15, 2^26]; inverse of `rfft_split_large` (1/n scaled)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    from fftlab.algos.split_stockham import irfft_split
+
+    Xr = jnp.asarray(Xr)
+    h = int(Xr.shape[-1])
+    if n is None:
+        n = 2 * (h - 1)
+    if n % 2:
+        raise ValueError(f"irfft_split_large needs even n; got {n}")
+    half = n // 2
+    if supported_large(half):
+        cfft = lambda a, b: fft_split_large(a, b, Direction.INVERSE,
+                                            interpret=interpret)
+    else:
+        from fftlab.kernels.threestep_vmem import (
+            fft_split_huge,
+            supported_huge,
+        )
+
+        if not supported_huge(half):
+            raise ValueError(
+                f"irfft_split_large needs n/2 in [{MIN_N}, 2^26]; got {n}"
+            )
+        cfft = lambda a, b: fft_split_huge(a, b, Direction.INVERSE,
+                                           interpret=interpret)
+    return irfft_split(Xr, Xi, n=n, cfft=cfft)
+
+
 # ---------------------------------------------------------------------------
 # Differentiability: custom VJP (Pallas kernels are not traced by AD).
 # The DFT is linear; the adjoint of the unscaled forward is the unscaled

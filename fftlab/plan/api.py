@@ -155,28 +155,11 @@ def plan_dft_1d_split(n: int, direction=FORWARD,
 
     The returned Plan's execute takes and returns an (re, im) pair.
     """
-    import os
-
-    from fftlab.plan.dispatch import run_route, select_split_impl
-    from fftlab.plan.split_tuning import best_route, tune_split_route
+    from fftlab.plan.dispatch import run_route
 
     n = int(n)
     direction = Direction(int(direction))
-    # Env overrides outrank every flag (same contract as dispatch):
-    # FFTLAB_FORCE_IMPL pins the route; FFTLAB_NO_PALLAS is honored by
-    # the tuning candidate set, so MEASURE under it can only pick einsum.
-    if os.environ.get("FFTLAB_FORCE_IMPL"):
-        route = select_split_impl(n, batch)  # validates + returns forced
-    elif flags & (Flags.MEASURE | Flags.PATIENT | Flags.EXHAUSTIVE):
-        route = best_route(n) or tune_split_route(n, batch=batch)
-    elif flags & Flags.WISDOM_ONLY:
-        route = best_route(n)
-        if route is None:
-            raise RuntimeError(
-                f"WISDOM_ONLY set but no measured route wisdom for n={n}"
-            )
-    else:
-        route = select_split_impl(n, batch)
+    route = _split_route_for(n, flags, batch)
 
     def fn(pair):
         xr, xi = pair
@@ -184,6 +167,78 @@ def plan_dft_1d_split(n: int, direction=FORWARD,
 
     return Plan("c2c_split", n, direction, np.float32, route,
                 PlanConfig(flags=flags), fn)
+
+
+def _split_route_for(n: int, flags: Flags, batch: int) -> str:
+    """Route selection shared by the split plan constructors: env
+    overrides > MEASURE-class flags (tune + persist) > WISDOM_ONLY >
+    the ESTIMATE capability heuristic."""
+    import os
+
+    from fftlab.plan.dispatch import select_split_impl
+    from fftlab.plan.split_tuning import best_route, tune_split_route
+
+    # Env overrides outrank every flag (same contract as dispatch):
+    # FFTLAB_FORCE_IMPL pins the route; FFTLAB_NO_PALLAS is honored by
+    # the tuning candidate set, so MEASURE under it can only pick einsum.
+    if os.environ.get("FFTLAB_FORCE_IMPL"):
+        return select_split_impl(n, batch)  # validates + returns forced
+    if flags & (Flags.MEASURE | Flags.PATIENT | Flags.EXHAUSTIVE):
+        return best_route(n) or tune_split_route(n, batch=batch)
+    if flags & Flags.WISDOM_ONLY:
+        route = best_route(n)
+        if route is None:
+            raise RuntimeError(
+                f"WISDOM_ONLY set but no measured route wisdom for n={n}"
+            )
+        return route
+    return select_split_impl(n, batch)
+
+
+def plan_r2c_1d_split(n: int, flags: Flags = Flags.ESTIMATE,
+                      batch: int = 1) -> Plan:
+    """Device-native real-to-complex plan: real [..., n] float32 in,
+    one-sided (re, im) pair of n//2+1 bins out. The half-size complex
+    transform (pack-two-reals trick) runs through the dispatch route for
+    n//2 — on TPU that includes the one-residency and two-/three-pass
+    kernels, so real serving signals up to 2^27 points take the fast
+    path. The working r2c the reference's plan layer never shipped
+    (fft_auto.c:391-403 use-after-free), device-native."""
+    from fftlab.algos.split_stockham import rfft_split
+    from fftlab.plan.dispatch import run_route
+
+    n = int(n)
+    if n % 2 or n < 4:
+        route = "einsum"  # rfft_split's odd-n fallback is einsum-based
+        fn = lambda x: rfft_split(x)
+    else:
+        route = _split_route_for(n // 2, flags, batch)
+        cfft = lambda a, b: run_route(route, a, b, FORWARD)
+        fn = lambda x: rfft_split(x, cfft=cfft)
+    return Plan("r2c_split", n, FORWARD, np.float32,
+                f"rfft_split[{route}]", PlanConfig(flags=flags), fn)
+
+
+def plan_c2r_1d_split(n: int, flags: Flags = Flags.ESTIMATE,
+                      batch: int = 1) -> Plan:
+    """Device-native complex-to-real plan: one-sided (re, im) pair of
+    n//2+1 bins in, real [..., n] float32 out (1/n scaled). Inverse of
+    `plan_r2c_1d_split`; the half-size inverse transform runs through
+    the dispatch route for n//2. The c2r the reference declares and
+    returns NULL for (fft_auto.c:405-408), device-native."""
+    from fftlab.algos.split_stockham import irfft_split
+    from fftlab.plan.dispatch import run_route
+
+    n = int(n)
+    if n % 2 or n < 4:
+        route = "einsum"
+        fn = lambda pair: irfft_split(pair[0], pair[1], n=n)
+    else:
+        route = _split_route_for(n // 2, flags, batch)
+        cfft = lambda a, b: run_route(route, a, b, INVERSE)
+        fn = lambda pair: irfft_split(pair[0], pair[1], n=n, cfft=cfft)
+    return Plan("c2r_split", n, INVERSE, np.float32,
+                f"irfft_split[{route}]", PlanConfig(flags=flags), fn)
 
 
 def execute(plan: Plan, x):

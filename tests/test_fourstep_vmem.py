@@ -178,6 +178,48 @@ class TestRfftLarge:
                              interpret=True)
 
 
+class TestIrfftLarge:
+    def test_roundtrip_and_numpy(self):
+        from fftlab.kernels.fourstep_vmem import (
+            irfft_split_large,
+            rfft_split_large,
+        )
+
+        n = 1 << 16
+        rng = np.random.default_rng(14)
+        x = rng.standard_normal((1, n)).astype(np.float32)
+        Xr, Xi = rfft_split_large(jnp.asarray(x), interpret=True)
+        y = irfft_split_large(Xr, Xi, interpret=True)
+        assert y.shape == (1, n)
+        # Round-trip reconstruction (test_all.c:247-287 analog).
+        assert _snr(np.asarray(y[0], np.float64), x[0].astype(np.float64)) > 110.0
+        # And directly against numpy's irfft on an arbitrary Hermitian
+        # spectrum (not just an rfft image).
+        h = n // 2 + 1
+        Sr = rng.standard_normal((1, h)).astype(np.float32)
+        Si = rng.standard_normal((1, h)).astype(np.float32)
+        Si[:, 0] = 0.0
+        Si[:, -1] = 0.0
+        got = irfft_split_large(jnp.asarray(Sr), jnp.asarray(Si),
+                                interpret=True)
+        want = np.fft.irfft(Sr[0].astype(np.float64)
+                            + 1j * Si[0].astype(np.float64), n)
+        assert _snr(np.asarray(got[0], np.float64), want) > 110.0
+
+    def test_rejects_bad_sizes(self):
+        from fftlab.kernels.fourstep_vmem import irfft_split_large
+
+        with pytest.raises(ValueError):
+            # n/2 = 2^14 is below the two-pass kernel's floor
+            irfft_split_large(jnp.zeros((1, (1 << 14) + 1), jnp.float32),
+                              jnp.zeros((1, (1 << 14) + 1), jnp.float32),
+                              interpret=True)
+        with pytest.raises(ValueError):
+            irfft_split_large(jnp.zeros((1, 100), jnp.float32),
+                              jnp.zeros((1, 100), jnp.float32),
+                              n=12345, interpret=True)
+
+
 class TestLargeAD:
     def test_vjp_matches_linearity(self):
         import jax

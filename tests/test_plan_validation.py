@@ -136,6 +136,45 @@ class TestSplitTuning:
                             / np.sum(np.abs(got - want) ** 2))
         assert snr > 120.0
 
+    def test_split_real_plans_roundtrip(self):
+        import jax.numpy as jnp
+        from fftlab.plan.api import plan_c2r_1d_split, plan_r2c_1d_split
+
+        n = 1024
+        pf = plan_r2c_1d_split(n)
+        pi = plan_c2r_1d_split(n)
+        assert pf.kind == "r2c_split" and pi.kind == "c2r_split"
+        assert pf.algorithm == "rfft_split[einsum]"  # CPU route for n/2
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+        Xr, Xi = pf.execute(x)
+        assert Xr.shape == (3, n // 2 + 1)
+        want = np.fft.rfft(np.asarray(x, np.float64), axis=-1)
+        got = np.asarray(Xr, np.float64) + 1j * np.asarray(Xi, np.float64)
+        snr = 10 * np.log10(np.sum(np.abs(want) ** 2)
+                            / np.sum(np.abs(got - want) ** 2))
+        assert snr > 120.0
+        y = pi.execute((Xr, Xi))
+        snr_rt = 10 * np.log10(
+            np.sum(np.asarray(x, np.float64) ** 2)
+            / np.sum((np.asarray(y, np.float64)
+                      - np.asarray(x, np.float64)) ** 2))
+        assert snr_rt > 120.0
+
+    def test_split_real_plan_odd_n(self):
+        import jax.numpy as jnp
+        from fftlab.plan.api import plan_c2r_1d_split, plan_r2c_1d_split
+
+        n = 15
+        x = jnp.asarray(np.random.default_rng(8).standard_normal(n),
+                        jnp.float32)
+        Xr, Xi = plan_r2c_1d_split(n).execute(x)
+        want = np.fft.rfft(np.asarray(x, np.float64))
+        got = np.asarray(Xr, np.float64) + 1j * np.asarray(Xi, np.float64)
+        np.testing.assert_allclose(got, want, atol=1e-3)
+        y = plan_c2r_1d_split(n).execute((Xr, Xi))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-3)
+
     def test_split_plan_measure_records_wisdom(self):
         from fftlab.plan import wisdom
         from fftlab.plan.api import plan_dft_1d_split
