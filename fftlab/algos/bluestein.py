@@ -62,18 +62,55 @@ if __name__ == "__main__":
     run_module_demo("bluestein_fft", bluestein_fft)
 
 
+def _conv_sandwich_split(ar, ai, Br, Bi, m: int):
+    """The Bluestein circular convolution IFFT_m(FFT_m(a) * B), 1/m
+    scaled — which is exactly the spectral-filter sandwich, so it routes
+    like dsp.filtering.fft_filter_split: the fused VMEM kernels on TPU
+    for supported m (one/four HBM passes instead of the einsum path's
+    ~12), the zero-transpose fused einsum sandwich elsewhere. B's bin
+    order only matters inside the multiply, so the fused digit-reversed
+    form applies unchanged."""
+    import jax
+
+    from fftlab.algos.split_stockham import (
+        permute_response,
+        spectral_filter_split_fused,
+    )
+    from fftlab.plan.dispatch import kernels_enabled
+
+    if jax.default_backend() == "tpu" and kernels_enabled():
+        from fftlab.dsp.filtering import _resident_filter_enabled
+        from fftlab.kernels.fourstep_vmem import (
+            spectral_filter_large,
+            supported_large,
+        )
+        from fftlab.kernels.resident_vmem import (
+            spectral_filter_resident,
+            supported_resident,
+        )
+
+        if supported_resident(m) and _resident_filter_enabled():
+            return spectral_filter_resident(ar, ai, jnp.asarray(Br),
+                                            jnp.asarray(Bi))
+        if supported_large(m):
+            return spectral_filter_large(ar, ai, jnp.asarray(Br),
+                                         jnp.asarray(Bi))
+    Br_p, Bi_p = permute_response(Br, Bi, m)
+    return spectral_filter_split_fused(ar, ai, jnp.asarray(Br_p),
+                                       jnp.asarray(Bi_p), h_permuted=True)
+
+
 def bluestein_fft_split(xr, xi, direction=FORWARD):
     """Arbitrary-n chirp-z FFT on split re/im planes — no complex dtype
     anywhere, so prime/odd sizes work on complex-less TPU runtimes.
 
     Same plan-time constants as `bluestein_fft` (chirp + kernel spectrum
-    in float64), with the internal power-of-two transforms on the
-    split-Stockham MXU path. Forward unscaled / inverse 1/n.
+    in float64), with the internal power-of-two convolution routed
+    through the fused spectral-filter sandwich (`_conv_sandwich_split`)
+    — on TPU that means prime sizes up to ~2M points ride the large
+    VMEM kernels. Forward unscaled / inverse 1/n.
     """
-    from fftlab.algos.split_stockham import (
-        _twiddle_split,
-        stockham_fft_split_unscaled,
-    )
+    from fftlab.algos.split_stockham import _twiddle_split
 
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
@@ -88,20 +125,19 @@ def bluestein_fft_split(xr, xi, direction=FORWARD):
     B = bluestein_kernel_spectrum_np(n, m, int(direction))
     cr = jnp.asarray(c.real.astype(rdtype))
     ci = jnp.asarray(c.imag.astype(rdtype))
-    Br = jnp.asarray(B.real.astype(rdtype))
-    Bi = jnp.asarray(B.imag.astype(rdtype))
+    # B stays host-side: the sandwich routes permute or reshape it at
+    # plan time (permute_response is a host-side numpy gather).
+    Br = B.real.astype(rdtype)
+    Bi = B.imag.astype(rdtype)
 
     ar, ai = _twiddle_split(xr, xi, cr, ci)  # a = x * c
     pad = [(0, 0)] * (xr.ndim - 1) + [(0, m - n)]
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
 
-    Ar, Ai = stockham_fft_split_unscaled(ar, ai, Direction.FORWARD)
-    Cr, Ci = _twiddle_split(Ar, Ai, Br, Bi)
-    vr, vi = stockham_fft_split_unscaled(Cr, Ci, Direction.INVERSE)
-    s = jnp.asarray(1.0 / m, dtype=rdtype)
-    vr = vr * s
-    vi = vi * s
+    # Circular convolution with the chirp kernel = the FFT -> B -> IFFT
+    # sandwich at size m (1/m scaling included by every route).
+    vr, vi = _conv_sandwich_split(ar, ai, Br, Bi, m)
 
     yr, yi = _twiddle_split(vr[..., :n], vi[..., :n], cr, ci)
     if direction == Direction.INVERSE:

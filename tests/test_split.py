@@ -251,6 +251,30 @@ class TestBluesteinSplit:
         )
         assert snr > 95.0, f"SNR {snr:.1f}"
 
+    def test_kernel_sandwich_matches_einsum_route(self):
+        """The TPU branch of `_conv_sandwich_split` (the large VMEM
+        filter kernel, interpret mode) agrees with the einsum branch for
+        a COMPLEX Bluestein kernel spectrum B — the routes must be
+        interchangeable for any prime n whose m reaches 2^15."""
+        from fftlab.algos.bluestein import _conv_sandwich_split
+        from fftlab.core.hostfft import bluestein_kernel_spectrum_np
+        from fftlab.kernels.fourstep_vmem import spectral_filter_large
+
+        n, m = 16411, 1 << 15  # prime n; m = next_pow2(2n-1)
+        B = bluestein_kernel_spectrum_np(n, m, -1)
+        Br = B.real.astype(np.float32)
+        Bi = B.imag.astype(np.float32)
+        rng = np.random.default_rng(5)
+        ar = rng.standard_normal((1, m)).astype(np.float32)
+        ai = rng.standard_normal((1, m)).astype(np.float32)
+        want_r, want_i = _conv_sandwich_split(ar, ai, Br, Bi, m)  # einsum
+        got_r, got_i = spectral_filter_large(ar, ai, Br, Bi,
+                                             interpret=True)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                                   atol=2e-2, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                                   atol=2e-2, rtol=1e-4)
+
     def test_inverse_roundtrip(self):
         from fftlab.algos.bluestein import bluestein_fft_split
         from fftlab.core.types import Direction
