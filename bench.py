@@ -427,6 +427,43 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     return out
 
 
+def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+    """Arbitrary-size (prime) transform via chirp-z (BASELINE config 3;
+    reference bluestein.c:79-148). The internal circular convolution is
+    the FFT->B->IFFT sandwich at m = next_pow2(2n-1), routed through the
+    fused VMEM kernels on TPU — the floor reported here is the
+    sandwich's 4 HBM passes at m (modulate/demodulate excluded, so the
+    fraction is conservative)."""
+    from fftlab.algos.bluestein import bluestein_fft_split
+    from fftlab.core.types import next_power_of_two
+
+    n = 1000003 if on_tpu else 10007  # prime
+    batch = 4 if on_tpu else 1
+    m = next_power_of_two(2 * n - 1)
+    rng = np.random.default_rng(6)
+    xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    want = np.fft.fft(np.asarray(xr[0], np.float64)
+                      + 1j * np.asarray(xi[0], np.float64))
+
+    def fn(a, b, scale=None):
+        yr, yi = bluestein_fft_split(a, b)
+        if scale is None:
+            return yr, yi
+        s = jnp.float32(scale)  # fuses into the demodulate multiply
+        return yr * s, yi * s
+
+    r = _measure_path(jax, jnp, fn, "bluestein_split", xr, xi, want,
+                      ks=(3, 8, 14), repeats=3)
+    if "ms" in r:
+        t_min_ms = 4.0 * 16.0 * batch * m / (bw_gbps * 1e9) * 1e3
+        r["roofline_fraction"] = round(t_min_ms / r["ms"], 3)
+        r["roofline_floor_ms"] = round(t_min_ms, 3)
+        r["n"] = n
+        r["m_internal"] = m
+    return r
+
+
 def bench_stft(jax, jnp, on_tpu: bool) -> dict:
     """Pallas streaming STFT vs the XLA gather-framing STFT."""
     n = 1 << 22 if on_tpu else 1 << 14
@@ -539,6 +576,10 @@ def main() -> None:
         # steady-state effective bandwidth and say so.
         bw["floor_gbps_used"] = 285.0
         bw_gbps = 285.0
+    # The measurement budget starts AFTER the pre-flight wait — waiting
+    # out an unhealthy window must not eat the sub-benches' time (the
+    # wait can legitimately consume up to wait_s on a congested service).
+    t_meas0 = _time.time()
 
     for name, f in (
         ("fft_1m_batched", lambda: bench_fft_1m(jax, jnp, on_tpu, bw_gbps)),
@@ -546,9 +587,11 @@ def main() -> None:
         ("spectral_filter_1m",
          lambda: bench_spectral_filter_1m(jax, jnp, on_tpu, bw_gbps)),
         ("serving_filter", lambda: bench_serving_filter(jax, jnp, on_tpu)),
+        ("bluestein_prime",
+         lambda: bench_bluestein_prime(jax, jnp, on_tpu, bw_gbps)),
         ("stft", lambda: bench_stft(jax, jnp, on_tpu)),
     ):
-        if _time.time() - t_start > budget_s:
+        if _time.time() - t_meas0 > budget_s:
             detail[name] = {"error": "skipped: bench time budget spent"}
             continue
         try:

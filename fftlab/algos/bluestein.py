@@ -15,6 +15,8 @@ circularly at size m = next_pow2(2n-1) (bluestein.c:87).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,42 +64,34 @@ if __name__ == "__main__":
     run_module_demo("bluestein_fft", bluestein_fft)
 
 
-def _conv_sandwich_split(ar, ai, Br, Bi, m: int):
-    """The Bluestein circular convolution IFFT_m(FFT_m(a) * B), 1/m
-    scaled — which is exactly the spectral-filter sandwich, so it routes
-    like dsp.filtering.fft_filter_split: the fused VMEM kernels on TPU
-    for supported m (one/four HBM passes instead of the einsum path's
-    ~12), the zero-transpose fused einsum sandwich elsewhere. B's bin
-    order only matters inside the multiply, so the fused digit-reversed
-    form applies unchanged."""
-    import jax
+@functools.lru_cache(maxsize=64)
+def _kernel_planes_np(n: int, m: int, direction: int, dtype_str: str):
+    """Plan-time constants for the Bluestein convolution kernel: the
+    spectrum B in natural order AND its digit-reversed copy (the form
+    the fused einsum sandwich consumes) — cached per (n, direction,
+    dtype) so the O(m) host gather is a one-time plan cost, matching
+    the module header's 'plan-time constants' contract."""
+    from fftlab.algos.split_stockham import permute_response
 
-    from fftlab.algos.split_stockham import (
-        permute_response,
-        spectral_filter_split_fused,
-    )
-    from fftlab.plan.dispatch import kernels_enabled
-
-    if jax.default_backend() == "tpu" and kernels_enabled():
-        from fftlab.dsp.filtering import _resident_filter_enabled
-        from fftlab.kernels.fourstep_vmem import (
-            spectral_filter_large,
-            supported_large,
-        )
-        from fftlab.kernels.resident_vmem import (
-            spectral_filter_resident,
-            supported_resident,
-        )
-
-        if supported_resident(m) and _resident_filter_enabled():
-            return spectral_filter_resident(ar, ai, jnp.asarray(Br),
-                                            jnp.asarray(Bi))
-        if supported_large(m):
-            return spectral_filter_large(ar, ai, jnp.asarray(Br),
-                                         jnp.asarray(Bi))
+    rdtype = np.dtype(dtype_str)
+    B = bluestein_kernel_spectrum_np(n, m, direction)
+    Br = B.real.astype(rdtype)
+    Bi = B.imag.astype(rdtype)
     Br_p, Bi_p = permute_response(Br, Bi, m)
-    return spectral_filter_split_fused(ar, ai, jnp.asarray(Br_p),
-                                       jnp.asarray(Bi_p), h_permuted=True)
+    return Br, Bi, Br_p, Bi_p
+
+
+def _conv_sandwich_split(ar, ai, Br, Bi, m: int, permuted=None):
+    """The Bluestein circular convolution IFFT_m(FFT_m(a) * B), 1/m
+    scaled — which is exactly the spectral-filter sandwich, routed by
+    the shared dispatcher (plan.dispatch.spectral_filter_auto): fused
+    VMEM kernels on TPU for supported m (one/four HBM passes instead of
+    the einsum path's ~12), the zero-transpose fused einsum sandwich
+    elsewhere. B's bin order only matters inside the multiply, so the
+    digit-reversed form applies unchanged."""
+    from fftlab.plan.dispatch import spectral_filter_auto
+
+    return spectral_filter_auto(ar, ai, Br, Bi, permuted=permuted)
 
 
 def bluestein_fft_split(xr, xi, direction=FORWARD):
@@ -122,13 +116,11 @@ def bluestein_fft_split(xr, xi, direction=FORWARD):
 
     m = next_power_of_two(2 * n - 1)
     c = chirp_np(n, direction)
-    B = bluestein_kernel_spectrum_np(n, m, int(direction))
     cr = jnp.asarray(c.real.astype(rdtype))
     ci = jnp.asarray(c.imag.astype(rdtype))
-    # B stays host-side: the sandwich routes permute or reshape it at
-    # plan time (permute_response is a host-side numpy gather).
-    Br = B.real.astype(rdtype)
-    Bi = B.imag.astype(rdtype)
+    # B stays host-side, cached with its digit-reversed copy (the form
+    # the einsum sandwich route consumes) per (n, direction, dtype).
+    Br, Bi, Br_p, Bi_p = _kernel_planes_np(n, m, int(direction), rdtype.str)
 
     ar, ai = _twiddle_split(xr, xi, cr, ci)  # a = x * c
     pad = [(0, 0)] * (xr.ndim - 1) + [(0, m - n)]
@@ -137,7 +129,8 @@ def bluestein_fft_split(xr, xi, direction=FORWARD):
 
     # Circular convolution with the chirp kernel = the FFT -> B -> IFFT
     # sandwich at size m (1/m scaling included by every route).
-    vr, vi = _conv_sandwich_split(ar, ai, Br, Bi, m)
+    vr, vi = _conv_sandwich_split(ar, ai, Br, Bi, m,
+                                  permuted=(Br_p, Bi_p))
 
     yr, yi = _twiddle_split(vr[..., :n], vi[..., :n], cr, ci)
     if direction == Direction.INVERSE:

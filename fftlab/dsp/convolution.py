@@ -193,14 +193,11 @@ def fft_convolution_split(xr, xi, h):
     residency); larger pow2 sizes use fourstep_vmem.spectral_filter_large
     (4 HBM passes); otherwise the fused zero-transpose einsum sandwich.
     """
-    import jax
     import jax.numpy as jnp
 
-    from fftlab.algos.split_stockham import (
-        spectral_filter_split_fused,
-        stockham_fft_split_unscaled,
-    )
+    from fftlab.algos.split_stockham import stockham_fft_split_unscaled
     from fftlab.core.types import Direction, next_power_of_two
+    from fftlab.plan.dispatch import spectral_filter_auto
 
     xr = jnp.asarray(xr, jnp.float32)
     xi = jnp.asarray(xi, jnp.float32)
@@ -215,26 +212,8 @@ def fft_convolution_split(xr, xi, h):
     Hr, Hi = stockham_fft_split_unscaled(
         hp, jnp.zeros_like(hp), Direction.FORWARD
     )
-
-    from fftlab.kernels.fourstep_vmem import (
-        spectral_filter_large,
-        supported_large,
-    )
-    from fftlab.kernels.resident_vmem import (
-        spectral_filter_resident,
-        supported_resident,
-    )
-
-    from fftlab.plan.dispatch import kernels_enabled
-
-    from fftlab.dsp.filtering import _resident_filter_enabled
-
-    if jax.default_backend() == "tpu" and kernels_enabled() \
-            and supported_resident(m) and _resident_filter_enabled():
-        yr, yi = spectral_filter_resident(xpr, xpi, Hr, Hi)
-    elif (jax.default_backend() == "tpu" and supported_large(m)
-            and kernels_enabled()):
-        yr, yi = spectral_filter_large(xpr, xpi, Hr, Hi)
-    else:
-        yr, yi = spectral_filter_split_fused(xpr, xpi, Hr, Hi)
+    # Route policy (kernels on TPU, fused einsum elsewhere) lives in
+    # plan.dispatch; H is computed on-device so the einsum route's
+    # permute happens wherever H lives.
+    yr, yi = spectral_filter_auto(xpr, xpi, Hr, Hi)
     return yr[..., :out_len], yi[..., :out_len]

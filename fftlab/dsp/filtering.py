@@ -138,13 +138,11 @@ def design_fir(num_taps: int, params: FilterParams, cfft=None) -> np.ndarray:
 
 
 def _resident_filter_enabled() -> bool:
-    """The single-residency filter sandwich is structurally 4x cheaper
-    in HBM traffic but not yet device-measured faster than the blocked
-    two-launch sandwich; opt in with FFTLAB_RESIDENT_FILTER=1 until the
-    healthy-window A/B flips the default."""
-    import os
+    """Back-compat alias — the gate lives with the route policy in
+    plan.dispatch.resident_filter_enabled."""
+    from fftlab.plan.dispatch import resident_filter_enabled
 
-    return os.environ.get("FFTLAB_RESIDENT_FILTER", "0") == "1"
+    return resident_filter_enabled()
 
 
 def fft_filter_split(xr, xi, params: FilterParams):
@@ -159,43 +157,14 @@ def fft_filter_split(xr, xi, params: FilterParams):
     """
     import jax.numpy as jnp
 
-    from fftlab.algos.split_stockham import (
-        permute_response,
-        spectral_filter_split_fused,
-    )
+    from fftlab.plan.dispatch import spectral_filter_auto
 
     xr = jnp.asarray(xr)
     n = int(xr.shape[-1])
     h = design_response(n, params)
     rdtype = xr.dtype
 
-    # Large sizes on TPU: the single-residency fused sandwich where the
-    # signal fits VMEM (kernels/resident_vmem, 16 B/sample for the whole
-    # FFT->H->IFFT), else the 4-HBM-pass two-launch sandwich
-    # (kernels/fourstep_vmem.spectral_filter_large).
-    import jax
-
-    from fftlab.kernels.fourstep_vmem import (
-        spectral_filter_large,
-        supported_large,
-    )
-    from fftlab.kernels.resident_vmem import (
-        spectral_filter_resident,
-        supported_resident,
-    )
-
-    from fftlab.plan.dispatch import kernels_enabled
-
-    if jax.default_backend() == "tpu" and kernels_enabled():
-        if supported_resident(n) and _resident_filter_enabled():
-            return spectral_filter_resident(
-                xr, xi, jnp.asarray(h.astype(rdtype)), jnp.zeros(n, rdtype)
-            )
-        if supported_large(n):
-            return spectral_filter_large(
-                xr, xi, jnp.asarray(h.astype(rdtype)), jnp.zeros(n, rdtype)
-            )
-    hr_p, hi_p = permute_response(h.astype(rdtype), np.zeros(n, rdtype), n)
-    return spectral_filter_split_fused(
-        xr, xi, jnp.asarray(hr_p), jnp.asarray(hi_p), h_permuted=True,
-    )
+    # Route policy (resident / two-launch kernels on TPU, fused
+    # zero-transpose einsum elsewhere) lives in plan.dispatch.
+    return spectral_filter_auto(xr, xi, h.astype(rdtype),
+                                np.zeros(n, rdtype))

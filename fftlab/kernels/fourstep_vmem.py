@@ -536,33 +536,40 @@ def fft_split_large(xr, xi, direction=FORWARD,
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 
 
+def _half_cfft(name: str, n: int, direction, interpret: bool | None):
+    """The half-size complex transform for the pack-two-reals r2c/c2r
+    wrappers: the two-pass kernel when n/2 fits it, else the three-pass
+    kernel, else a ValueError naming both constraints (even n, pow2
+    half in [2^15, 2^26])."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if n % 2:
+        raise ValueError(f"{name} needs even n; got {n}")
+    half = n // 2
+    if supported_large(half):
+        return lambda a, b: fft_split_large(a, b, direction,
+                                            interpret=interpret)
+    from fftlab.kernels.threestep_vmem import fft_split_huge, supported_huge
+
+    if not supported_huge(half):
+        raise ValueError(
+            f"{name} needs n/2 to be a power of two in [{MIN_N}, 2^26]; "
+            f"got n={n} (n/2={half})"
+        )
+    return lambda a, b: fft_split_huge(a, b, direction, interpret=interpret)
+
+
 def rfft_split_large(x, interpret: bool | None = None):
     """Real-input FFT for huge signals: real [..., n] -> one-sided
     (re, im) pair of n//2+1 bins, running the half-size complex
-    transform on the two-pass kernel (pack-two-reals, real_fft.py
-    semantics). n must be 2*supported_large, i.e. 2^16..2^27."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    transform on the two-/three-pass kernel (pack-two-reals,
+    real_fft.py semantics). n/2 must be a pow2 in [2^15, 2^26],
+    i.e. n = 2^16..2^27."""
     from fftlab.algos.split_stockham import rfft_split
 
     x = jnp.asarray(x)
     n = int(x.shape[-1])
-    if n % 2:
-        raise ValueError(f"rfft_split_large needs even n; got {n}")
-    half = n // 2
-    if supported_large(half):
-        cfft = lambda a, b: fft_split_large(a, b, interpret=interpret)
-    else:
-        from fftlab.kernels.threestep_vmem import (
-            fft_split_huge,
-            supported_huge,
-        )
-
-        if not supported_huge(half):
-            raise ValueError(
-                f"rfft_split_large needs n/2 in [{MIN_N}, 2^26]; got {n}"
-            )
-        cfft = lambda a, b: fft_split_huge(a, b, interpret=interpret)
+    cfft = _half_cfft("rfft_split_large", n, FORWARD, interpret)
     return rfft_split(x, cfft=cfft)
 
 
@@ -571,34 +578,14 @@ def irfft_split_large(Xr, Xi, n: int | None = None,
     """Real-output inverse FFT for huge spectra: one-sided (re, im) of
     n//2+1 bins -> real [..., n], running the half-size INVERSE complex
     transform on the two-/three-pass kernel (the c2r the reference
-    declares and returns NULL for, fft_auto.c:405-408). n must satisfy
-    n/2 in [2^15, 2^26]; inverse of `rfft_split_large` (1/n scaled)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    declares and returns NULL for, fft_auto.c:405-408). n/2 must be a
+    pow2 in [2^15, 2^26]; inverse of `rfft_split_large` (1/n scaled)."""
     from fftlab.algos.split_stockham import irfft_split
 
     Xr = jnp.asarray(Xr)
-    h = int(Xr.shape[-1])
     if n is None:
-        n = 2 * (h - 1)
-    if n % 2:
-        raise ValueError(f"irfft_split_large needs even n; got {n}")
-    half = n // 2
-    if supported_large(half):
-        cfft = lambda a, b: fft_split_large(a, b, Direction.INVERSE,
-                                            interpret=interpret)
-    else:
-        from fftlab.kernels.threestep_vmem import (
-            fft_split_huge,
-            supported_huge,
-        )
-
-        if not supported_huge(half):
-            raise ValueError(
-                f"irfft_split_large needs n/2 in [{MIN_N}, 2^26]; got {n}"
-            )
-        cfft = lambda a, b: fft_split_huge(a, b, Direction.INVERSE,
-                                           interpret=interpret)
+        n = 2 * (int(Xr.shape[-1]) - 1)
+    cfft = _half_cfft("irfft_split_large", n, Direction.INVERSE, interpret)
     return irfft_split(Xr, Xi, n=n, cfft=cfft)
 
 

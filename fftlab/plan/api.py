@@ -195,6 +195,20 @@ def _split_route_for(n: int, flags: Flags, batch: int) -> str:
     return select_split_impl(n, batch)
 
 
+def _split_route_for_half(n: int, flags: Flags, batch: int) -> str:
+    """Route for the HALF-size transform inside an r2c/c2r plan, with
+    errors naming the half size: a bare 'no wisdom for n//2' would send
+    the user off to MEASURE the full n, which cannot help."""
+    try:
+        return _split_route_for(n // 2, flags, batch)
+    except RuntimeError as e:
+        raise RuntimeError(
+            f"{e} (the r2c/c2r plan for n={n} runs a HALF-size complex "
+            f"transform: measure n={n // 2}, e.g. "
+            f"plan_dft_1d_split({n // 2}, flags=Flags.MEASURE))"
+        ) from None
+
+
 def plan_r2c_1d_split(n: int, flags: Flags = Flags.ESTIMATE,
                       batch: int = 1) -> Plan:
     """Device-native real-to-complex plan: real [..., n] float32 in,
@@ -212,7 +226,7 @@ def plan_r2c_1d_split(n: int, flags: Flags = Flags.ESTIMATE,
         route = "einsum"  # rfft_split's odd-n fallback is einsum-based
         fn = lambda x: rfft_split(x)
     else:
-        route = _split_route_for(n // 2, flags, batch)
+        route = _split_route_for_half(n, flags, batch)
         cfft = lambda a, b: run_route(route, a, b, FORWARD)
         fn = lambda x: rfft_split(x, cfft=cfft)
     return Plan("r2c_split", n, FORWARD, np.float32,
@@ -234,7 +248,7 @@ def plan_c2r_1d_split(n: int, flags: Flags = Flags.ESTIMATE,
         route = "einsum"
         fn = lambda pair: irfft_split(pair[0], pair[1], n=n)
     else:
-        route = _split_route_for(n // 2, flags, batch)
+        route = _split_route_for_half(n, flags, batch)
         cfft = lambda a, b: run_route(route, a, b, INVERSE)
         fn = lambda pair: irfft_split(pair[0], pair[1], n=n, cfft=cfft)
     return Plan("c2r_split", n, INVERSE, np.float32,

@@ -88,6 +88,60 @@ def kernels_enabled() -> bool:
     return True
 
 
+def resident_filter_enabled() -> bool:
+    """The single-residency filter sandwich is structurally 4x cheaper
+    in HBM traffic but not yet device-measured faster than the blocked
+    two-launch sandwich; opt in with FFTLAB_RESIDENT_FILTER=1 until the
+    healthy-window A/B flips the default."""
+    return os.environ.get("FFTLAB_RESIDENT_FILTER", "0") == "1"
+
+
+def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
+    """The FFT -> H -> IFFT sandwich (fft_filtering.c:111-132 hot path)
+    through the capability-selected route — ONE dispatcher shared by
+    dsp.filtering, dsp.convolution, and the Bluestein convolution so the
+    route policy lives in one place.
+
+    xr, xi: [..., n] split planes; hr, hi: the length-n frequency
+    response in NATURAL bin order (host numpy or device array; the
+    kernel routes consume it directly, the fused einsum route
+    digit-reverses a host constant at plan time itself). `permuted`
+    optionally supplies a pre-permuted (hr_p, hi_p) pair for the einsum
+    route — pass it when H is a cached plan-time constant so the O(n)
+    host gather isn't redone per call.
+    Equivalent numerics on every route: ifft(fft(x) * H), 1/n scaled.
+    On TPU, supported pow2 n rides the fused VMEM kernels (one HBM
+    residency opt-in via FFTLAB_RESIDENT_FILTER, else four passes via
+    the blocked two-launch form)."""
+    import jax.numpy as jnp
+
+    from fftlab.algos.split_stockham import spectral_filter_split_fused
+
+    n = int(jnp.asarray(xr).shape[-1])
+    if detect_hardware().platform == "tpu" and kernels_enabled():
+        from fftlab.kernels.fourstep_vmem import (
+            spectral_filter_large,
+            supported_large,
+        )
+        from fftlab.kernels.resident_vmem import (
+            spectral_filter_resident,
+            supported_resident,
+        )
+
+        if supported_resident(n) and resident_filter_enabled():
+            return spectral_filter_resident(xr, xi, jnp.asarray(hr),
+                                            jnp.asarray(hi))
+        if supported_large(n):
+            return spectral_filter_large(xr, xi, jnp.asarray(hr),
+                                         jnp.asarray(hi))
+    if permuted is not None:
+        hr_p, hi_p = permuted
+        return spectral_filter_split_fused(xr, xi, jnp.asarray(hr_p),
+                                           jnp.asarray(hi_p),
+                                           h_permuted=True)
+    return spectral_filter_split_fused(xr, xi, hr, hi)
+
+
 def fft_split_auto(xr, xi, direction=None):
     """Split-plane FFT through the capability-selected route."""
     from fftlab.core.types import FORWARD

@@ -144,7 +144,10 @@ class TestSplitTuning:
         pf = plan_r2c_1d_split(n)
         pi = plan_c2r_1d_split(n)
         assert pf.kind == "r2c_split" and pi.kind == "c2r_split"
-        assert pf.algorithm == "rfft_split[einsum]"  # CPU route for n/2
+        # Route name is backend-dependent (einsum on CPU runners); only
+        # the wrapper is asserted exactly.
+        assert pf.algorithm.startswith("rfft_split[")
+        assert pi.algorithm.startswith("irfft_split[")
         rng = np.random.default_rng(7)
         x = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
         Xr, Xi = pf.execute(x)

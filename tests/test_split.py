@@ -252,11 +252,14 @@ class TestBluesteinSplit:
         assert snr > 95.0, f"SNR {snr:.1f}"
 
     def test_kernel_sandwich_matches_einsum_route(self):
-        """The TPU branch of `_conv_sandwich_split` (the large VMEM
-        filter kernel, interpret mode) agrees with the einsum branch for
-        a COMPLEX Bluestein kernel spectrum B — the routes must be
-        interchangeable for any prime n whose m reaches 2^15."""
-        from fftlab.algos.bluestein import _conv_sandwich_split
+        """The TPU branch of the sandwich dispatcher (the large VMEM
+        filter kernel, interpret mode) agrees with the fused einsum
+        branch for a COMPLEX Bluestein kernel spectrum B — the routes
+        must be interchangeable for any prime n whose m reaches 2^15.
+        Both sides are invoked DIRECTLY (not via the dispatcher) so the
+        cross-check holds on any backend."""
+        import jax.numpy as jnp
+        from fftlab.algos.split_stockham import spectral_filter_split_fused
         from fftlab.core.hostfft import bluestein_kernel_spectrum_np
         from fftlab.kernels.fourstep_vmem import spectral_filter_large
 
@@ -267,7 +270,8 @@ class TestBluesteinSplit:
         rng = np.random.default_rng(5)
         ar = rng.standard_normal((1, m)).astype(np.float32)
         ai = rng.standard_normal((1, m)).astype(np.float32)
-        want_r, want_i = _conv_sandwich_split(ar, ai, Br, Bi, m)  # einsum
+        want_r, want_i = spectral_filter_split_fused(
+            ar, ai, jnp.asarray(Br), jnp.asarray(Bi))
         got_r, got_i = spectral_filter_large(ar, ai, Br, Bi,
                                              interpret=True)
         np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
