@@ -302,6 +302,56 @@ class TestCapsDispatch:
         self._fake_caps(monkeypatch, "cpu")
         assert select_split_impl(8192) == "einsum"
 
+    def test_spectral_filter_auto_matches_reference(self):
+        import jax.numpy as jnp
+        from fftlab.algos.split_stockham import (
+            permute_response,
+            spectral_filter_split,
+        )
+        from fftlab.plan.dispatch import spectral_filter_auto
+
+        n = 512
+        rng = np.random.default_rng(11)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        hr = rng.standard_normal(n).astype(np.float32)
+        hi = rng.standard_normal(n).astype(np.float32)
+        want_r, want_i = spectral_filter_split(
+            xr, xi, jnp.asarray(hr), jnp.asarray(hi))
+        got_r, got_i = spectral_filter_auto(xr, xi, hr, hi)
+        np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                                   atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                                   atol=1e-3)
+        # Pre-permuted H (the plan-time-cached form) gives the same
+        # result on the einsum route.
+        pr, pi_ = permute_response(hr, hi, n)
+        got2_r, got2_i = spectral_filter_auto(xr, xi, hr, hi,
+                                              permuted=(pr, pi_))
+        np.testing.assert_allclose(np.asarray(got2_r), np.asarray(got_r),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got2_i), np.asarray(got_i),
+                                   atol=1e-5)
+
+    def test_spectral_filter_auto_kill_switch(self, monkeypatch):
+        """FFTLAB_NO_PALLAS must keep the dispatcher off the kernel
+        routes even when caps report TPU (fft_gpu.c:49-97's runtime
+        backend fallback, as an env kill switch)."""
+        import jax.numpy as jnp
+        from fftlab.plan.dispatch import spectral_filter_auto
+
+        self._fake_caps(monkeypatch, "tpu")
+        monkeypatch.setenv("FFTLAB_NO_PALLAS", "1")
+        n = 1 << 15  # inside supported_large: would route to the kernel
+        rng = np.random.default_rng(12)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.zeros((1, n), jnp.float32)
+        hr = np.ones(n, np.float32)
+        hi = np.zeros(n, np.float32)
+        yr, yi = spectral_filter_auto(xr, xi, hr, hi)  # H=1 -> identity
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(xr),
+                                   atol=3e-4)
+
     def test_measured_route_wisdom_outranks_heuristic(self, monkeypatch):
         from fftlab.plan import wisdom
         from fftlab.plan.dispatch import select_split_impl
