@@ -60,6 +60,26 @@ def main() -> None:
         _, psd_1 = welch_psd(sig, window_size=256)
         err = float(np.max(np.abs(np.asarray(psd_s) - np.asarray(psd_1))))
         print(f"sharded Welch PSD (psum averaging): max err {err:.2e}")
+
+        # PP: stage-pipelined streaming sandwich (window/FFT/xH/IFFT
+        # each on its own device, blocks flowing via ppermute).
+        from fftlab.algos.split_stockham import spectral_filter_split
+        from fftlab.dist.pp_pipeline import pp_spectral_pipeline_split
+
+        pp = 4 if p >= 4 else 2
+        mesh_pp = make_mesh({"pp": pp}, devices=devs[:pp])
+        B, nb = 8, 512
+        br = rng.standard_normal((B, nb)).astype(np.float32)
+        hr = rng.standard_normal(nb).astype(np.float32)
+        zi = np.zeros(nb, np.float32)
+        yr, _ = pp_spectral_pipeline_split(
+            br, np.zeros_like(br), hr, zi, mesh_pp, "pp")
+        wr, _ = spectral_filter_split(
+            jnp.asarray(br), jnp.zeros_like(jnp.asarray(br)),
+            jnp.asarray(hr), jnp.asarray(zi))
+        err = float(np.max(np.abs(np.asarray(yr) - np.asarray(wr))))
+        print(f"PP pipeline ({pp} stages, {B} blocks, {B + pp - 1} "
+              f"ticks): max err vs unsharded {err:.2e}")
     else:
         print("single device — sharded pipelines need >= 2 "
               "(set --xla_force_host_platform_device_count)")
