@@ -517,6 +517,53 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
     return out
 
 
+def _service_alive(timeout_s: float = 180.0) -> bool:
+    """Ping the device from a FRESH subprocess with a hard timeout.
+
+    The tunneled service has outage windows where any device op blocks
+    forever and the calling process can never recover (the runtime
+    wedges on the dead RPC) — probing in-process would take the whole
+    bench down with it."""
+    import subprocess
+
+    ping = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((8, 1024), jnp.float32); "
+            "(x + 1.0).block_until_ready(); print('up')")
+    try:
+        r = subprocess.run([sys.executable, "-c", ping],
+                           timeout=timeout_s, capture_output=True,
+                           text=True)
+        return r.returncode == 0 and "up" in r.stdout
+    except Exception:
+        return False
+
+
+def _arm_watchdog(fuse_s: float, detail: dict) -> None:
+    """Guarantee the driver its ONE JSON line even if a device op wedges
+    mid-bench: after `fuse_s`, print whatever detail has accumulated,
+    flagged, and hard-exit (a wedged XLA call cannot be interrupted any
+    other way)."""
+    import threading
+
+    def fire():
+        detail["watchdog"] = f"fired after {fuse_s:.0f}s (device wedged?)"
+        head = detail.get("fft_1m_batched", {})
+        print(json.dumps({
+            "metric": "fft_1m_batched_throughput",
+            "value": head.get("gsps", 0.0),
+            "unit": "Gsamples/s",
+            "vs_baseline": 0.0,
+            "detail": detail,
+        }), flush=True)
+        import os as _os
+
+        _os._exit(0)
+
+    t = threading.Timer(fuse_s, fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
     import os
     import time as _time
@@ -539,9 +586,32 @@ def main() -> None:
     # each); remaining sub-benches are skipped once the budget is spent.
     budget_s = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "2400"))
 
+    budget_s_early = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "2400"))
+    wait_s_early = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "1800"))
+    detail: dict = {}
+    # Outage guard BEFORE the first in-process device touch: if the
+    # service is down, wait for it in bounded subprocess pings; if it
+    # never returns, emit the JSON line and exit instead of wedging.
+    skip_ping = (os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+                 or os.environ.get("FFTLAB_BENCH_SKIP_PING") == "1")
+    if not skip_ping:
+        while not _service_alive():
+            detail["service"] = "outage: ping timed out"
+            if _time.time() - t_start > wait_s_early:
+                print(json.dumps({
+                    "metric": "fft_1m_batched_throughput", "value": 0.0,
+                    "unit": "Gsamples/s", "vs_baseline": 0.0,
+                    "detail": dict(detail, error="TPU service unreachable "
+                                   "for the whole pre-flight window"),
+                }))
+                return
+            _time.sleep(60)
+    # A wedge can also strike mid-bench; the watchdog guarantees output.
+    _arm_watchdog(wait_s_early + budget_s_early + 900.0, detail)
+
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    detail: dict = {"platform": platform}
+    detail["platform"] = platform
 
     # Pre-flight: the tunneled service has congestion windows where any
     # timing is garbage, and artifact windows where deflated slopes read
