@@ -173,6 +173,41 @@ def wait_healthy(lo: float = 150.0, hi: float = 400.0,
     return False
 
 
+def stall_watchdog(artifact_path: str, stall_s: float = 1500.0) -> None:
+    """Hard-exit(3) when `artifact_path` stops growing for `stall_s`.
+
+    Device probes append a log line after every measurement; if the
+    tunneled service dies mid-call, the blocked RPC can never be
+    interrupted in-process (observed: a probe frozen >29 min with zero
+    CPU). The watchdog turns that into a clean exit code 3 so a wrapper
+    loop can wait for the service (scripts/tpu_waitup.py) and relaunch.
+    """
+    import os
+    import threading
+
+    def _size() -> int:
+        try:
+            return os.path.getsize(artifact_path)
+        except OSError:
+            return -1
+
+    def loop():
+        last_size = _size()
+        last_t = time.time()
+        while True:
+            time.sleep(30)
+            s = _size()
+            if s != last_size:
+                last_size, last_t = s, time.time()
+            elif time.time() - last_t > stall_s:
+                print(f"stall_watchdog: {artifact_path} static for "
+                      f"{stall_s:.0f}s — exiting 3", flush=True)
+                os._exit(3)
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+
+
 def min_slope(raw: dict) -> float:
     """Per-application seconds from a `chain_time(..., return_raw=True)`
     sample: slope between per-k MINIMUM chain times.

@@ -36,6 +36,9 @@ def log(rec):
 
 
 def main():
+    from fftlab.bench.timing import stall_watchdog
+
+    stall_watchdog(OUT)  # a dead service wedges any device call forever
     from fftlab.kernels import os_filter_vmem as m
 
     n = 1 << 23

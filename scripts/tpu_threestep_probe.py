@@ -33,6 +33,9 @@ def log(**kw):
 
 
 def main():
+    from fftlab.bench.timing import stall_watchdog
+
+    stall_watchdog(ART)  # a dead service wedges any device call forever
     assert jax.devices()[0].platform == "tpu", "probe needs the TPU"
     from fftlab.bench.timing import chain_time, min_slope
     from fftlab.core.types import FORWARD
