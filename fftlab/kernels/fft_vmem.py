@@ -182,9 +182,12 @@ def _pallas_fft_impl(xr, xi, *, direction: Direction, interpret: bool,
             jax.ShapeDtypeStruct((B, N1, m), xr.dtype),
             jax.ShapeDtypeStruct((B, N1, m), xr.dtype),
         ),
+        # Whole-call totals (the pallas CostEstimate convention the
+        # large-n kernels already follow): B rows at ~8n(m+N1) flops
+        # and 16n bytes each.
         cost_estimate=pl.CostEstimate(
-            flops=8 * n * (m + N1) * R, transcendentals=0,
-            bytes_accessed=4 * 4 * n * R,
+            flops=8 * n * (m + N1) * B, transcendentals=0,
+            bytes_accessed=4 * 4 * n * B,
         ),
         interpret=interpret,
     )(xr3, xi3, *tabs)
@@ -250,9 +253,10 @@ def _pallas_filter_impl(xr, xi, hr2, hi2, *, interpret: bool):
             jax.ShapeDtypeStruct((B, m, N1), xr.dtype),
             jax.ShapeDtypeStruct((B, m, N1), xr.dtype),
         ),
+        # Whole-call totals: B rows, forward + inverse per row.
         cost_estimate=pl.CostEstimate(
-            flops=16 * n * (m + N1), transcendentals=0,
-            bytes_accessed=4 * 4 * n,
+            flops=16 * n * (m + N1) * B, transcendentals=0,
+            bytes_accessed=4 * 4 * n * B,
         ),
         interpret=interpret,
     )(xr3, xi3, *fwd, *inv, hr2, hi2)
@@ -295,29 +299,6 @@ def pallas_fft_split_ad(xr, xi, direction=FORWARD, interpret: bool = False):
     return pallas_fft_split(xr, xi, direction, interpret)
 
 
-def _fft_ad_fwd(xr, xi, direction, interpret):
-    return pallas_fft_split(xr, xi, direction, interpret), None
+from fftlab.kernels._ad import make_vjp_rules
 
-
-def _fft_ad_bwd(direction, interpret, _, g):
-    gr, gi = g
-    n = int(gr.shape[-1])
-    d = Direction(int(direction))
-    # Adjoint of the real-matrix pipeline [[Fr, -Fi], [Fi, Fr]] is its
-    # transpose = the same structure built from F^T = F with Fi negated:
-    # exactly the opposite-direction transform.
-    opp = Direction(-int(d))
-    br, bi = pallas_fft_split(gr, gi, opp, interpret)
-    if opp == Direction.INVERSE:
-        # pallas INVERSE scaled by 1/n, but the adjoint of the unscaled
-        # FORWARD is the unscaled opposite transform: undo the 1/n.
-        s = jnp.asarray(float(n), dtype=br.dtype)
-        br, bi = br * s, bi * s
-    else:
-        # Adjoint of the INVERSE (which included 1/n): scale by 1/n.
-        s = jnp.asarray(1.0 / n, dtype=br.dtype)
-        br, bi = br * s, bi * s
-    return br, bi
-
-
-pallas_fft_split_ad.defvjp(_fft_ad_fwd, _fft_ad_bwd)
+pallas_fft_split_ad.defvjp(*make_vjp_rules(pallas_fft_split))

@@ -210,14 +210,6 @@ def _pass2_filter_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     oi_ref[...] = (yr * hi + yi * hr).reshape(oi_ref.shape)
 
 
-def _big_twiddle_np(L1: int, L2: int, direction: Direction) -> np.ndarray:
-    """W_n^{k1*j2} as (L1, L2), float64 (the pass-1 fused twiddle)."""
-    n = L1 * L2
-    k1 = np.arange(L1).reshape(L1, 1)
-    j2 = np.arange(L2).reshape(1, L2)
-    return np.exp(2j * np.pi * float(int(direction)) * (k1 * j2 % n) / n)
-
-
 def _rank1_twiddle_np(L1: int, L2: int, W: int, direction: Direction):
     """The pass-1 twiddle W_n^{k1*j2} split along j2 = c*W + l:
     A[c, k1] = W_n^{k1*c*W},  P[k1, l] = W_n^{k1*l}  (both float64).
@@ -233,22 +225,41 @@ def _rank1_twiddle_np(L1: int, L2: int, W: int, direction: Direction):
     return A.reshape(C, L1, 1), P
 
 
+def _env_width() -> int | None:
+    """FFTLAB_FS_WIDTH, resolved OUTSIDE jit (a static cache key —
+    resolving at trace time would let a stale cached compilation
+    silently ignore later env changes). None when unset."""
+    import os
+
+    forced = os.environ.get("FFTLAB_FS_WIDTH")
+    if forced is None:
+        return None
+    w = int(forced)
+    if w % LANES:
+        raise ValueError(
+            f"FFTLAB_FS_WIDTH={w} must be a multiple of {LANES}")
+    return w
+
+
+def _clamp_width(w: int, side: int) -> int:
+    """Largest multiple-of-LANES divisor of `side` that is <= w. The
+    FFTLAB_FS_WIDTH knob sets ONE width for both passes, but W1 chunks
+    L2 while R2 chunks L1 — on non-square splits the forced value can
+    fit one pass and not the other, so each pass clamps independently
+    (same sweep-friendly semantics as threestep's FFTLAB_TS_W1/R3)."""
+    while side % w and w > LANES:
+        w //= 2
+    return w if (side % w == 0 and w % LANES == 0) else LANES
+
+
 def _blk_width(L: int) -> int:
     """Lane-block width for a pass over side L: wider = bigger DMA
     bursts (strided 512 B bursts are a candidate for the gap to the
     2-pass roofline floor), but every doubling doubles the VMEM slab
     budget (6 slabs x L*W*4 B, double-buffered, + kernel temporaries).
     Default keeps the compile-proven 128 for L >= 1024; growing is a
-    device-tuning knob via FFTLAB_FS_WIDTH."""
-    import os
-
-    forced = os.environ.get("FFTLAB_FS_WIDTH")
-    if forced:
-        w = int(forced)
-        if w % LANES or w > L or L % w:
-            raise ValueError(f"FFTLAB_FS_WIDTH={w} must be a multiple of "
-                             f"{LANES} that divides the side ({L})")
-        return w
+    device-tuning knob via FFTLAB_FS_WIDTH (resolved by the public
+    entry points via `_env_width`, outside jit)."""
     return 256 if L <= 512 else LANES
 
 
@@ -287,7 +298,8 @@ def _blocked_filter_default() -> bool:
 def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
               width=None, blocked_mid: bool | None = None,
               sides=None, in_blocked: bool = False,
-              out_blocked: bool = False, scale: float | None = None):
+              out_blocked: bool = False, scale: float | None = None,
+              env_width: int | None = None):
     """The two pallas launches of one transform. `h2` (pair of (1, L2, L1)
     natural-order response planes) fuses a spectral multiply into pass 2's
     epilogue for zero extra passes. Returns (B, n) unscaled.
@@ -318,12 +330,15 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
         L1, L2 = sides if sides is not None else _split_sides(n)
         if L1 * L2 != n:
             raise ValueError(f"sides {L1}x{L2} != n {n}")
-        # Only the DEFAULT width is clamped to the (possibly smaller)
-        # opposing side; an explicit `width` that doesn't fit must fail
-        # the divisibility check below, not silently measure something
-        # else than the caller asked for.
-        W1 = width or min(_blk_width(L1), L2)
-    R2 = width or min(_blk_width(L2), L1)
+        # An explicit `width` ARGUMENT that doesn't fit must fail the
+        # divisibility check below (not silently measure something else
+        # than the caller asked for); the env knob (`env_width`,
+        # resolved outside jit) and the defaults clamp to what each
+        # pass's chunked side admits.
+        W1 = width or (_clamp_width(env_width, L2) if env_width
+                       else min(_blk_width(L1), L2))
+    R2 = width or (_clamp_width(env_width, L1) if env_width
+                   else min(_blk_width(L2), L1))
     if L2 % W1 or W1 % LANES or L1 % R2 or R2 % LANES:
         raise ValueError(
             f"block widths ({W1}, {R2}) must be multiples of {LANES} "
@@ -428,21 +443,26 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("direction", "interpret", "width", "blocked", "scale"),
+    static_argnames=("direction", "interpret", "width", "blocked", "scale",
+                     "env_width"),
 )
 def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool,
-                    width=None, blocked=None, scale=None):
+                    width=None, blocked=None, scale=None,
+                    env_width: int | None = None):
     n = int(xr.shape[-1])
     eff = (1.0 / n if direction == Direction.INVERSE else 1.0)
     eff *= (scale if scale is not None else 1.0)
     return _two_pass(xr, xi, direction, interpret, width=width,
                      blocked_mid=blocked,
-                     scale=None if eff == 1.0 else eff)
+                     scale=None if eff == 1.0 else eff,
+                     env_width=env_width)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "blocked"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "blocked", "env_width"))
 def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool,
-                       blocked: bool = False):
+                       blocked: bool = False,
+                       env_width: int | None = None):
     """FFT -> H -> IFFT in four launches. With `blocked` (sandwich
     fusion) the forward's pass 2 writes its natural (L2, L1) spectrum
     matrix in COLUMN BLOCKS — exactly the inverse transform's (with
@@ -452,11 +472,11 @@ def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool,
     n = int(xr.shape[-1])
     gr, gi = _two_pass(xr, xi, Direction.FORWARD, interpret,
                        h2=(h2r, h2i), blocked_mid=blocked,
-                       out_blocked=blocked)
+                       out_blocked=blocked, env_width=env_width)
     # inverse 1/n rides the last pass's tables: four passes, no more
     return _two_pass(gr, gi, Direction.INVERSE, interpret,
                      blocked_mid=blocked, in_blocked=blocked,
-                     scale=1.0 / n)
+                     scale=1.0 / n, env_width=env_width)
 
 
 def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
@@ -491,6 +511,7 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
     yr, yi = _filter_large_impl(
         xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
         interpret=bool(interpret), blocked=bool(blocked),
+        env_width=_env_width(),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 
@@ -532,6 +553,7 @@ def fft_split_large(xr, xi, direction=FORWARD,
         direction=Direction(int(direction)), interpret=bool(interpret),
         width=width, blocked=bool(blocked),
         scale=None if scale is None else float(scale),
+        env_width=_env_width(),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 
@@ -603,21 +625,9 @@ def fft_split_large_ad(xr, xi, direction=FORWARD,
     return fft_split_large(xr, xi, direction, interpret)
 
 
-def _large_ad_fwd(xr, xi, direction, interpret):
-    return fft_split_large(xr, xi, direction, interpret), None
+from fftlab.kernels._ad import make_vjp_rules
 
-
-def _large_ad_bwd(direction, interpret, _, g):
-    gr, gi = g
-    n = int(gr.shape[-1])
-    d = Direction(int(direction))
-    opp = Direction(-int(d))
-    br, bi = fft_split_large(gr, gi, opp, interpret)
-    if opp == Direction.INVERSE:
-        s = jnp.asarray(float(n), dtype=br.dtype)
-    else:
-        s = jnp.asarray(1.0 / n, dtype=br.dtype)
-    return br * s, bi * s
+_large_ad_fwd, _large_ad_bwd = make_vjp_rules(fft_split_large)
 
 
 fft_split_large_ad.defvjp(_large_ad_fwd, _large_ad_bwd)

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fftlab.core.types import Direction, next_power_of_two
+from fftlab.core.types import Direction
 from fftlab.kernels.fft_vmem import (
     N1,
     _fwd_body,
@@ -225,10 +225,12 @@ def _os_filter_aligned_impl(xr, xi, hr2, hi2, *, nh: int, fft_size: int,
             pltpu.VMEM((m, N1), xr.dtype),
             pltpu.VMEM((m, N1), xr.dtype),
         ],
+        # Whole-call totals over the (C, n_super) grid: each program
+        # runs R forward+inverse FFTs and streams ~R*hop fresh samples.
         cost_estimate=pl.CostEstimate(
-            flops=16 * fft_size * (m + N1) * R,
+            flops=16 * fft_size * (m + N1) * R * C * n_super,
             transcendentals=0,
-            bytes_accessed=4 * 4 * R * hop * C,
+            bytes_accessed=4 * 4 * R * hop * C * n_super,
         ),
         interpret=interpret,
     )(xr2, xi2, xr2, xi2, *fwd, *inv, hr2, hi2)
@@ -267,10 +269,12 @@ def pallas_os_filter_split(xr, xi, h, fft_size: int | None = None,
     h = np.asarray(h, dtype=np.float64)
     nh = int(h.shape[-1])
     if fft_size is None:
-        # The pipelined aligned kernel wants big blocks (the halo is
-        # rounded to >= 8 rows, so larger m keeps the read redundancy
-        # m/hop low: 16K -> 1.07x for nh <= 1025).
-        fft_size = min(max(next_power_of_two(8 * nh), 16384), 16384)
+        # The pipelined aligned kernel wants the BIGGEST supported
+        # block regardless of tap count (the halo is rounded to >= 8
+        # rows, so 16K keeps the read redundancy m/hop low — 1.07x for
+        # nh <= 1025 — and the device probe measured 16K blocks 3x the
+        # 2K ones). The supported ceiling is 16384 (fft_vmem sizes).
+        fft_size = 16384
     if not supported_size(fft_size):
         raise ValueError(
             f"fft_size must be m*128, m in 8..128 pow2; got {fft_size}"
@@ -288,6 +292,8 @@ def pallas_os_filter_split(xr, xi, h, fft_size: int | None = None,
         import os
 
         R = int(os.environ.get("FFTLAB_OS_FRAMES", "8"))
+        if R < 1:
+            raise ValueError(f"FFTLAB_OS_FRAMES={R} must be >= 1")
         yr, yi = _os_filter_aligned_impl(
             xr, xi, hr2, hi2, nh=nh, fft_size=fft_size,
             interpret=bool(interpret), frames_per_program=R)

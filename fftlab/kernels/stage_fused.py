@@ -102,9 +102,10 @@ def fused_stage(xr, xi, *, r: int, direction=FORWARD, twiddle: bool = True,
             jax.ShapeDtypeStruct((B, r, cols_total, LANES), xr.dtype),
             jax.ShapeDtypeStruct((B, r, cols_total, LANES), xr.dtype),
         ),
+        # Whole-call totals over the (B, grid_c) grid.
         cost_estimate=pl.CostEstimate(
-            flops=8 * n * r // grid_c, transcendentals=0,
-            bytes_accessed=6 * 4 * r * ct * LANES,
+            flops=8 * n * r * B, transcendentals=0,
+            bytes_accessed=6 * 4 * n * B,
         ),
         interpret=interpret,
     )(x4r, x4i, Fr, Fi, twr, twi)

@@ -39,6 +39,7 @@ from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
 from fftlab.kernels.fourstep_vmem import (
     _col_fft_tables,
     _col_fft_vmem,
+    _pass1_kernel,
     _rank1_twiddle_np,
     _split_factors,
 )
@@ -62,22 +63,11 @@ def _split_three(n: int) -> tuple[int, int, int]:
     return 1 << e1, 1 << e2, 1 << e3
 
 
-def _pass_col_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
-                     ar_ref, ai_ref, pr_ref, pi_ref,
-                     or_ref, oi_ref, *, fa, fb):
-    """Column FFT over the sublane axis + fused twiddle in rank-1 form
-    (A_c[k] * P[k, l] — see fourstep_vmem._pass1_kernel; this kills the
-    n-sized twiddle table the naive form would need at 2^26)."""
-    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
-    yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
-    ar = ar_ref[0]
-    ai = ai_ref[0]
-    pr = pr_ref[...]
-    pi = pi_ref[...]
-    wr = ar * pr - ai * pi
-    wi = ar * pi + ai * pr
-    or_ref[0] = yr * wr - yi * wi
-    oi_ref[0] = yr * wi + yi * wr
+# Column FFT + rank-1 fused twiddle: fourstep_vmem._pass1_kernel is
+# shape-agnostic over leading singleton block dims, so it serves the
+# row-major (1, F1, W) and blocked (1, 1, F1, L) layouts here too (it
+# kills the n-sized twiddle table the naive form would need at 2^26).
+_pass_col_kernel = _pass1_kernel
 
 
 def _pass_row_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
@@ -124,11 +114,16 @@ def _burst_widths(n: int) -> tuple[int, int]:
                          f"of {LANES}")
     # Clamp to the largest width the factorization admits: a sweep sets
     # one env value across sizes whose sides differ (2^23 has F1=128).
-    while F3 % w1:
-        w1 //= 2
-    while F1 % r3:
-        r3 //= 2
-    return w1, r3
+    # Halving must preserve the multiple-of-LANES invariant — a
+    # non-pow2 multiple like 384 would otherwise degrade to 1 and build
+    # pathological rank-1 lane-dim-1 blocks. Sides are pow2 multiples
+    # of LANES, so LANES always divides them.
+    def clamp(w: int, side: int) -> int:
+        while side % w and w > LANES:
+            w //= 2
+        return w if (side % w == 0 and w % LANES == 0) else LANES
+
+    return clamp(w1, F3), clamp(r3, F1)
 
 
 @functools.partial(
@@ -259,20 +254,10 @@ def _pass2t_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
 # ---------------------------------------------------------------------------
 
 
-def _pass1_kernel_blk3(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
-                       ar_ref, ai_ref, pr_ref, pi_ref,
-                       or_ref, oi_ref, *, fa, fb):
-    """_pass_col_kernel storing to the blocked (B, C23, F1, L) mid."""
-    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
-    yr, yi = _col_fft_vmem(xr_ref[0], xi_ref[0], tabs, fa, fb)
-    ar = ar_ref[0]
-    ai = ai_ref[0]
-    pr = pr_ref[...]
-    pi = pi_ref[...]
-    wr = ar * pr - ai * pi
-    wi = ar * pi + ai * pr
-    or_ref[0, 0] = yr * wr - yi * wi
-    oi_ref[0, 0] = yr * wi + yi * wr
+# Same kernel body as the row-major pass 1 — fourstep_vmem._pass1_kernel
+# reshapes to the out ref's rank, so storing to the blocked
+# (B, C23, F1, L) mid needs no separate copy.
+_pass1_kernel_blk3 = _pass1_kernel
 
 
 def _pass2_kernel_blk3(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
@@ -475,21 +460,6 @@ def fft_split_huge_ad(xr, xi, direction=FORWARD,
     return fft_split_huge(xr, xi, direction, interpret)
 
 
-def _huge_ad_fwd(xr, xi, direction, interpret):
-    return fft_split_huge(xr, xi, direction, interpret), None
+from fftlab.kernels._ad import make_vjp_rules
 
-
-def _huge_ad_bwd(direction, interpret, _, g):
-    gr, gi = g
-    n = int(gr.shape[-1])
-    d = Direction(int(direction))
-    opp = Direction(-int(d))
-    br, bi = fft_split_huge(gr, gi, opp, interpret)
-    if opp == Direction.INVERSE:
-        s = jnp.asarray(float(n), dtype=br.dtype)
-    else:
-        s = jnp.asarray(1.0 / n, dtype=br.dtype)
-    return br * s, bi * s
-
-
-fft_split_huge_ad.defvjp(_huge_ad_fwd, _huge_ad_bwd)
+fft_split_huge_ad.defvjp(*make_vjp_rules(fft_split_huge))

@@ -178,6 +178,33 @@ class TestRfftLarge:
                              interpret=True)
 
 
+class TestWidthEnv:
+    def test_env_width_clamps_per_pass(self, monkeypatch):
+        """FFTLAB_FS_WIDTH sets ONE width for both passes; each pass
+        clamps it to the side it CHUNKS (W1 chunks L2, R2 chunks L1),
+        so 512 at n=2^17 (L1=256, L2=512) runs with W1=512, R2=256
+        instead of being rejected against the wrong side
+        (regression: wrong-side validation)."""
+        n = 1 << 17  # L1=256, L2=512
+        monkeypatch.setenv("FFTLAB_FS_WIDTH", "512")
+        rng = np.random.default_rng(21)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_large(xr, xi, interpret=True)
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 120.0
+
+    def test_env_width_rejects_non_lane_multiple(self, monkeypatch):
+        monkeypatch.setenv("FFTLAB_FS_WIDTH", "200")
+        with pytest.raises(ValueError, match="multiple of 128"):
+            fft_split_large(jnp.zeros((1, 1 << 17), jnp.float32),
+                            jnp.zeros((1, 1 << 17), jnp.float32),
+                            interpret=True)
+
+
 class TestIrfftLarge:
     def test_roundtrip_and_numpy(self):
         from fftlab.kernels.fourstep_vmem import (

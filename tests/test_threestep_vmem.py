@@ -129,3 +129,15 @@ class TestBurstWidths:
         monkeypatch.setenv("FFTLAB_TS_W1", "129")
         with pytest.raises(ValueError):
             _burst_widths(1 << 23)
+
+    def test_non_pow2_multiple_clamps_to_lanes(self, monkeypatch):
+        """A non-pow2 multiple of 128 (e.g. 384) must clamp to a width
+        that still divides the side AND stays a multiple of 128 —
+        halving 384 naively walks to 1 (regression: rank-1 lane-dim-1
+        blocks)."""
+        from fftlab.kernels.threestep_vmem import _burst_widths
+
+        monkeypatch.setenv("FFTLAB_TS_W1", "384")
+        monkeypatch.setenv("FFTLAB_TS_R3", "384")
+        w1, r3 = _burst_widths(1 << 23)  # F1=128, F3=256
+        assert w1 == 128 and r3 == 128
