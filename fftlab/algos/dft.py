@@ -88,7 +88,8 @@ def goertzel(x, k, direction=FORWARD):
     # basis the phase is exp(-2*pi*i*direction*k/n).
     phase = np.exp(-2j * np.pi * float(int(Direction(int(direction)))) * float(k) / n)
     wk = jnp.asarray(np.asarray(phase), dtype=x.dtype)
-    return wk * s1 - s2
+    # Package convention (algos/__init__.py): inverse is 1/n scaled.
+    return inverse_scale(wk * s1 - s2, n, direction)
 
 
 def dft_bin(x, k, direction=FORWARD):
@@ -98,7 +99,8 @@ def dft_bin(x, k, direction=FORWARD):
     n = int(x.shape[-1])
     j = np.arange(n, dtype=np.int64)
     row = np.exp(2j * np.pi * float(int(Direction(int(direction)))) * np.mod(j * int(k), n) / n)
-    return jnp.einsum("...j,j->...", x, const(row, x))
+    return inverse_scale(jnp.einsum("...j,j->...", x, const(row, x)),
+                         n, direction)
 
 
 if __name__ == "__main__":

@@ -35,9 +35,13 @@ _PRECISIONS = {
 }
 
 
-def fft_split_lowprec(xr, xi, direction=FORWARD, mode: str = "f32x3",
+def fft_split_lowprec(xr, xi, direction=FORWARD, mode: str = "f32",
                       leaf: int = 128):
-    """Split-complex FFT at a chosen MXU precision mode."""
+    """Split-complex FFT at a chosen MXU precision mode.
+
+    Default 'f32' = Precision.HIGHEST (the module header's table; this
+    TPU requires it for the 100 dB gate) — the reduced modes are
+    explicit opt-ins."""
     if mode not in _PRECISIONS:
         raise ValueError(f"mode must be one of {sorted(_PRECISIONS)}")
     from fftlab.algos.split_stockham import fft_split

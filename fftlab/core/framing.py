@@ -29,9 +29,16 @@ import jax
 import jax.numpy as jnp
 
 
+_STRATEGIES = ("gather", "patches", "slices")
+
+
 def _strategy() -> str:
     env = os.environ.get("FFTLAB_FRAMING")
     if env:
+        if env not in _STRATEGIES:
+            raise ValueError(
+                f"FFTLAB_FRAMING={env!r}; want one of {_STRATEGIES}"
+            )
         return env
     try:
         platform = jax.default_backend()

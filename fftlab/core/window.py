@@ -100,7 +100,10 @@ def get_window(name_or_array, n: int, periodic: bool = True, **kwargs) -> np.nda
             raise ValueError(
                 f"unknown window {name_or_array!r}; known: {sorted(set(WINDOWS))}"
             ) from None
-        return fn(n, periodic=periodic, **kwargs)
+        # Copy: the window fns are lru_cached, so handing out the cached
+        # array would let one caller's in-place edit corrupt every
+        # future get_window result process-wide.
+        return fn(n, periodic=periodic, **kwargs).copy()
     w = np.asarray(name_or_array, dtype=np.float64)
     if w.shape != (n,):
         raise ValueError(f"window has shape {w.shape}, expected ({n},)")

@@ -32,6 +32,11 @@ def make_mesh(shape: dict[str, int] | tuple, axis_names=None, devices=None) -> M
         axis_names = tuple(shape.keys())
         dims = tuple(shape.values())
     else:
+        if axis_names is None:
+            raise ValueError(
+                "make_mesh with a tuple shape needs axis_names; or pass "
+                'a dict like make_mesh({"dp": 2, "sp": 4})'
+            )
         dims = tuple(shape)
         axis_names = tuple(axis_names)
     if devices is None:

@@ -122,8 +122,10 @@ def overlap_save_filter_sharded(x, h, mesh: Mesh, axis_name: str = "sp",
     if fft_size < next_power_of_two(2 * nh):
         raise ValueError(f"fft_size {fft_size} too small for {nh} taps")
     cdtype = complex_dtype_for(jnp.result_type(x, h))
+    # h is cast to the COMPLEX dtype: a real->real astype would silently
+    # discard complex taps' imaginary part (filtering by real(h)).
     y = _overlap_save_sharded_impl(
-        x.astype(cdtype), h.astype(jnp.real(jnp.zeros((), cdtype)).dtype),
+        x.astype(cdtype), h.astype(cdtype),
         nh=nh, fft_size=fft_size, axis_name=axis_name, mesh=mesh,
     )
     return jnp.real(y) if was_real else y
@@ -150,12 +152,18 @@ def overlap_save_filterbank_sharded(x, h_bank, mesh: Mesh,
     pt = mesh.shape[time_axis]
     if c % pc or n % pt:
         raise ValueError(f"shape ({c},{n}) not divisible by mesh ({pc},{pt})")
+    if n // pt < nh - 1:
+        raise ValueError(
+            f"time chunk {n // pt} shorter than filter halo {nh - 1}; "
+            f"use fewer time shards"
+        )
     if fft_size is None:
         fft_size = max(next_power_of_two(4 * nh), 256)
+    if fft_size < next_power_of_two(2 * nh):
+        raise ValueError(f"fft_size {fft_size} too small for {nh} taps")
     cdtype = complex_dtype_for(jnp.result_type(x, h_bank))
-    rdtype = jnp.real(jnp.zeros((), cdtype)).dtype
     xc = x.astype(cdtype)
-    hb = h_bank.astype(rdtype)
+    hb = h_bank.astype(cdtype)  # complex taps keep their imaginary part
     chunk = n // pt
 
     def local(xl, hl):

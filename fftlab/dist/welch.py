@@ -75,6 +75,11 @@ def welch_psd_sharded(x, mesh: Mesh, axis_name: str = "dp",
     """Sharded Welch PSD of a real 1D signal. Returns (freqs, psd) matching
     ``fftlab.dsp.spectrum.welch_psd`` (property-tested equal)."""
     x = jnp.asarray(x)
+    if x.ndim != 1:
+        raise ValueError(
+            f"welch_psd_sharded expects a 1D signal, got shape {x.shape} "
+            f"(batch the unsharded dsp.spectrum.welch_psd, or vmap)"
+        )
     n = int(x.shape[-1])
     hop = max(int(window_size * (1.0 - overlap)), 1)
     n_seg = max((n - window_size) // hop + 1, 1)

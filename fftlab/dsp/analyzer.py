@@ -45,9 +45,16 @@ def analyze_spectrum(x, sample_rate: float, window="hann", cfft=None):
     n = int(x.shape[-1])
     w = get_window(window, n)
     X = rfft(x * jnp.asarray(w, dtype=x.dtype), cfft)
-    # amplitude correction: 2/(n*coherent_gain) for one-sided bins
+    # amplitude correction: 2/(n*coherent_gain) for one-sided bins —
+    # except DC and Nyquist, which have no mirrored twin (same exemption
+    # as spectrum.periodogram); a DC level of 0.5 reads 0.5, not 1.0.
     cg = float(np.sum(w) / n)
-    mag = jnp.abs(X) * (2.0 / (n * cg))
+    h = n // 2 + 1
+    dbl = np.full(h, 2.0)
+    dbl[0] = 1.0
+    if n % 2 == 0:
+        dbl[-1] = 1.0
+    mag = jnp.abs(X) * jnp.asarray(dbl / (n * cg), dtype=jnp.abs(X).dtype)
     freqs = rfftfreq(n, 1.0 / sample_rate)
     return freqs, mag
 
@@ -181,8 +188,28 @@ class RealtimeAnalyzer:
 
     def spectrogram_batch(self, signal):
         """Whole-signal offline path: the batched STFT spectrogram with
-        the same EMA (dsp/stft.py)."""
+        the same EMA (dsp/stft.py).
+
+        Like process(), the default path is complex-free (stft_split)
+        so it runs on TPU runtimes that reject complex dtypes; a custom
+        `cfft` opts into the complex stft path."""
         c = self.config
-        return spectrogram(jnp.asarray(signal, dtype=jnp.float32),
-                           c.fft_size, c.hop, c.window, c.averaging,
-                           self.cfft)
+        x = jnp.asarray(signal, dtype=jnp.float32)
+        if self.cfft is not None or x.ndim != 1:
+            return spectrogram(x, c.fft_size, c.hop, c.window,
+                               c.averaging, self.cfft)
+        from fftlab.dsp.stft import stft_split
+
+        Xr, Xi = stft_split(x, c.fft_size, c.hop, c.window)
+        mag = jnp.sqrt(Xr * Xr + Xi * Xi)
+        if c.averaging > 1:
+            import jax
+
+            alpha = 1.0 / c.averaging
+
+            def ema(carry, m):
+                carry = (1 - alpha) * carry + alpha * m
+                return carry, carry
+
+            _, mag = jax.lax.scan(ema, mag[0], mag)
+        return mag

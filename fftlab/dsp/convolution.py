@@ -148,11 +148,19 @@ def overlap_add(x, h, block: int | None = None, cfft=None):
     frames = xp.reshape(*x.shape[:-1], n_blocks, block)
     frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, fft_size - block)])
     y = cfft(cfft(frames, Direction.FORWARD) * H, Direction.INVERSE)
-    # Overlap-add: block b contributes y[b] at offset b*block.
-    out = jnp.zeros((*x.shape[:-1], n_blocks * block + fft_size), dtype=cdtype)
-    for b in range(n_blocks):  # static unroll; n_blocks is trace-time
-        out = out.at[..., b * block : b * block + fft_size].add(y[..., b, :])
-    out = out[..., :n_out]
+    # Overlap-add: block b contributes y[b] at offset b*block. Since the
+    # placement stride IS the block size, pad each filtered frame to
+    # k*block and sum k diagonal shifts — k (= ceil(fft_size/block),
+    # typically 2-4) whole-array adds instead of n_blocks scatter-adds
+    # (a 1M-sample signal at block=256 would otherwise unroll ~4k
+    # sequential dynamic-update-slices into the jaxpr).
+    k = -(-fft_size // block)
+    yk = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, k * block - fft_size)])
+    yk = yk.reshape(*y.shape[:-2], n_blocks, k, block)
+    out = jnp.zeros((*x.shape[:-1], n_blocks + k, block), dtype=cdtype)
+    for j in range(k):
+        out = out.at[..., j:j + n_blocks, :].add(yk[..., :, j, :])
+    out = out.reshape(*x.shape[:-1], -1)[..., :n_out]
     return jnp.real(out) if was_real else out
 
 

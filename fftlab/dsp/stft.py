@@ -51,6 +51,35 @@ def stft_complex(x, fft_size: int = 2048, hop: int = 512, window="hann", cfft=No
     return cfft((frames * w).astype(cdtype), Direction.FORWARD)
 
 
+def _cola_overlap_add(frames, w: np.ndarray, fft_size: int, hop: int):
+    """Windowed COLA overlap-add: [..., n_frames, fft_size] ->
+    [..., (n_frames-1)*hop + fft_size], divided by the summed window
+    energy. Vectorized when hop divides fft_size: each frame splits
+    into k = fft_size/hop hop-chunks and the sum unrolls over k
+    diagonal shifts (k whole-array adds), not over n_frames — a
+    10-minute stream no longer unrolls tens of thousands of scatter
+    ops into the jaxpr."""
+    n_frames = int(frames.shape[-2])
+    batch = frames.shape[:-2]
+    total = (n_frames - 1) * hop + fft_size
+    norm = np.zeros(total)
+    for f in range(n_frames):
+        norm[f * hop: f * hop + fft_size] += w * w
+    if fft_size % hop == 0:
+        k = fft_size // hop
+        f3 = frames.reshape(*batch, n_frames, k, hop)
+        out = jnp.zeros((*batch, n_frames + k - 1, hop), frames.dtype)
+        for j in range(k):
+            out = out.at[..., j:j + n_frames, :].add(f3[..., :, j, :])
+        out = out.reshape(*batch, -1)[..., :total]
+    else:
+        out = jnp.zeros((*batch, total), frames.dtype)
+        for f in range(n_frames):
+            out = out.at[..., f * hop: f * hop + fft_size].add(
+                frames[..., f, :])
+    return out / jnp.asarray(np.maximum(norm, 1e-10), dtype=out.dtype)
+
+
 def istft(S, fft_size: int = 2048, hop: int = 512, window="hann",
           length: int | None = None, cfft=None):
     """Inverse STFT by windowed overlap-add with COLA normalization.
@@ -58,17 +87,10 @@ def istft(S, fft_size: int = 2048, hop: int = 512, window="hann",
     S: [..., n_frames, fft_size//2+1] complex -> real [..., length].
     """
     S = jnp.asarray(S)
-    n_frames = int(S.shape[-2])
     w = np.asarray(get_window(window, fft_size))
-    frames = irfft(S, n=fft_size, cfft=cfft) * jnp.asarray(w, dtype=jnp.float32 if S.dtype == jnp.complex64 else jnp.float64)
-
-    total = (n_frames - 1) * hop + fft_size
-    out = jnp.zeros((*S.shape[:-2], total), dtype=frames.dtype)
-    norm = np.zeros(total)
-    for f in range(n_frames):  # static unroll (n_frames is trace-time)
-        out = out.at[..., f * hop : f * hop + fft_size].add(frames[..., f, :])
-        norm[f * hop : f * hop + fft_size] += w * w
-    out = out / jnp.asarray(np.maximum(norm, 1e-10), dtype=out.dtype)
+    rdtype = jnp.float32 if S.dtype == jnp.complex64 else jnp.float64
+    frames = irfft(S, n=fft_size, cfft=cfft) * jnp.asarray(w, dtype=rdtype)
+    out = _cola_overlap_add(frames, w, fft_size, hop)
     if length is not None:
         out = out[..., :length]
     return out
@@ -91,36 +113,24 @@ def istft_split(Sr, Si, fft_size: int = 2048, hop: int = 512,
     Si = jnp.asarray(Si, dtype=jnp.float32)
     if Sr.ndim != 2:
         raise ValueError(f"istft_split expects [n_frames, bins], got {Sr.shape}")
+    if fft_size % 2:
+        raise ValueError(
+            f"istft_split needs even fft_size (the Hermitian extension "
+            f"assumes a Nyquist bin); got {fft_size}"
+        )
     h = fft_size // 2 + 1
     if int(Sr.shape[-1]) != h:
         raise ValueError(
             f"expected {h} one-sided bins for fft_size {fft_size}; "
             f"got {Sr.shape[-1]}"
         )
-    n_frames = int(Sr.shape[0])
     # Hermitian extension to the full spectrum (even fft_size).
     fr = jnp.concatenate([Sr, jnp.flip(Sr[:, 1:h - 1], -1)], axis=-1)
     fi = jnp.concatenate([Si, -jnp.flip(Si[:, 1:h - 1], -1)], axis=-1)
     yr, _ = fft_split(fr, fi, Direction.INVERSE)
     w = np.asarray(get_window(window, fft_size))
     frames = yr * jnp.asarray(w, dtype=yr.dtype)
-
-    total = (n_frames - 1) * hop + fft_size
-    norm = np.zeros(total)
-    for f in range(n_frames):
-        norm[f * hop: f * hop + fft_size] += w * w
-    if fft_size % hop == 0:
-        k = fft_size // hop
-        f3 = frames.reshape(n_frames, k, hop)
-        out = jnp.zeros((n_frames + k - 1, hop), dtype=frames.dtype)
-        for j in range(k):
-            out = out.at[j:j + n_frames].add(f3[:, j, :])
-        out = out.reshape(-1)[:total]
-    else:
-        out = jnp.zeros(total, dtype=frames.dtype)
-        for f in range(n_frames):
-            out = out.at[f * hop: f * hop + fft_size].add(frames[f])
-    out = out / jnp.asarray(np.maximum(norm, 1e-10), dtype=out.dtype)
+    out = _cola_overlap_add(frames, w, fft_size, hop)
     if length is not None:
         out = out[:length]
     return out
@@ -160,14 +170,16 @@ def stft_split(x, fft_size: int = 2048, hop: int = 512, window="hann",
     """
     import jax
 
-    from fftlab.core.framing import frame_signal_strided, frames_needed
+    from fftlab.core.framing import frame_signal_strided
     from fftlab.kernels.fft_vmem import supported_size
 
     x = jnp.asarray(x, dtype=jnp.float32)
     if x.ndim != 1:
         raise ValueError(f"stft_split expects a 1D signal, got {x.shape}")
     n = int(x.shape[-1])
-    n_frames = frames_needed(max(n, fft_size), fft_size, hop)
+    # ceil framing (the docstring's convention, matching stft()'s
+    # pad=True): the tail is zero-extended rather than silently dropped.
+    n_frames = max(-(-max(n - fft_size, 0) // hop) + 1, 1)
     from fftlab.kernels.stft_vmem import small_frame_supported
 
     use_pallas = (jax.default_backend() == "tpu"

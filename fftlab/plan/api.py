@@ -81,23 +81,40 @@ def _cached_plan(kind: str, n, direction: Direction, dtype_str: str,
     elif kind == "r2c":
         from fftlab.algos.real_fft import rfft
 
-        algo = "rfft[" + select_algorithm(max(n // 2, 1), FORWARD, dtype, config) + "]"
-        fn = jax.jit(rfft)
+        # The pack-two-reals path runs the inner complex transform at
+        # n//2 for even n >= 4, at n otherwise — select for the size it
+        # will actually run, and EXECUTE the selection (the reference
+        # precomputes plan state its executors ignore, fft_auto.c:199-212
+        # vs :250-283; we don't repeat that).
+        inner_n = n // 2 if (n % 2 == 0 and n >= 4) else max(n, 1)
+        inner = select_algorithm(inner_n, FORWARD, dtype, config)
+        algo = f"rfft[{inner}]"
+        fn = jax.jit(functools.partial(rfft, cfft=_registry()[inner].fn))
     elif kind == "c2r":
         from fftlab.algos.real_fft import irfft
 
-        algo = "irfft[" + select_algorithm(max(n // 2, 1), INVERSE, dtype, config) + "]"
-        fn = jax.jit(functools.partial(irfft, n=n))
+        inner_n = n // 2 if (n % 2 == 0 and n >= 4) else max(n, 1)
+        inner = select_algorithm(inner_n, INVERSE, dtype, config)
+        algo = f"irfft[{inner}]"
+        fn = jax.jit(functools.partial(irfft, n=n,
+                                       cfft=_registry()[inner].fn))
     elif kind == "c2c_2d":
         from fftlab.algos.fft2d import fft2
 
         rows, cols = n
-        algo = (
-            select_algorithm(rows, direction, dtype, config)
-            + "x"
-            + select_algorithm(cols, direction, dtype, config)
-        )
-        fn = jax.jit(functools.partial(fft2, direction=direction))
+        a_rows = select_algorithm(rows, direction, dtype, config)
+        a_cols = select_algorithm(cols, direction, dtype, config)
+        algo = f"{a_rows}x{a_cols}"
+        f_rows = _registry()[a_rows].fn
+        f_cols = _registry()[a_cols].fn
+
+        def _cfft_2d(x, d):
+            # fft2 transforms the last axis twice with a transpose in
+            # between; the axis length says which pass this is.
+            return f_cols(x, d) if int(x.shape[-1]) == cols else f_rows(x, d)
+
+        fn = jax.jit(functools.partial(fft2, direction=direction,
+                                       cfft=_cfft_2d))
     else:
         raise ValueError(f"unknown plan kind {kind!r}")
     return Plan(kind, n, direction, dtype, algo, config, fn)

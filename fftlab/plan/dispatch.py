@@ -217,5 +217,9 @@ def run_route(route: str, xr, xi, direction, scale: float | None = None):
         yr, yi = _post(yr, yi)
         return yr.reshape(xr.shape), yi.reshape(xr.shape)
     from fftlab.algos.split_stockham import fft_split
+    from fftlab.plan.split_tuning import best_leaf
 
-    return _post(*fft_split(xr, xi, direction))
+    # Consume leaf wisdom (tune_split_leaf): the measured contraction
+    # leaf for this size, defaulting to DEFAULT_LEAF_SPLIT when never
+    # tuned — so the einsum route actually executes what was measured.
+    return _post(*fft_split(xr, xi, direction, best_leaf(n)))

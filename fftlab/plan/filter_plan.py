@@ -208,6 +208,12 @@ class FilterPlan:
 
         if os.environ.get("FFTLAB_NO_PALLAS_FILTER"):
             return False
+        # The kernel's block size is capped at 16384; taps whose halo
+        # fills a whole block can't run it — fall back to the XLA block
+        # path instead of raising at call time (the plan itself is fine).
+        halo_rows = -(-(self.nh - 1) // 128)
+        if halo_rows >= self._pallas_fft_size() // 128:
+            return False
         try:
             return jax.default_backend() == "tpu"
         except Exception:

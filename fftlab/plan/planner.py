@@ -125,7 +125,14 @@ def select_algorithm(n: int, direction, dtype, config: PlanConfig) -> str:
     precision = "f64" if np.dtype(dtype) == np.complex128 else "f32"
     cached = wisdom.lookup(n, precision)
     if cached is not None:
-        return cached["algorithm"]
+        # Validate against the live registry (measure_algorithm does):
+        # a stale/hand-edited wisdom file naming a renamed algorithm
+        # must fall through to ESTIMATE, not KeyError at plan build.
+        from fftlab.algos import build_registry
+
+        algo = cached.get("algorithm")
+        if algo in build_registry():
+            return algo
     if flags & (Flags.MEASURE | Flags.PATIENT | Flags.EXHAUSTIVE | Flags.WISDOM_ONLY):
         return measure_algorithm(n, direction, dtype, flags, config)
     return estimate_algorithm(n, config)

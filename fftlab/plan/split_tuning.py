@@ -151,6 +151,14 @@ def tune_split_route(n: int, batch: int = 4, persist: bool = True,
                              "platform": jax.default_backend(),
                              "timings_ms": {r: round(t * 1e3, 4)
                                             for r, t in timings.items()}})
+        # persist=True means CROSS-PROCESS: merge the existing file
+        # first (never clobber other sizes' wisdom), then write, so
+        # later processes skip this measurement via best_route.
+        try:
+            wisdom.import_wisdom(overwrite=False)
+            wisdom.export_wisdom()
+        except Exception:  # an unwritable cache dir must not fail tuning
+            pass
     return best
 
 

@@ -17,7 +17,17 @@ from typing import Any
 _LOCK = threading.Lock()
 _WISDOM: dict[str, dict[str, Any]] = {}
 
-DEFAULT_PATH = os.path.expanduser("~/.cache/fftlab/wisdom.json")
+def _default_path() -> str:
+    """Wisdom file location, resolved at CALL time so
+    FFTLAB_WISDOM_PATH can redirect it (tests point it at a tmp file;
+    deployments can share a warmed file)."""
+    return os.environ.get(
+        "FFTLAB_WISDOM_PATH",
+        os.path.expanduser("~/.cache/fftlab/wisdom.json"),
+    )
+
+
+DEFAULT_PATH = _default_path()  # informational; functions resolve live
 
 
 def _key(n: int, precision: str, kind: str = "c2c") -> str:
@@ -45,8 +55,9 @@ def forget() -> None:
         _WISDOM.clear()
 
 
-def export_wisdom(path: str = DEFAULT_PATH) -> str:
+def export_wisdom(path: str | None = None) -> str:
     """fft_export_wisdom analog (fft_auto.h:128) — JSON, returns the path."""
+    path = path or _default_path()
     with _LOCK:
         blob = json.dumps(_WISDOM, indent=2, sort_keys=True)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -55,12 +66,13 @@ def export_wisdom(path: str = DEFAULT_PATH) -> str:
     return path
 
 
-def import_wisdom(path: str = DEFAULT_PATH, overwrite: bool = True) -> int:
+def import_wisdom(path: str | None = None, overwrite: bool = True) -> int:
     """fft_import_wisdom analog (fft_auto.h:132) — returns #entries loaded.
 
     `overwrite=False` keeps existing in-memory entries (used by the
     lazy auto-load: a measurement taken THIS process is fresher than
     the file)."""
+    path = path or _default_path()
     if not os.path.exists(path):
         return 0
     with open(path) as f:

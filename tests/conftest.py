@@ -14,8 +14,15 @@ import os
 import sys
 
 # Tests must not see the developer/device wisdom file (route entries
-# would leak measured state into dispatch assertions).
+# would leak measured state into dispatch assertions) — and must not
+# WRITE to it either (tune_split_route persists cross-process now).
 os.environ.setdefault("FFTLAB_NO_WISDOM_FILE", "1")
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "FFTLAB_WISDOM_PATH",
+    os.path.join(tempfile.gettempdir(), "fftlab_test_wisdom.json"),
+)
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

@@ -72,6 +72,43 @@ class TestLowPrec:
         assert np.max(np.abs(got - want)) < 1e-2
 
 
+class TestReviewRegressions:
+    def test_get_window_returns_private_copy(self):
+        from fftlab.core.window import get_window
+
+        w = get_window("hann", 64)
+        w[0] = 999.0
+        assert get_window("hann", 64)[0] != 999.0
+
+    def test_goertzel_inverse_scaling(self):
+        """Single-bin evaluators follow the package convention:
+        inverse is 1/n scaled (regression: factor-n too large)."""
+        from fftlab.algos.dft import dft_bin, goertzel, naive_dft
+        from fftlab.core.types import INVERSE
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(8) + 1j * rng.standard_normal(8)
+        want = np.asarray(naive_dft(x, INVERSE))[2]
+        np.testing.assert_allclose(complex(goertzel(x, 2, INVERSE)), want,
+                                   atol=1e-10)
+        np.testing.assert_allclose(complex(dft_bin(x, 2, INVERSE)), want,
+                                   atol=1e-10)
+
+    def test_analyze_spectrum_dc_not_doubled(self):
+        from fftlab.dsp.analyzer import analyze_spectrum
+
+        _, mag = analyze_spectrum(np.full(256, 0.5), 1000.0,
+                                  window="rectangular")
+        np.testing.assert_allclose(float(mag[0]), 0.5, atol=1e-6)
+
+    def test_framing_env_validated(self, monkeypatch):
+        from fftlab.core.framing import frame_signal_strided
+
+        monkeypatch.setenv("FFTLAB_FRAMING", "patch")  # typo
+        with pytest.raises(ValueError, match="FFTLAB_FRAMING"):
+            frame_signal_strided(np.zeros(64, np.float32), 16, 8, 7)
+
+
 class TestWisdom:
     def test_record_lookup_roundtrip(self, tmp_path):
         from fftlab.plan import wisdom

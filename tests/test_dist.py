@@ -145,6 +145,37 @@ class TestOverlapSaveSharded:
                 jnp.zeros(64), jnp.zeros(65), mesh8, "x"
             )
 
+    def test_complex_taps(self, mesh8):
+        """Complex filter taps keep their imaginary part (regression:
+        a real-dtype astype silently filtered by real(h))."""
+        rng = np.random.default_rng(14)
+        n = 4096
+        x = rng.standard_normal(n)
+        h = _rand_complex(rng, (17,))
+        got = np.asarray(overlap_save_filter_sharded(x, h, mesh8, "x"))
+        want = np.asarray(fft_convolution(x, h))[:n]
+        np.testing.assert_allclose(got, want, atol=1e-8)
+
+    def test_filterbank_complex_taps(self):
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        rng = np.random.default_rng(15)
+        c, n = 2, 4096
+        x = rng.standard_normal((c, n))
+        hb = _rand_complex(rng, (c, 9))
+        got = np.asarray(overlap_save_filterbank_sharded(x, hb, mesh))
+        for ch in range(c):
+            want = np.asarray(fft_convolution(x[ch], hb[ch]))[:n]
+            np.testing.assert_allclose(got[ch], want, atol=1e-8)
+
+    def test_filterbank_too_short_chunk_raises(self):
+        """The filterbank validates the time chunk against the halo
+        (regression: undersized chunks silently mis-filtered)."""
+        mesh = make_mesh({"dp": 2, "sp": 4})
+        with pytest.raises(ValueError, match="halo"):
+            overlap_save_filterbank_sharded(
+                jnp.zeros((2, 2048)), jnp.zeros((2, 1025)), mesh
+            )
+
 
 # ---------------------------------------------------------------------------
 # sharded Welch PSD
@@ -152,6 +183,14 @@ class TestOverlapSaveSharded:
 
 
 class TestWelchSharded:
+    def test_rejects_batched_input(self, mesh8):
+        """Batched input would silently slice the batch axis as time
+        (regression); it must raise instead."""
+        from fftlab.dist.welch import welch_psd_sharded
+
+        with pytest.raises(ValueError, match="1D"):
+            welch_psd_sharded(jnp.zeros((4, 8192)), mesh8, "x")
+
     def test_matches_single_device(self, mesh8):
         rng = np.random.default_rng(20)
         x = rng.standard_normal(8192)

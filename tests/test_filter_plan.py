@@ -112,3 +112,16 @@ class TestFilterPlan:
         plan = FilterPlan(np.ones(5))
         with pytest.raises(ValueError):
             plan.stream(np.zeros((2, 10)))
+
+    def test_long_taps_bypass_pallas(self):
+        """Tap counts whose halo fills the kernel's 16K block cap must
+        route to the XLA block path on any backend instead of raising
+        inside the kernel at call time (regression)."""
+        plan = FilterPlan(np.ones(16384, np.float32) / 16384.0)
+        assert plan._use_pallas() is False
+        # and the plan still filters correctly via the XLA path
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal(1 << 15).astype(np.float32)
+        got = np.asarray(plan(x))
+        want = np.asarray(fft_convolution(x, np.ones(16384) / 16384.0))
+        np.testing.assert_allclose(got, want[: 1 << 15], atol=1e-3)

@@ -189,6 +189,40 @@ class TestSplitTuning:
         assert wisdom.lookup(512, "f32", kind="route") is not None
         wisdom.forget()
 
+    def test_tune_persists_to_file(self, tmp_path, monkeypatch):
+        """tune_split_route(persist=True) writes the wisdom FILE so a
+        later process skips the measurement (regression: it only
+        updated the in-process table)."""
+        import json
+
+        from fftlab.plan import wisdom
+        from fftlab.plan.split_tuning import tune_split_route
+
+        p = tmp_path / "wisdom.json"
+        monkeypatch.setenv("FFTLAB_WISDOM_PATH", str(p))
+        wisdom.forget()
+        route = tune_split_route(256, batch=1)
+        assert route == "einsum"
+        data = json.loads(p.read_text())
+        assert data["route:256:f32"]["algorithm"] == "einsum"
+        wisdom.forget()
+
+    def test_stale_wisdom_algorithm_falls_back(self):
+        """A wisdom entry naming a renamed/unknown algorithm must fall
+        back to the ESTIMATE heuristic, not KeyError at plan build."""
+        from fftlab.plan import wisdom
+        from fftlab.plan.api import plan_dft_1d
+
+        wisdom.forget()
+        wisdom.record(333, "f32", "renamed_algo", 1.0)
+        plan = plan_dft_1d(333)
+        assert plan.algorithm != "renamed_algo"
+        x = np.random.default_rng(0).standard_normal(333).astype(np.complex64)
+        X = plan.execute(x)
+        np.testing.assert_allclose(np.asarray(X), np.fft.fft(x),
+                                   atol=1e-2)
+        wisdom.forget()
+
     def test_split_plan_wisdom_only_requires_measurement(self):
         import pytest as _pytest
         from fftlab.plan import wisdom

@@ -65,6 +65,27 @@ class TestStftIstft:
             np.testing.assert_allclose(y[512:-512], x[512:-512], atol=1e-4,
                                        err_msg=f"hop={hop}")
 
+    def test_stft_split_ceil_framing_matches_stft(self):
+        """stft_split's frame count equals stft's pad=True ceil framing
+        (regression: floor framing silently dropped the tail)."""
+        from fftlab.dsp.stft import stft_split
+
+        fft_size, hop = 2048, 512
+        n = fft_size + hop + 1  # one extra partial hop
+        x = np.random.default_rng(9).standard_normal(n).astype(np.float32)
+        S = np.asarray(stft(x, fft_size, hop))
+        Sr, Si = stft_split(x, fft_size, hop)
+        assert Sr.shape[0] == S.shape[0] == 3
+        got = np.asarray(Sr, np.float64) + 1j * np.asarray(Si, np.float64)
+        np.testing.assert_allclose(got, S, atol=1e-3)
+
+    def test_istft_split_rejects_odd_fft_size(self):
+        from fftlab.dsp.stft import istft_split
+
+        with pytest.raises(ValueError, match="even fft_size"):
+            istft_split(np.zeros((4, 3), np.float32),
+                        np.zeros((4, 3), np.float32), fft_size=5, hop=2)
+
     def test_istft_split_matches_istft(self):
         from fftlab.dsp.stft import istft_split
 
