@@ -484,7 +484,11 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
         Xr, Xi = stockham_fft_split_unscaled(
             fr, jnp.zeros_like(fr), Direction.FORWARD
         )
-        return (sig + jnp.float32(1e-30) * Xr[0, 0],)
+        # Carry a FULL reduction: keeping only Xr[0, 0] live would let
+        # XLA slice-propagate through the batched frame dim and prune
+        # most of the STFT (the opaque pallas_call below cannot be
+        # pruned, so the comparison must keep both sides whole).
+        return (sig + jnp.float32(1e-30) * jnp.sum(Xr),)
 
     out = {}
     try:
@@ -502,7 +506,8 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
 
             def k_step(sig):
                 fr, fi = pallas_stft_split(sig, frame, hop)
-                return (sig + jnp.float32(1e-30) * fr[0, 0],)
+                # same full-reduction carry as xla_step (symmetry)
+                return (sig + jnp.float32(1e-30) * jnp.sum(fr),)
 
             r = _spread(k_step, lambda i: (x + jnp.float32(i),),
                         ks=(8, 24, 48), repeats=3)
@@ -585,8 +590,6 @@ def main() -> None:
     # the tunneled service is congested (compiles can take minutes
     # each); remaining sub-benches are skipped once the budget is spent.
     budget_s = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "2400"))
-
-    budget_s_early = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "2400"))
     wait_s_early = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "1800"))
     detail: dict = {}
     # Outage guard BEFORE the first in-process device touch: if the
@@ -607,7 +610,7 @@ def main() -> None:
                 return
             _time.sleep(60)
     # A wedge can also strike mid-bench; the watchdog guarantees output.
-    _arm_watchdog(wait_s_early + budget_s_early + 900.0, detail)
+    _arm_watchdog(wait_s_early + budget_s + 900.0, detail)
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
@@ -620,7 +623,7 @@ def main() -> None:
     # readings inside the known-healthy band (150-400 GB/s on this
     # service), same gate as fftlab.bench.timing.wait_healthy, bounded
     # by FFTLAB_BENCH_WAIT_S so the driver always gets its JSON line.
-    wait_s = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "1800"))
+    wait_s = wait_s_early  # one source of truth for the pre-flight window
     in_band = lambda g: 150.0 < g < 400.0
     bw = {}
     confirmed = 0

@@ -52,11 +52,15 @@ def time_fn(fn, args, iters: int, repeats: int = 3) -> float:
             return a + jnp.asarray(i, dtype=jnp.result_type(a.real)).astype(a.dtype)
         return a
 
-    argsets = [tuple(perturb(a, i) for a in args) for i in range(iters)]
-    jax.block_until_ready(argsets)
-    jax.block_until_ready(fn(*argsets[0]))  # compile + warm
+    jax.block_until_ready(fn(*tuple(perturb(a, -1) for a in args)))  # warm
     times = []
-    for _ in range(repeats):
+    for r in range(repeats):
+        # FRESH argsets every repeat — re-running the same arrays would
+        # hit the memoization this docstring warns about, and the
+        # median would pick a fake-fast repeat.
+        argsets = [tuple(perturb(a, r * iters + i) for a in args)
+                   for i in range(iters)]
+        jax.block_until_ready(argsets)
         t0 = time.perf_counter()
         outs = [fn(*a) for a in argsets]
         jax.block_until_ready(outs)

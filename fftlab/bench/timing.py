@@ -40,20 +40,32 @@ def slope_time(fn: Callable, make_args: Callable[[int], Sequence],
     """Median per-call seconds of ``fn(*make_args(i))`` under the
     hardened protocol.
 
-    make_args(i) must return a DIFFERENT argument tuple per i (vary the
-    data, not the shapes — shape changes would recompile).
+    make_args(i) must return a DIFFERENT argument tuple for EVERY
+    distinct i — i grows without bound across runs and repeats, so a
+    caller that cycles a fixed pool (``pool[i % k]``) re-feeds
+    already-computed inputs and the backend's memoization fakes the
+    timing (vary the data, not the shapes — shape changes recompile).
     """
     import jax
 
     iters = max(int(iters), 2)
-    variants = [tuple(make_args(i)) for i in range(iters)]
-    jax.block_until_ready(variants)
+    ctr = [0]
+
+    def fresh(k: int) -> list:
+        out = []
+        for _ in range(k):
+            out.append(tuple(make_args(ctr[0])))
+            ctr[0] += 1
+        return out
+
     # compile + warm + fence
-    _ = np.asarray(_first_leaf(fn(*variants[0]))).ravel()[:1]
+    _ = np.asarray(_first_leaf(fn(*fresh(1)[0]))).ravel()[:1]
 
     def run(k: int) -> float:
+        variants = fresh(k)  # NEVER reused: each run times fresh inputs
+        jax.block_until_ready(variants)
         t0 = time.perf_counter()
-        outs = [fn(*variants[i % iters]) for i in range(k)]
+        outs = [fn(*v) for v in variants]
         _ = np.asarray(_first_leaf(outs[-1])).ravel()[:1]
         return time.perf_counter() - t0
 

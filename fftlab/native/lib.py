@@ -77,8 +77,17 @@ def load_native_lib() -> ctypes.CDLL:
         if _ERR is not None:
             raise RuntimeError(_ERR)
         try:
-            if not os.path.exists(_SO):
+            # Run make unconditionally: the Makefile's '$(LIB): $(SRCS)'
+            # deps make it a no-op when fresh, and it rebuilds after
+            # native/*.cpp edits (loading only when the .so was missing
+            # kept serving stale binaries). If the toolchain is absent
+            # but a committed .so exists, fall back to loading it.
+            try:
                 _build()
+            except (subprocess.CalledProcessError, OSError,
+                    subprocess.TimeoutExpired):
+                if not os.path.exists(_SO):
+                    raise
             lib = ctypes.CDLL(_SO)
             _declare(lib)
             _LIB = lib

@@ -32,23 +32,31 @@ class RingBuffer:
 
     __del__ = close
 
+    def _handle(self):
+        """The live handle — raises instead of handing ctypes a NULL the
+        C side would dereference (use-after-close was a hard SIGSEGV)."""
+        h = self._h
+        if not h:
+            raise ValueError("RingBuffer is closed")
+        return h
+
     @property
     def capacity(self) -> int:
-        return self._lib.fftlab_ring_capacity(self._h)
+        return self._lib.fftlab_ring_capacity(self._handle())
 
     @property
     def available(self) -> int:
-        return self._lib.fftlab_ring_available(self._h)
+        return self._lib.fftlab_ring_available(self._handle())
 
     @property
     def space(self) -> int:
-        return self._lib.fftlab_ring_space(self._h)
+        return self._lib.fftlab_ring_space(self._handle())
 
     def write(self, samples) -> int:
         """Producer side; returns how many samples were accepted."""
         a = np.ascontiguousarray(np.asarray(samples, dtype=np.float32))
         return self._lib.fftlab_ring_write(
-            self._h, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._handle(), a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             a.size,
         )
 
@@ -56,7 +64,7 @@ class RingBuffer:
         """Consumer side; returns up to n samples (consumed)."""
         out = np.empty(int(n), dtype=np.float32)
         got = self._lib.fftlab_ring_read(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._handle(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             int(n),
         )
         return out[:got]
@@ -66,7 +74,7 @@ class RingBuffer:
         Returns None until frame_size samples are buffered."""
         out = np.empty(int(frame_size), dtype=np.float32)
         got = self._lib.fftlab_ring_peek_hop(
-            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self._handle(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             int(frame_size), int(hop),
         )
         return out if got else None

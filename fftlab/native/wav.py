@@ -46,8 +46,11 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     if got < 0:
         raise OSError(f"read_wav({path!r}): {_ERRORS.get(got, got)}")
     out = out[:got]
-    if info["channels"] > 1:
-        out = out.reshape(-1, info["channels"])
+    ch = info["channels"]
+    if ch > 1:
+        # A truncated file can end mid-frame; trim to whole frames
+        # instead of crashing in reshape.
+        out = out[: (len(out) // ch) * ch].reshape(-1, ch)
     return out, info["sample_rate"]
 
 

@@ -97,13 +97,15 @@ def measure_algorithm(n: int, direction, dtype, flags: Flags, config: PlanConfig
     re = jax.random.normal(k1, (batch, n))
     im = jax.random.normal(k2, (batch, n))
     x = jnp.asarray(re + 1j * im, dtype=dtype)
-    variants = [x * (1.0 + 1e-3 * i) for i in range(max(iters, 2))]
     best_name, best_t = None, float("inf")
     for name in candidate_algorithms(n, flags, config):
         fn = jax.jit(functools.partial(reg[name].fn, direction=direction))
         try:
+            # Derive a FRESH input per index (i is unbounded): a cycled
+            # pool would re-feed computed inputs and the backend's
+            # memoization would fake the ranking that becomes wisdom.
             dt = slope_time(
-                fn, lambda i: (variants[i % len(variants)],), iters=iters
+                fn, lambda i: (x * (1.0 + 1e-3 * i),), iters=iters
             ) * 1e3
         except Exception:
             continue

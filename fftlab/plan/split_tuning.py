@@ -31,8 +31,9 @@ def _measure_leaf(n: int, leaf: int, batch: int, iters: int) -> float:
     xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     f = jax.jit(lambda a, b: fft_split(a, b, leaf=leaf))
-    variants = [(xr + i * 1e-3, xi) for i in range(iters)]
-    return slope_time(f, lambda i: variants[i % iters], iters=iters)
+    # Fresh input per unbounded index (slope_time contract): cycling a
+    # fixed pool would hit the backend's computation memoization.
+    return slope_time(f, lambda i: (xr + i * 1e-3, xi), iters=iters)
 
 
 def tune_split_leaf(n: int, leaves=DEFAULT_LEAVES, batch: int = 4,

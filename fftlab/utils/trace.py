@@ -40,18 +40,35 @@ class Timer:
 @contextlib.contextmanager
 def span(name: str, timers: dict | None = None, sync: bool = True):
     """Named timing span; device-synced on exit so the measured time is
-    real device time, not dispatch time."""
+    real device time, not dispatch time.
+
+    The sync enqueues a trivial computation AFTER the span's work and
+    reads its bytes back: per-device streams execute in order, so the
+    readback fences everything the span dispatched (`effects_barrier`
+    only waits for EFFECTFUL computations — pure jitted work would slip
+    through and the span would record ~0 dispatch time; on this
+    project's backend even block_until_ready under-waits, only a
+    readback is reliable — see fftlab/bench/timing.py).
+    For statistically sound benchmarks use bench.timing.chain_time; a
+    span measures one-shot wall time including dispatch."""
     t0 = time.perf_counter()
     try:
         yield
     finally:
         if sync:
             import jax
+            import jax.numpy as jnp
+            import numpy as np
 
             try:
-                jax.effects_barrier()
+                # In-order device stream: reading back a fresh op's
+                # bytes implies all prior work on the device finished.
+                np.asarray(jnp.zeros(()) + time.perf_counter())
             except Exception:
-                pass
+                try:
+                    jax.effects_barrier()
+                except Exception:
+                    pass
         dt = time.perf_counter() - t0
         if timers is not None:
             timers.setdefault(name, Timer()).laps.append(dt)

@@ -81,8 +81,14 @@ int fftlab_q15_fft(int16_t* re, int16_t* im, int32_t n, int32_t inverse) {
         int16_t wr = twr[(size_t)(j * stride)];
         int16_t wi = twi[(size_t)(j * stride)];
         int u = k + j, v = k + j + half;
-        int16_t tr = (int16_t)(q15_mul(re[v], wr) - q15_mul(im[v], wi));
-        int16_t ti = (int16_t)(q15_mul(re[v], wi) + q15_mul(im[v], wr));
+        // Accumulate the complex twiddle product in int32: each
+        // q15_mul result spans the full int16 range, so their
+        // sum/difference spans ~[-65535, 65535] — a bare int16 cast
+        // would WRAP (not saturate) for inputs near full scale. The
+        // >>1 block scaling below brings it back in range before the
+        // final saturation.
+        int32_t tr = (int32_t)q15_mul(re[v], wr) - q15_mul(im[v], wi);
+        int32_t ti = (int32_t)q15_mul(re[v], wi) + q15_mul(im[v], wr);
         // butterfly with >>1 block scaling (fixed_point_fft.c:169-178)
         re[v] = sat16(((int32_t)re[u] - tr) >> 1);
         im[v] = sat16(((int32_t)im[u] - ti) >> 1);

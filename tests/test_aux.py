@@ -323,8 +323,8 @@ class TestMeasureProtocol:
         import jax.numpy as jnp
         from fftlab.bench.timing import slope_time
 
-        big = [jnp.ones((256, 2048), jnp.float32) + i for i in range(4)]
-        small = [jnp.ones((8, 64), jnp.float32) + i for i in range(4)]
+        big = jnp.ones((256, 2048), jnp.float32)
+        small = jnp.ones((8, 64), jnp.float32)
 
         @jax.jit
         def heavy(a):
@@ -332,8 +332,9 @@ class TestMeasureProtocol:
                 a = jnp.sin(a) * 1.0001
             return a
 
-        t_small = slope_time(heavy, lambda i: (small[i % 4],), iters=4)
-        t_big = slope_time(heavy, lambda i: (big[i % 4],), iters=4)
+        # fresh input per unbounded index (the slope_time contract)
+        t_small = slope_time(heavy, lambda i: (small + i,), iters=4)
+        t_big = slope_time(heavy, lambda i: (big + i,), iters=4)
         assert t_big > t_small
 
     def test_min_slope_ignores_one_sided_spikes(self):

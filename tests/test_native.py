@@ -101,6 +101,20 @@ class TestRingBuffer:
         f2 = rb.peek_hop(512, 128)
         np.testing.assert_array_equal(f1[128:], f2[:384])  # 75% overlap
 
+    def test_use_after_close_raises(self):
+        """A closed handle must raise, not hand the C side a NULL to
+        dereference (regression: hard SIGSEGV)."""
+        import pytest as _pytest
+
+        rb = RingBuffer(256)
+        rb.close()
+        for op in (lambda: rb.available, lambda: rb.capacity,
+                   lambda: rb.space, lambda: rb.write(np.zeros(4, np.float32)),
+                   lambda: rb.read(4), lambda: rb.peek_hop(4, 2)):
+            with _pytest.raises(ValueError, match="closed"):
+                op()
+        rb.close()  # double close is fine
+
 
 class TestQ15:
     def test_float_q15_roundtrip(self):
@@ -111,6 +125,19 @@ class TestQ15:
     def test_saturation(self):
         assert float_to_q15(np.array([2.0]))[0] == 32767
         assert float_to_q15(np.array([-2.0]))[0] == -32768
+
+    def test_full_scale_no_wrap(self):
+        """Full-scale alternating input: the butterfly's twiddle-product
+        sum exceeds int16 and must SATURATE, not wrap (regression: a
+        bare int16 cast wrapped 46339 to -19197, corrupting the
+        spectrum of the fixed-point oracle)."""
+        n = 8
+        x = np.full(n, 32767, np.int16)
+        x[1::2] = -32767
+        r, i, sh = q15_fft(x.copy(), x.copy())
+        got = (q15_to_float(r) + 1j * q15_to_float(i)) * (1 << sh)
+        want = np.fft.fft((x / 32768.0) + 1j * (x / 32768.0))
+        np.testing.assert_allclose(got, want, atol=5e-3)
 
     def test_fft_impulse(self):
         re = np.zeros(64, np.int16)
