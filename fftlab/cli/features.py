@@ -57,6 +57,13 @@ def main() -> None:
           f"'{sp1k.algorithm}'; Flags.MEASURE would time every route "
           f"on-device and persist the winner as wisdom")
 
+    from fftlab.plan.api import plan_c2r_1d_split, plan_r2c_1d_split
+
+    pr = plan_r2c_1d_split(1 << 16)
+    pc = plan_c2r_1d_split(1 << 16)
+    print(f"  real plans (pack-two-reals through the same routes): "
+          f"{pr.algorithm} / {pc.algorithm}")
+
     from fftlab.utils.viz import (
         butterfly_diagram,
         memory_access_trace,
