@@ -70,29 +70,28 @@ def main() -> int:
     # 2-process x 2-device grid, so two of the three ppermute hand-offs
     # ride intra-process links and one crosses the process edge (the
     # DCN analog).
-    from fftlab.algos.split_stockham import spectral_filter_split
     from fftlab.dist.pp_pipeline import pp_spectral_pipeline_split
 
     B, nb = 5, 128
     br_np = rng.standard_normal((B, nb)).astype(np.float32)
+    bi_np = rng.standard_normal((B, nb)).astype(np.float32)
     hr_np = rng.standard_normal(nb).astype(np.float32)
-    hz_np = np.zeros(nb, np.float32)
-    rep2 = NamedSharding(mesh, P())
-    bi_np = np.zeros((B, nb), np.float32)
-    br = jax.make_array_from_callback((B, nb), rep2, lambda i: br_np[i])
-    bi = jax.make_array_from_callback((B, nb), rep2, lambda i: bi_np[i])
-    pr_, pi_ = pp_spectral_pipeline_split(br, bi, hr_np, hz_np, mesh,
+    hi_np = rng.standard_normal(nb).astype(np.float32)  # complex H
+    br = jax.make_array_from_callback((B, nb), rep, lambda i: br_np[i])
+    bi = jax.make_array_from_callback((B, nb), rep, lambda i: bi_np[i])
+    pr_, pi_ = pp_spectral_pipeline_split(br, bi, hr_np, hi_np, mesh,
                                           axis_name="sp")
-    want_r, _ = spectral_filter_split(br_np, np.zeros_like(br_np),
-                                      jnp.asarray(hr_np),
-                                      jnp.asarray(hz_np))
-    np.testing.assert_allclose(
-        np.asarray(pr_.addressable_shards[0].data),
-        np.asarray(want_r)[pr_.addressable_shards[0].index],
-        atol=1e-3,
-    )
-    print(f"proc {pid}: PP pipeline output matches oracle across the "
-          f"process boundary", flush=True)
+    # Independent numpy oracle (per-block circular spectral filter).
+    H = hr_np.astype(np.float64) + 1j * hi_np.astype(np.float64)
+    want = np.fft.ifft(np.fft.fft(
+        br_np.astype(np.float64) + 1j * bi_np.astype(np.float64),
+        axis=-1) * H, axis=-1)
+    for out, want_p in ((pr_, want.real), (pi_, want.imag)):
+        for shard in out.addressable_shards:  # replicated: every copy
+            np.testing.assert_allclose(np.asarray(shard.data),
+                                       want_p[shard.index], atol=1e-3)
+    print(f"proc {pid}: PP pipeline output matches the numpy oracle "
+          f"across the process boundary", flush=True)
     return 0
 
 
