@@ -38,7 +38,9 @@ def log(rec):
 def main():
     from fftlab.bench.timing import stall_watchdog
 
-    stall_watchdog(OUT)  # a dead service wedges any device call forever
+    # A dead service wedges any device call forever; generous stall line
+    # because cold compiles + congested readbacks sit between log rows.
+    stall_watchdog(OUT, stall_s=3000.0)
     from fftlab.kernels import os_filter_vmem as m
 
     n = 1 << 23
@@ -91,7 +93,10 @@ def main():
         if env:
             os.environ.update(env)
         try:
-            raw = chain_time(fn, mk, ks=(8, 48), repeats=5,
+            # THREE chain lengths: min_slope's deflation guard (max over
+            # pairwise min-slopes) needs them — with two, a congested
+            # short chain can publish an impossible speedup.
+            raw = chain_time(fn, mk, ks=(8, 24, 48), repeats=4,
                              return_raw=True)
             dt = min_slope(raw)
             if dt <= 0:
@@ -112,12 +117,15 @@ def main():
                                                         "7200")),
                         log=log):
         log({"name": "probe_done", "healthy": False})
-        return
+        # 3 = retryable to probe_chain.sh: no healthy window, no timing
+        # rows — re-wait and retry instead of marking the probe done.
+        return 3
     timeit("aligned_16k", variants.get("aligned_16k"))
     timeit("aligned_2k", variants.get("aligned_2k"))
     timeit("legacy_2k", legacy, env={"FFTLAB_OS_ALIGNED": "0"})
     log({"name": "probe_done", "healthy": True})
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

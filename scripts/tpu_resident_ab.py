@@ -37,7 +37,9 @@ def log(**kw):
 def main():
     from fftlab.bench.timing import stall_watchdog
 
-    stall_watchdog(ART)  # a dead service wedges any device call forever
+    # A dead service wedges any device call forever; generous stall line
+    # because cold compiles + congested readbacks sit between log rows.
+    stall_watchdog(ART, stall_s=3000.0)
     assert jax.devices()[0].platform == "tpu"
     from fftlab.bench.timing import chain_time, min_slope
     from fftlab.core.types import FORWARD
@@ -128,7 +130,8 @@ def main():
         if rnd["counted"]:
             healthy_rounds += 1
     log(name="done", healthy_rounds=healthy_rounds)
-    return 0
+    # 3 = retryable to probe_chain.sh when NO healthy round was counted.
+    return 0 if healthy_rounds else 3
 
 
 if __name__ == "__main__":

@@ -35,7 +35,10 @@ def log(**kw):
 def main():
     from fftlab.bench.timing import stall_watchdog
 
-    stall_watchdog(ART)  # a dead service wedges any device call forever
+    # A dead service wedges any device call forever; 3000 s of artifact
+    # silence is the give-up line (cold compiles + congested readbacks
+    # can legitimately take tens of minutes between log rows).
+    stall_watchdog(ART, stall_s=3000.0)
     assert jax.devices()[0].platform == "tpu", "probe needs the TPU"
     from fftlab.bench.timing import chain_time, min_slope
     from fftlab.core.types import FORWARD
@@ -78,7 +81,10 @@ def main():
                 os.environ.get("PROBE_WAIT_S", "7200")),
                 log=lambda r: log(**r)):
             log(name="done", healthy=False, rounds=rnd)
-            return 0
+            # 3 = retryable to probe_chain.sh: no healthy window found,
+            # wait for the service again and re-enter (0 would mark the
+            # probe complete with zero timing rows collected).
+            return 0 if rnd else 3
         for w1, r3 in live:
             os.environ["FFTLAB_TS_W1"] = w1
             os.environ["FFTLAB_TS_R3"] = r3

@@ -21,6 +21,7 @@ PING = (
 
 def main():
     deadline = time.time() + float(os.environ.get("WAITUP_S", "14400"))
+    os.makedirs("bench_artifacts", exist_ok=True)
     log = open("bench_artifacts/waitup.log", "a")
     while time.time() < deadline:
         t0 = time.time()
