@@ -55,20 +55,24 @@ def supported_resident(n: int) -> bool:
     return is_power_of_two(n) and MIN_N <= n <= MAX_N
 
 
-def _out_chunk_rows(L1: int) -> int:
+def _out_chunk_rows(L1: int, override: int | None = None) -> int:
     """Output-chunk width R (k1 values per phase-B chunk). Wider R means
     wider strided-write bursts (R*4 B at stride L1*4 B) but bigger
     out-block buffers (2 x L2*R*4 x 2 planes, Pallas double-buffered)
-    and a bigger phase-B assembly scratch. Env knob FFTLAB_RES_R for
-    device tuning."""
+    and a bigger phase-B assembly scratch. An explicit `override`
+    (fft_split_resident's out_rows) outranks the FFTLAB_RES_R env knob;
+    both exist for device tuning (scripts/tpu_resident_ab.py sweeps
+    out_rows candidates in one process)."""
     import os
 
-    forced = os.environ.get("FFTLAB_RES_R")
+    forced = override if override is not None \
+        else os.environ.get("FFTLAB_RES_R")
     if forced:
         r = int(forced)
         if r % LANES or L1 % r:
             raise ValueError(
-                f"FFTLAB_RES_R={r} must be a multiple of {LANES} dividing L1={L1}"
+                f"resident out_rows={r} must be a multiple of {LANES} "
+                f"dividing L1={L1}"
             )
         return r
     return min(LANES, L1)
@@ -205,13 +209,16 @@ def _fft_resident_impl(xr, xi, *, direction: Direction, interpret: bool,
 
 def fft_split_resident(xr, xi, direction=FORWARD,
                        interpret: bool | None = None,
-                       scale: float | None = None):
+                       scale: float | None = None,
+                       out_rows: int | None = None):
     """Batched FFT on split planes via the one-residency VMEM kernel.
 
     xr, xi: float32 [..., n], n = 2^15..2^20 pow2. Forward unscaled /
     inverse 1/n (reference convention, radix2_dit.c:115-119);
     natural-order output. `scale` folds an extra output normalization
-    into the phase-B tables for free."""
+    into the phase-B tables for free. `out_rows` overrides the strided
+    write's chunk width R (multiple of 128 dividing L1): wider R = wider
+    HBM write bursts at the cost of bigger double-buffered out blocks."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xr = jnp.asarray(xr)
@@ -232,7 +239,7 @@ def fft_split_resident(xr, xi, direction=FORWARD,
         scale=None if scale is None else float(scale),
         # Resolved OUTSIDE jit (static cache key): a stale entry keyed
         # on the default must not shadow a later FFTLAB_RES_R change.
-        R=_out_chunk_rows(L1),
+        R=_out_chunk_rows(L1, out_rows),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

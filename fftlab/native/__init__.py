@@ -11,6 +11,9 @@ libfftlab_native.so):
             (realtime_analyzer.c:58-93 circular buffer, done natively)
 - ``q15``   Q15 block-floating-point FFT (optimizations/
             fixed_point_fft.c), the reduced-precision oracle
+- ``fft64`` float64 host FFT backend — the dispatch vtable's second
+            execution leg (fft_gpu.c:49-97 analog) and an independent
+            correctness oracle
 
 The library auto-builds with `make` on first use and caches; all
 bindings raise a clear RuntimeError if no C++ toolchain is available.

@@ -65,6 +65,11 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.fftlab_q15_normalize.argtypes = [
         c.POINTER(c.c_int16), c.POINTER(c.c_int16), c.c_int32,
     ]
+    lib.fftlab_fft64.restype = c.c_int32
+    lib.fftlab_fft64.argtypes = [
+        c.POINTER(c.c_double), c.POINTER(c.c_double),
+        c.c_int64, c.c_int64, c.c_int32,
+    ]
 
 
 def load_native_lib() -> ctypes.CDLL:

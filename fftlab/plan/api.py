@@ -272,6 +272,45 @@ def plan_c2r_1d_split(n: int, flags: Flags = Flags.ESTIMATE,
                 f"irfft_split[{route}]", PlanConfig(flags=flags), fn)
 
 
+def plan_dft_1d_native(n: int, direction=FORWARD) -> Plan:
+    """A plan that executes on the HOST-NATIVE C++ backend
+    (native/fft64.cpp via fftlab.native.fft64) — the second execution
+    leg of the dispatch story, the role the reference's planner gives
+    its ALGO_GPU_* rows (fft_auto.c:220-229, 275-282). Differences from
+    the reference's GPU leg, on purpose:
+
+    - the plan's direction is honored (fft_gpu.c:252,258 hardcodes
+      FORWARD);
+    - the inverse is 1/n scaled (the cuFFT leg's scaling launch is
+      commented out, fft_cuda.cu:175-182);
+    - it is a real FFT backend (the Metal leg is an image-conversion op
+      plus a CPU fallback, fft_metal.m:128-158, 257-268).
+
+    Takes/returns numpy complex128 [..., n]; no JAX, no device. Raises
+    RuntimeError at plan time if the C++ toolchain and a prebuilt .so
+    are both unavailable, ValueError for non-pow2 n (arbitrary n rides
+    the Python Bluestein layer, like every backend)."""
+    from fftlab.core.types import is_power_of_two
+    from fftlab.native.fft64 import fft64
+    from fftlab.native.lib import load_native_lib
+
+    n = int(n)
+    if not is_power_of_two(n):
+        raise ValueError(f"native backend supports pow2 n; got {n}")
+    load_native_lib()  # fail at plan time, not execute time
+    direction = Direction(int(direction))
+    inv = direction == INVERSE
+
+    def fn(x):
+        x = np.asarray(x)
+        if int(x.shape[-1]) != n:
+            raise ValueError(f"plan is for n={n}; got {x.shape[-1]}")
+        return fft64(x, inverse=inv)
+
+    return Plan("c2c_native", n, direction, np.complex128,
+                "native_fft64", PlanConfig(), fn)
+
+
 def execute(plan: Plan, x):
     """fft_execute analog."""
     return plan.execute(x)

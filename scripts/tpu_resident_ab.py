@@ -63,6 +63,10 @@ def main():
 
     cands = [
         ("res", lambda a, b: fft_split_resident(a, b, FORWARD, scale=scale)),
+        # Wider strided-write bursts (1 KB at stride L1*4): the roadmap's
+        # two-rows-in-flight variant, expressed as out_rows=2*default.
+        ("res_r256", lambda a, b: fft_split_resident(
+            a, b, FORWARD, scale=scale, out_rows=256)),
         ("fs_blocked", lambda a, b: fft_split_large(
             a, b, FORWARD, blocked=True, scale=scale)),
         ("resfilt", lambda a, b: spectral_filter_resident(a, b, hr, hi)),

@@ -89,6 +89,28 @@ class TestResidentVmem:
         want = np.fft.fft(np.asarray(xr[1, 2], np.float64))
         assert _snr(got, want) > 120.0
 
+    def test_out_rows_override(self):
+        """Wider strided-write chunks (out_rows > 128) keep the same
+        math to f32 roundoff (the phase-B FFT's dot blocking changes
+        with R, so not bitwise) — the A/B probe sweeps them on device."""
+        n = 1 << 16  # L1 = 256, so out_rows=256 exercises G1=1
+        rng = np.random.default_rng(11)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        yr, yi = fft_split_resident(xr, xi, interpret=True)
+        wr, wi = fft_split_resident(xr, xi, interpret=True, out_rows=256)
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(wr),
+                                   rtol=1e-5, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(yi), np.asarray(wi),
+                                   rtol=1e-5, atol=1e-2)
+        got = (np.asarray(wr[0], np.float64)
+               + 1j * np.asarray(wi[0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 120.0
+        with pytest.raises(ValueError):
+            fft_split_resident(xr, xi, interpret=True, out_rows=96)
+
     def test_size_gate(self):
         assert not supported_resident(MIN_N // 2)
         assert supported_resident(MIN_N)
