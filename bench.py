@@ -198,6 +198,7 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
 
 _PATH_TO_ROUTE = {
     "resident_vmem": "resident_vmem",
+    "resident_cio": "resident_cio",
     "fourstep_vmem": "fourstep_vmem",
     "fourstep_vmem_blocked": "fourstep_vmem",
     "fourstep_vmem_blocked_w256": "fourstep_vmem",
@@ -264,14 +265,19 @@ def _large_fft_candidates(n: int):
 
             from fftlab.kernels.resident_vmem import (
                 fft_split_resident,
+                fft_split_resident_cio,
                 supported_resident,
             )
 
             if supported_resident(n):
-                # ONE HBM residency: contiguous full-signal read, both
-                # passes in VMEM, single strided natural-order write.
+                # ONE HBM residency: both passes in VMEM, 16 B/sample.
+                # v2 = strided column-chunk edges; v3 = every HBM edge
+                # contiguous (extra copy-in/out phases in VMEM).
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale)), "resident_vmem"))
+                cands.append(((lambda a, b, scale=None:
+                               fft_split_resident_cio(a, b, scale=scale)),
+                              "resident_cio"))
             if supported_large(n):
                 cands.append(((lambda a, b, scale=None: fft_split_large(
                     a, b, scale=scale)), "fourstep_vmem"))

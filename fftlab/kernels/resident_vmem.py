@@ -245,6 +245,214 @@ def fft_split_resident(xr, xi, direction=FORWARD,
 
 
 # ---------------------------------------------------------------------------
+# Contiguous-IO variant (v3): the v2 kernel's two HBM edges are both
+# strided (input: W-lane column chunks of (L1, L2), 512 B bursts at 4 KB
+# stride; output: R-lane column chunks of (L2, L1)). This variant makes
+# EVERY HBM access a contiguous block at the cost of two extra in-VMEM
+# phases:
+#
+#   phase 0 (C1 programs)   copy-in: contiguous (R1, L2) row chunks of x
+#                           land in VMEM and are lane-split into the
+#                           blocked resident matrix (static lane tiles,
+#                           dynamic sublane offset — no transpose)
+#   phase A (C2 programs)   in-place column FFT + rank-1 twiddle on
+#                           Mb[s] (all traffic VMEM<->VMEM)
+#   phase B (G1 programs)   assemble (L2, R), length-L2 FFT, store the
+#                           result TRANSPOSED back into the same Mb rows
+#                           the read just freed (the filter kernel's
+#                           mid-phase trick) — after the last g, slot
+#                           Mb[c] holds out[cW:(c+1)W, :]^T
+#   phase C (C2 programs)   per-tile transposes straight into the out
+#                           block: contiguous (W, L1) row chunks of the
+#                           natural spectrum
+#
+# Same 16 B/sample, zero strided bursts. Interpret-tested equal to v2;
+# the device A/B (scripts/tpu_resident_ab.py, res_cio) decides which
+# formulation the dispatch route serves.
+# ---------------------------------------------------------------------------
+
+
+def _resident_cio_kernel(xr_blk, xi_blk,
+                         Far1, Fai1, Fbr1, Fbi1, twr1, twi1,
+                         Far2, Fai2, Fbr2, Fbi2, twr2, twi2,
+                         ar_blk, ai_blk, Pr, Pi,
+                         or_blk, oi_blk,
+                         Mbr, Mbi, T2r, T2i,
+                         *, L1: int, L2: int, W: int, R: int, R1: int,
+                         fa1: int, fb1: int, fa2: int, fb2: int):
+    s = pl.program_id(1)
+    C1 = L1 // R1
+    C2 = L2 // W
+    G1 = L1 // R
+
+    @pl.when(s < C1)
+    def _copy_in():
+        # Lane-split the contiguous row chunk into the blocked matrix:
+        # Mb[c][q*R1:(q+1)*R1, :] = x[q-rows, c-lanes]. Static lane
+        # tiles, dynamic sublane offset only.
+        rows = pl.ds(s * R1, R1)
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            Mbr[c, rows, :] = xr_blk[0, :, ls]
+            Mbi[c, rows, :] = xi_blk[0, :, ls]
+
+    @pl.when(jnp.logical_and(s >= C1, s < C1 + C2))
+    def _phase_a():
+        c = s - C1
+        tabs1 = (Far1[...], Fai1[...], Fbr1[...], Fbi1[...],
+                 twr1[...], twi1[...])
+        yr, yi = _col_fft_vmem(Mbr[c], Mbi[c], tabs1, fa1, fb1)
+        ar = ar_blk[0]
+        ai = ai_blk[0]
+        wr = ar * Pr[...] - ai * Pi[...]
+        wi = ar * Pi[...] + ai * Pr[...]
+        Mbr[c] = yr * wr - yi * wi
+        Mbi[c] = yr * wi + yi * wr
+
+    @pl.when(jnp.logical_and(s >= C1 + C2, s < C1 + C2 + G1))
+    def _phase_b():
+        g = s - C1 - C2
+        rs = pl.ds(g * R, R)
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            T2r[ls, :] = jnp.transpose(Mbr[c, rs, :], (1, 0))
+            T2i[ls, :] = jnp.transpose(Mbi[c, rs, :], (1, 0))
+        tabs2 = (Far2[...], Fai2[...], Fbr2[...], Fbi2[...],
+                 twr2[...], twi2[...])
+        yr, yi = _col_fft_vmem(T2r[...], T2i[...], tabs2, fa2, fb2)
+        # store out[:, k1 chunk]^T back into the rows freed above
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            Mbr[c, rs, :] = jnp.transpose(yr[ls, :], (1, 0))
+            Mbi[c, rs, :] = jnp.transpose(yi[ls, :], (1, 0))
+
+    @pl.when(s >= C1 + C2 + G1)
+    def _phase_c():
+        c = s - C1 - C2 - G1
+        # out rows [cW, (c+1)W) = Mb[c]^T, tiled transposes straight
+        # into the out block (static lane destinations)
+        for g in range(G1):
+            ls = slice(g * R, (g + 1) * R)
+            rs = pl.ds(g * R, R)
+            or_blk[0, :, ls] = jnp.transpose(Mbr[c, rs, :], (1, 0))
+            oi_blk[0, :, ls] = jnp.transpose(Mbi[c, rs, :], (1, 0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("direction", "interpret", "scale", "R", "R1"),
+)
+def _fft_resident_cio_impl(xr, xi, *, direction: Direction,
+                           interpret: bool, scale=None,
+                           R: int | None = None, R1: int | None = None):
+    B, n = xr.shape
+    L1, L2 = _split_sides(n)
+    W = LANES
+    if R is None:
+        R = min(LANES, L1)
+    if R1 is None:
+        R1 = min(LANES, L1)
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)
+    eff = (1.0 / n if direction == Direction.INVERSE else 1.0)
+    eff *= (scale if scale is not None else 1.0)
+    tabs1 = _col_fft_tables(L1, direction)
+    tabs2 = _col_fft_tables(L2, direction, None if eff == 1.0 else eff)
+    A, P = _rank1_twiddle_np(L1, L2, W, direction)
+    Ar = jnp.asarray(A.real.astype(np.float32))
+    Ai = jnp.asarray(A.imag.astype(np.float32))
+    Pr = jnp.asarray(P.real.astype(np.float32))
+    Pi = jnp.asarray(P.imag.astype(np.float32))
+
+    x3r = xr.reshape(B, L1, L2)
+    x3i = xi.reshape(B, L1, L2)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dt = xr.dtype
+    C1 = L1 // R1
+    C2 = L2 // W
+    G1 = L1 // R
+    S = C1 + C2 + G1 + C2
+    # Contiguous edges, clamped outside their phase: the in block parks
+    # at its last chunk after phase 0; the out block parks at 0 until
+    # phase C writes it (flushed when the index advances, v2-proven).
+    in_blk = pl.BlockSpec(
+        (1, R1, L2),
+        lambda b, s: (b, jnp.minimum(s, C1 - 1), 0),
+        memory_space=pltpu.VMEM)
+    a_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.clip(s - C1, 0, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, W, L1),
+        lambda b, s: (b, jnp.maximum(s - (C1 + C2 + G1), 0), 0),
+        memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_resident_cio_kernel, L1=L1, L2=L2, W=W, R=R,
+                          R1=R1, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2),
+        grid=(B, S),
+        in_specs=[in_blk, in_blk] + [const] * 12 + [a_blk, a_blk,
+                                                    const, const],
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct((B, L2, L1), dt),
+                   jax.ShapeDtypeStruct((B, L2, L1), dt)),
+        scratch_shapes=[
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((L2, R), dt),
+            pltpu.VMEM((L2, R), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ((fa1 + fb1) + (fa2 + fb2)) * n * B,
+            transcendentals=0,
+            bytes_accessed=2 * 2 * 4 * n * B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
+    return yr.reshape(B, n), yi.reshape(B, n)
+
+
+def fft_split_resident_cio(xr, xi, direction=FORWARD,
+                           interpret: bool | None = None,
+                           scale: float | None = None,
+                           out_rows: int | None = None,
+                           in_rows: int | None = None):
+    """One-residency FFT with ALL-CONTIGUOUS HBM access (v3): same
+    contract as `fft_split_resident`, plus `in_rows` (copy-in row-chunk
+    height R1, multiple of 8 dividing L1)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_resident(n):
+        raise ValueError(
+            f"fft_split_resident_cio supports pow2 n in "
+            f"[{MIN_N}, {MAX_N}]; got {n}"
+        )
+    batch = xr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= int(d)
+    L1, _ = _split_sides(n)
+    R1 = min(LANES, L1) if in_rows is None else int(in_rows)
+    if R1 % 8 or L1 % R1:
+        raise ValueError(
+            f"in_rows={R1} must be a multiple of 8 dividing L1={L1}"
+        )
+    yr, yi = _fft_resident_cio_impl(
+        xr.reshape(B, n), xi.reshape(B, n),
+        direction=Direction(int(direction)), interpret=bool(interpret),
+        scale=None if scale is None else float(scale),
+        R=_out_chunk_rows(L1, out_rows), R1=R1,
+    )
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+# ---------------------------------------------------------------------------
 # Fused single-residency spectral filter: FFT -> H -> IFFT in ONE kernel,
 # 16 B/sample for the WHOLE sandwich (the blocked two-pass sandwich costs
 # 64 B/sample; the XLA einsum pipeline ~12 passes).

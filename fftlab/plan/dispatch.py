@@ -13,6 +13,9 @@ Routes (split re/im planes, [..., n] batch-first):
   resident_vmem    ONE-HBM-RESIDENCY kernel, TPU, pow2 n in 2^15..2^20:
                    whole signal lives in VMEM, 16 B/sample traffic —
                    half the two-pass floor
+  resident_cio     the same residency with EVERY HBM edge contiguous
+                   (copy-in/out phases in VMEM instead of strided
+                   column-chunk delivery)
   fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^15..2^22
                    (blocked layout; measured 2.65 ms/16×1M = 6.3 GS/s
                    vs einsum's 3.2, r2s3 confirm)
@@ -32,8 +35,8 @@ import os
 
 from fftlab.plan.hardware import detect_hardware
 
-ROUTES = ("pallas_vmem", "resident_vmem", "fourstep_vmem",
-          "threestep_vmem", "pallas_pipeline", "einsum")
+ROUTES = ("pallas_vmem", "resident_vmem", "resident_cio",
+          "fourstep_vmem", "threestep_vmem", "pallas_pipeline", "einsum")
 
 # Measured on the v5e (docs/performance.md): the one-residency kernel
 # beats the einsum path from 8K up; at 4K multi-row blocking makes it
@@ -198,6 +201,10 @@ def run_route(route: str, xr, xi, direction, scale: float | None = None):
         from fftlab.kernels.resident_vmem import fft_split_resident
 
         return fft_split_resident(xr, xi, direction, scale=scale)
+    if route == "resident_cio":
+        from fftlab.kernels.resident_vmem import fft_split_resident_cio
+
+        return fft_split_resident_cio(xr, xi, direction, scale=scale)
     if route == "fourstep_vmem":
         from fftlab.kernels.fourstep_vmem import fft_split_large
 

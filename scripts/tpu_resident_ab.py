@@ -49,6 +49,7 @@ def main():
     )
     from fftlab.kernels.resident_vmem import (
         fft_split_resident,
+        fft_split_resident_cio,
         spectral_filter_resident,
     )
 
@@ -67,6 +68,9 @@ def main():
         # two-rows-in-flight variant, expressed as out_rows=2*default.
         ("res_r256", lambda a, b: fft_split_resident(
             a, b, FORWARD, scale=scale, out_rows=256)),
+        # v3: every HBM edge contiguous (copy-in/out phases in VMEM).
+        ("res_cio", lambda a, b: fft_split_resident_cio(
+            a, b, FORWARD, scale=scale)),
         ("fs_blocked", lambda a, b: fft_split_large(
             a, b, FORWARD, blocked=True, scale=scale)),
         ("resfilt", lambda a, b: spectral_filter_resident(a, b, hr, hi)),

@@ -111,6 +111,41 @@ class TestResidentVmem:
         with pytest.raises(ValueError):
             fft_split_resident(xr, xi, interpret=True, out_rows=96)
 
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 17, 1 << 20])
+    def test_contiguous_io_variant_matches(self, n):
+        """v3 (all-contiguous HBM edges) computes the identical
+        transform: same phases, same tables, different delivery."""
+        from fftlab.kernels.resident_vmem import fft_split_resident_cio
+
+        rng = np.random.default_rng(n % 89)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        yr, yi = fft_split_resident_cio(xr, xi, interpret=True)
+        vr, vi = fft_split_resident(xr, xi, interpret=True)
+        np.testing.assert_array_equal(np.asarray(yr), np.asarray(vr))
+        np.testing.assert_array_equal(np.asarray(yi), np.asarray(vi))
+
+    def test_contiguous_io_inverse_and_gates(self):
+        from fftlab.kernels.resident_vmem import fft_split_resident_cio
+
+        n = 1 << 16
+        rng = np.random.default_rng(21)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_resident_cio(xr, xi, interpret=True)
+        br, bi = fft_split_resident_cio(yr, yi, Direction.INVERSE,
+                                        interpret=True)
+        np.testing.assert_allclose(np.asarray(br), np.asarray(xr),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(xi),
+                                   atol=3e-4)
+        with pytest.raises(ValueError):
+            fft_split_resident_cio(xr, xi, interpret=True, in_rows=48)
+        with pytest.raises(ValueError):
+            fft_split_resident_cio(
+                jnp.zeros((1, 1 << 14), jnp.float32),
+                jnp.zeros((1, 1 << 14), jnp.float32), interpret=True)
+
     def test_size_gate(self):
         assert not supported_resident(MIN_N // 2)
         assert supported_resident(MIN_N)
@@ -125,18 +160,20 @@ class TestResidentVmem:
         from fftlab.plan.dispatch import ROUTES, run_route
 
         assert "resident_vmem" in ROUTES
+        assert "resident_cio" in ROUTES
         n = 1 << 15
         rng = np.random.default_rng(9)
         xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
         xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
-        # On CPU the route still runs (interpret resolves inside the
-        # kernel wrapper via default_backend).
-        yr, yi = run_route("resident_vmem", xr, xi, Direction.FORWARD)
         want = np.fft.fft(np.asarray(xr[0], np.float64)
                           + 1j * np.asarray(xi[0], np.float64))
-        got = (np.asarray(yr[0], np.float64)
-               + 1j * np.asarray(yi[0], np.float64))
-        assert _snr(got, want) > 120.0
+        # On CPU the routes still run (interpret resolves inside the
+        # kernel wrapper via default_backend).
+        for route in ("resident_vmem", "resident_cio"):
+            yr, yi = run_route(route, xr, xi, Direction.FORWARD)
+            got = (np.asarray(yr[0], np.float64)
+                   + 1j * np.asarray(yi[0], np.float64))
+            assert _snr(got, want) > 120.0, route
 
 
 class TestResidentFilter:
