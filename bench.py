@@ -399,12 +399,16 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
         )
         from fftlab.kernels.resident_vmem import (
             spectral_filter_resident,
+            spectral_filter_resident_cio,
             supported_resident,
         )
 
         if supported_resident(n):
             cands.append((lambda a, b, scale=None: spectral_filter_resident(
                 a, b, hr, hi), "resident_filter"))
+            cands.append((lambda a, b, scale=None:
+                          spectral_filter_resident_cio(a, b, hr, hi),
+                          "resident_filter_cio"))
         if supported_large(n):
             cands.append((lambda a, b, scale=None: spectral_filter_large(
                 a, b, hr, hi, blocked=True), "fourstep_filter_blocked"))

@@ -139,10 +139,11 @@ def design_fir(num_taps: int, params: FilterParams, cfft=None) -> np.ndarray:
 
 def _resident_filter_enabled() -> bool:
     """Back-compat alias — the gate lives with the route policy in
-    plan.dispatch.resident_filter_enabled."""
+    plan.dispatch.resident_filter_enabled (which now names the variant;
+    this alias keeps the boolean view)."""
     from fftlab.plan.dispatch import resident_filter_enabled
 
-    return resident_filter_enabled()
+    return bool(resident_filter_enabled())
 
 
 def fft_filter_split(xr, xi, params: FilterParams):

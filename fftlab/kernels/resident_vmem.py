@@ -643,6 +643,217 @@ def _filter_resident_impl(xr, xi, h2r, h2i, *, interpret: bool):
     return yr.reshape(B, n), yi.reshape(B, n)
 
 
+def _filter_cio_kernel(xr_blk, xi_blk,
+                       F1r, F1i, G1r, G1i, T1r, T1i,
+                       F2r, F2i, G2r, G2i, T2r_, T2i_,
+                       I2ar, I2ai, I2br, I2bi, I2tr, I2ti,
+                       I1ar, I1ai, I1br, I1bi, I1tr, I1ti,
+                       af_blk_r, af_blk_i, Pfr, Pfi,
+                       ai_blk_r, ai_blk_i, Ipr, Ipi,
+                       hr_blk, hi_blk,
+                       or_blk, oi_blk,
+                       Mbr, Mbi, Tr, Ti,
+                       *, L1: int, L2: int, W: int, R: int, R1: int,
+                       fa1: int, fb1: int, fa2: int, fb2: int):
+    """Contiguous-IO resident filter: phases
+    copy-in (C1) -> fwd A in place (C2) -> mid (G1, identical to v2) ->
+    inv B in place (C2) -> contiguous write-out (C1). The H chunks
+    arrive PRE-PERMUTED as (G1, L2, R) so their BlockSpec reads are
+    contiguous too — every HBM edge of the whole sandwich is a
+    contiguous block."""
+    s = pl.program_id(1)
+    C1 = L1 // R1
+    C2 = L2 // W
+    G1 = L1 // R
+
+    @pl.when(s < C1)
+    def _copy_in():
+        rows = pl.ds(s * R1, R1)
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            Mbr[c, rows, :] = xr_blk[0, :, ls]
+            Mbi[c, rows, :] = xi_blk[0, :, ls]
+
+    @pl.when(jnp.logical_and(s >= C1, s < C1 + C2))
+    def _phase_a():
+        c = s - C1
+        tabs1 = (F1r[...], F1i[...], G1r[...], G1i[...],
+                 T1r[...], T1i[...])
+        yr, yi = _col_fft_vmem(Mbr[c], Mbi[c], tabs1, fa1, fb1)
+        ar = af_blk_r[0]
+        ai = af_blk_i[0]
+        wr = ar * Pfr[...] - ai * Pfi[...]
+        wi = ar * Pfi[...] + ai * Pfr[...]
+        Mbr[c] = yr * wr - yi * wi
+        Mbi[c] = yr * wi + yi * wr
+
+    @pl.when(jnp.logical_and(s >= C1 + C2, s < C1 + C2 + G1))
+    def _mid():
+        g = s - C1 - C2
+        rs = pl.ds(g * R, R)
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            Tr[ls, :] = jnp.transpose(Mbr[c, rs, :], (1, 0))
+            Ti[ls, :] = jnp.transpose(Mbi[c, rs, :], (1, 0))
+        tabs2f = (F2r[...], F2i[...], G2r[...], G2i[...],
+                  T2r_[...], T2i_[...])
+        yr, yi = _col_fft_vmem(Tr[...], Ti[...], tabs2f, fa2, fb2)
+        hr = hr_blk[0]
+        hi = hi_blk[0]
+        zr = yr * hr - yi * hi
+        zi = yr * hi + yi * hr
+        tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
+                  I2tr[...], I2ti[...])
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2)
+        iar = ai_blk_r[0]
+        iai = ai_blk_i[0]
+        iwr = iar * Ipr[...] - iai * Ipi[...]
+        iwi = iar * Ipi[...] + iai * Ipr[...]
+        vr = mr2 * iwr - mi2 * iwi
+        vi = mr2 * iwi + mi2 * iwr
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            Mbr[c, rs, :] = jnp.transpose(vr[ls, :], (1, 0))
+            Mbi[c, rs, :] = jnp.transpose(vi[ls, :], (1, 0))
+
+    @pl.when(jnp.logical_and(s >= C1 + C2 + G1, s < C1 + 2 * C2 + G1))
+    def _phase_b():
+        q = s - C1 - C2 - G1
+        tabs1i = (I1ar[...], I1ai[...], I1br[...], I1bi[...],
+                  I1tr[...], I1ti[...])
+        yr, yi = _col_fft_vmem(Mbr[q], Mbi[q], tabs1i, fa1, fb1)
+        Mbr[q] = yr        # in place: out[:, j2 chunk q]
+        Mbi[q] = yi
+
+    @pl.when(s >= C1 + 2 * C2 + G1)
+    def _write_out():
+        p = s - C1 - 2 * C2 - G1
+        rows = pl.ds(p * R1, R1)
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            or_blk[0, :, ls] = Mbr[c, rows, :]
+            oi_blk[0, :, ls] = Mbi[c, rows, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",),
+)
+def _filter_resident_cio_impl(xr, xi, h3r, h3i, *, interpret: bool):
+    B, n = xr.shape
+    L1, L2 = _split_sides(n)
+    W = LANES
+    R = min(LANES, L1)
+    R1 = min(LANES, L1)
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)
+    fwd = Direction.FORWARD
+    inv = Direction.INVERSE
+    tabs1f = _col_fft_tables(L1, fwd)
+    tabs2f = _col_fft_tables(L2, fwd)
+    tabs2i = _col_fft_tables(L2, inv)
+    tabs1i = _col_fft_tables(L1, inv, 1.0 / n)
+    Af, Pf = _rank1_twiddle_np(L1, L2, W, fwd)
+    Ai_, Pi_ = _rank1_twiddle_np(L2, L1, R, inv)
+    c32 = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(np.float32))
+
+    dt = xr.dtype
+    C1 = L1 // R1
+    C2 = L2 // W
+    G1 = L1 // R
+    S = C1 + C2 + G1 + C2 + C1
+    x3r = xr.reshape(B, L1, L2)
+    x3i = xi.reshape(B, L1, L2)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_blk = pl.BlockSpec(
+        (1, R1, L2),
+        lambda b, s: (b, jnp.minimum(s, C1 - 1), 0),
+        memory_space=pltpu.VMEM)
+    af_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.clip(s - C1, 0, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    mid_idx = lambda s: jnp.clip(s - C1 - C2, 0, G1 - 1)
+    ai_blk = pl.BlockSpec(
+        (1, L2, 1),
+        lambda b, s: (mid_idx(s), 0, 0),
+        memory_space=pltpu.VMEM)
+    h_blk = pl.BlockSpec(
+        (1, L2, R),
+        lambda b, s: (mid_idx(s), 0, 0),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, R1, L2),
+        lambda b, s: (b, jnp.maximum(s - (C1 + 2 * C2 + G1), 0), 0),
+        memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_filter_cio_kernel, L1=L1, L2=L2, W=W,
+                          R=R, R1=R1, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2),
+        grid=(B, S),
+        in_specs=[in_blk, in_blk] + [const] * 24
+                 + [af_blk, af_blk, const, const]
+                 + [ai_blk, ai_blk, const, const]
+                 + [h_blk, h_blk],
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct((B, L1, L2), dt),
+                   jax.ShapeDtypeStruct((B, L1, L2), dt)),
+        scratch_shapes=[
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((L2, R), dt),
+            pltpu.VMEM((L2, R), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * ((fa1 + fb1) + (fa2 + fb2)) * n * B,
+            transcendentals=0,
+            bytes_accessed=(2 * 2 + 1) * 2 * 4 * n * B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, *tabs1f, *tabs2f, *tabs2i, *tabs1i,
+      c32(Af.real), c32(Af.imag), c32(Pf.real), c32(Pf.imag),
+      c32(Ai_.real), c32(Ai_.imag), c32(Pi_.real), c32(Pi_.imag),
+      h3r, h3i)
+    return yr.reshape(B, n), yi.reshape(B, n)
+
+
+def spectral_filter_resident_cio(xr, xi, hr, hi,
+                                 interpret: bool | None = None):
+    """`spectral_filter_resident` with EVERY HBM edge contiguous (the
+    v3 formulation): copy-in/write-out phases run in VMEM and the H
+    chunks are pre-permuted at trace time to (G1, L2, R) so their
+    streaming reads are contiguous blocks too. Identical numerics."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_resident(n):
+        raise ValueError(
+            f"spectral_filter_resident_cio supports pow2 n in "
+            f"[{MIN_N}, {MAX_N}]; got {n}"
+        )
+    L1, L2 = _split_sides(n)
+    R = min(LANES, L1)
+    G1 = L1 // R
+    # natural spectrum matrix (L2, L1), chunked by k1 into (G1, L2, R):
+    # chunk g is H2[:, g*R:(g+1)*R], stored contiguous per chunk
+    h2r = jnp.asarray(hr, dtype=xr.dtype).reshape(L2, G1, R)
+    h2i = jnp.asarray(hi, dtype=xr.dtype).reshape(L2, G1, R)
+    h3r = jnp.transpose(h2r, (1, 0, 2))
+    h3i = jnp.transpose(h2i, (1, 0, 2))
+    batch = xr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= int(d)
+    yr, yi = _filter_resident_cio_impl(
+        xr.reshape(B, n), xi.reshape(B, n), h3r, h3i,
+        interpret=bool(interpret),
+    )
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
 def spectral_filter_resident(xr, xi, hr, hi,
                              interpret: bool | None = None):
     """ifft(fft(x) * H) on split planes in ONE kernel and ONE HBM

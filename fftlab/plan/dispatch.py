@@ -91,12 +91,18 @@ def kernels_enabled() -> bool:
     return True
 
 
-def resident_filter_enabled() -> bool:
+def resident_filter_enabled() -> str | None:
     """The single-residency filter sandwich is structurally 4x cheaper
     in HBM traffic but not yet device-measured faster than the blocked
-    two-launch sandwich; opt in with FFTLAB_RESIDENT_FILTER=1 until the
-    healthy-window A/B flips the default."""
-    return os.environ.get("FFTLAB_RESIDENT_FILTER", "0") == "1"
+    two-launch sandwich; opt in until the healthy-window A/B flips the
+    default: FFTLAB_RESIDENT_FILTER=1 -> v2 (strided edges),
+    =cio or 2 -> v3 (contiguous edges). Returns the variant or None."""
+    v = os.environ.get("FFTLAB_RESIDENT_FILTER", "0")
+    if v == "1":
+        return "v2"
+    if v in ("2", "cio"):
+        return "cio"
+    return None
 
 
 def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
@@ -128,12 +134,15 @@ def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
         )
         from fftlab.kernels.resident_vmem import (
             spectral_filter_resident,
+            spectral_filter_resident_cio,
             supported_resident,
         )
 
-        if supported_resident(n) and resident_filter_enabled():
-            return spectral_filter_resident(xr, xi, jnp.asarray(hr),
-                                            jnp.asarray(hi))
+        variant = resident_filter_enabled()
+        if supported_resident(n) and variant:
+            fuse = (spectral_filter_resident_cio if variant == "cio"
+                    else spectral_filter_resident)
+            return fuse(xr, xi, jnp.asarray(hr), jnp.asarray(hi))
         if supported_large(n):
             return spectral_filter_large(xr, xi, jnp.asarray(hr),
                                          jnp.asarray(hi))

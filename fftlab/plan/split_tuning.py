@@ -135,15 +135,22 @@ def tune_split_route(n: int, batch: int = 4, persist: bool = True,
 
             return run_route(route, a, b, FORWARD, scale=scale)
 
-        try:
-            raw = chain_time(step, lambda i: (xr + jnp.float32(1e-3 * i),
-                                              xi - jnp.float32(1e-3 * i)),
-                             ks=ks, repeats=repeats, return_raw=True)
-            dt = min_slope(raw)
-        except Exception:
-            continue
-        if dt > 0:
-            timings[route] = dt
+        # One retry on a non-positive slope: a transient load spike on
+        # the host (or a congestion burst on the service) can deflate a
+        # single chain below zero; a measurement that silently drops the
+        # route would also silently skip the wisdom persist.
+        for _attempt in range(2):
+            try:
+                raw = chain_time(step,
+                                 lambda i: (xr + jnp.float32(1e-3 * i),
+                                            xi - jnp.float32(1e-3 * i)),
+                                 ks=ks, repeats=repeats, return_raw=True)
+                dt = min_slope(raw)
+            except Exception:
+                break
+            if dt > 0:
+                timings[route] = dt
+                break
     if not timings:
         return "einsum"
     best = min(timings, key=timings.get)

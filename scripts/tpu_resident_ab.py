@@ -51,6 +51,7 @@ def main():
         fft_split_resident,
         fft_split_resident_cio,
         spectral_filter_resident,
+        spectral_filter_resident_cio,
     )
 
     B, n = 16, 1 << 20
@@ -74,6 +75,8 @@ def main():
         ("fs_blocked", lambda a, b: fft_split_large(
             a, b, FORWARD, blocked=True, scale=scale)),
         ("resfilt", lambda a, b: spectral_filter_resident(a, b, hr, hi)),
+        ("resfilt_cio", lambda a, b: spectral_filter_resident_cio(
+            a, b, hr, hi)),
         ("fsfilt_blocked", lambda a, b: spectral_filter_large(
             a, b, hr, hi, blocked=True)),
     ]

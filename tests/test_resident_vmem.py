@@ -229,10 +229,36 @@ class TestResidentFilter:
                + 1j * np.asarray(yi[0], np.float64))
         assert _snr(got, self._oracle(x, H)) > 120.0
 
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 17])
+    def test_contiguous_io_filter_matches(self, n):
+        """v3 filter (contiguous edges + pre-permuted H chunks) is the
+        identical sandwich."""
+        from fftlab.kernels.resident_vmem import (
+            spectral_filter_resident,
+            spectral_filter_resident_cio,
+        )
+
+        rng = np.random.default_rng(n % 53)
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        args = (x.real.astype(np.float32), x.imag.astype(np.float32),
+                H.real.astype(np.float32), H.imag.astype(np.float32))
+        ar, ai = spectral_filter_resident_cio(*args, interpret=True)
+        br, bi = spectral_filter_resident(*args, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ar), np.asarray(br))
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi))
+        got = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
+        assert _snr(got, self._oracle(x, H)) > 120.0
+
     def test_size_gate(self):
-        from fftlab.kernels.resident_vmem import spectral_filter_resident
+        from fftlab.kernels.resident_vmem import (
+            spectral_filter_resident,
+            spectral_filter_resident_cio,
+        )
 
         xr = jnp.zeros((1, 1 << 14), jnp.float32)
         h = jnp.zeros(1 << 14, jnp.float32)
         with pytest.raises(ValueError):
             spectral_filter_resident(xr, xr, h, h, interpret=True)
+        with pytest.raises(ValueError):
+            spectral_filter_resident_cio(xr, xr, h, h, interpret=True)
