@@ -41,15 +41,19 @@ def _twiddle_cs(n1_local: int, n2: int, n: int, j1_offset,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("direction", "n1", "axis_name", "mesh", "chunks"),
+    static_argnames=("direction", "n1", "axis_name", "mesh", "chunks",
+                     "batch_axes"),
 )
 def _impl(xr, xi, *, direction: Direction, n1: int, axis_name: str,
-          mesh: Mesh, chunks: int = 1):
+          mesh: Mesh, chunks: int = 1,
+          batch_axes: tuple | None = None):
     n = int(xr.shape[-1])
     n2 = n // n1
     p = mesh.shape[axis_name]
     batch = xr.shape[:-1]
     bnd = len(batch)
+    if batch_axes is None:
+        batch_axes = (None,) * bnd
     rdtype = xr.dtype
 
     def _col_stage(xrT, xiT, row_offset, rows):
@@ -106,7 +110,11 @@ def _impl(xr, xi, *, direction: Direction, n1: int, axis_name: str,
         )  # [..., n2/p, n1]
         return jnp.swapaxes(dr, -1, -2), jnp.swapaxes(di, -1, -2)
 
-    spec = P(*([None] * bnd), None, axis_name)
+    # Batch dims may themselves be sharded over OTHER mesh axes (the 2D
+    # block-sharded transform, dist.fft2_mesh2d, runs its row stage with
+    # rows sharded over one axis while this four-step distributes each
+    # row's transform over the other).
+    spec = P(*batch_axes, None, axis_name)
     xr2 = xr.reshape(*batch, n2, n1)
     xi2 = xi.reshape(*batch, n2, n1)
     yr, yi = shard_map(
@@ -120,7 +128,8 @@ def _impl(xr, xi, *, direction: Direction, n1: int, axis_name: str,
 
 def four_step_fft_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
                                 direction=FORWARD, n1: int | None = None,
-                                flatten: bool = True, chunks: int = 1):
+                                flatten: bool = True, chunks: int = 1,
+                                batch_axes: tuple | None = None):
     """Sharded single transform on split planes: [..., n] re/im pair ->
     spectrum pair. Complex-dtype-free end to end (collectives included).
 
@@ -132,6 +141,13 @@ def four_step_fft_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
     chunk's ICI transfer with the next chunk's compute (at the price of
     one local re-stack before the row FFT). Numerics are identical;
     K must divide n1/p. Default 1 = the single-collective form.
+
+    `batch_axes` optionally names a mesh axis per leading batch dim
+    (None entries replicate): the batch stays sharded over those axes
+    while each transform distributes over `axis_name` — the
+    both-axes-distributed 2D transform (dist.fft2_mesh2d) is built on
+    this. Implies flatten=False semantics for the batch dims (the final
+    gather in flatten=True only replicates if you ask for it).
     """
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
@@ -148,8 +164,26 @@ def four_step_fft_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "tp",
         raise ValueError(
             f"chunks={chunks} must be >= 1 and divide n1/p = {n1_ // p}"
         )
+    if batch_axes is not None:
+        if len(batch_axes) != xr.ndim - 1:
+            raise ValueError(
+                f"batch_axes {batch_axes} must name one entry per batch "
+                f"dim ({xr.ndim - 1})"
+            )
+        if axis_name in batch_axes:
+            raise ValueError(
+                f"batch_axes may not reuse the transform axis {axis_name!r}"
+            )
+        for ax, dim in zip(batch_axes, xr.shape[:-1]):
+            if ax is not None and dim % mesh.shape[ax]:
+                raise ValueError(
+                    f"mesh axis {ax}={mesh.shape[ax]} must divide batch "
+                    f"dim {dim}"
+                )
+        batch_axes = tuple(batch_axes)
     yr, yi = _impl(xr, xi, direction=direction, n1=n1_,
-                   axis_name=axis_name, mesh=mesh, chunks=chunks)
+                   axis_name=axis_name, mesh=mesh, chunks=chunks,
+                   batch_axes=batch_axes)
     if flatten:
         yr = jax.device_put(yr, NamedSharding(mesh, P()))
         yi = jax.device_put(yi, NamedSharding(mesh, P()))
