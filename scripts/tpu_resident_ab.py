@@ -81,7 +81,72 @@ def main():
             a, b, hr, hi, blocked=True)),
     ]
 
-    # warm all compiles before any health gating
+    # NEW kernel formulations (this round's cio variants + the R sweep)
+    # warm in KILLABLE subprocesses first: a Mosaic compile hang on an
+    # unproven structure would wedge this process for the whole stall
+    # window and starve the proven candidates. The persistent compile
+    # cache carries a successful subprocess compile into this process;
+    # a hung one is killed and its candidate dropped.
+    child_tmpl = (
+        "import os\n"
+        "cache = os.path.expanduser('~/.cache/jax_comp')\n"
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir', cache)\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
+        " 1.0)\n"
+        "import jax.numpy as jnp, numpy as np\n"
+        "B, n = 16, 1 << 20\n"
+        "xr = jnp.zeros((B, n), jnp.float32)\n"
+        "xi = jnp.zeros((B, n), jnp.float32)\n"
+        "scale = 1.0 / float(np.sqrt(n))\n"
+        "{body}\n"
+        "print('warmed')\n"
+    )
+    risky = {
+        "res_r256": (
+            "from fftlab.kernels.resident_vmem import fft_split_resident\n"
+            "from fftlab.core.types import FORWARD\n"
+            "fft_split_resident(xr, xi, FORWARD, scale=scale,"
+            " out_rows=256)[0].block_until_ready()"
+        ),
+        "res_cio": (
+            "from fftlab.kernels.resident_vmem import"
+            " fft_split_resident_cio\n"
+            "from fftlab.core.types import FORWARD\n"
+            "fft_split_resident_cio(xr, xi, FORWARD,"
+            " scale=scale)[0].block_until_ready()"
+        ),
+        "resfilt_cio": (
+            "from fftlab.kernels.resident_vmem import"
+            " spectral_filter_resident_cio\n"
+            "hr = jnp.zeros(n, jnp.float32)\n"
+            "hi = jnp.zeros(n, jnp.float32)\n"
+            "spectral_filter_resident_cio(xr, xi, hr,"
+            " hi)[0].block_until_ready()"
+        ),
+    }
+    import subprocess
+
+    dropped = set()
+    for name, body in risky.items():
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", child_tmpl.format(body=body)],
+                timeout=float(os.environ.get("AB_WARM_TIMEOUT_S", "1200")),
+                capture_output=True, text=True)
+            ok = r.returncode == 0 and "warmed" in r.stdout
+            err = "" if ok else (r.stderr or "")[-160:]
+        except subprocess.TimeoutExpired:
+            ok, err = False, "subprocess warm timed out (compile hang?)"
+        log(name=f"subwarm_{name}", ok=ok,
+            s=round(time.time() - t0, 1), **({"err": err} if err else {}))
+        if not ok:
+            dropped.add(name)
+    cands = [(n_, f) for n_, f in cands if n_ not in dropped]
+
+    # warm all compiles before any health gating (cache hits after the
+    # subprocess warms; proven kernels compile from their cached r2 form)
     for name, fn in cands:
         t0 = time.time()
         fn(xr, xi)[0].block_until_ready()
