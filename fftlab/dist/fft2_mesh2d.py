@@ -36,12 +36,16 @@ from fftlab.dist.four_step_split import four_step_fft_sharded_split
 
 def fft2_mesh2d_split(xr, xi, mesh: Mesh, r_axis: str = "a",
                       c_axis: str = "b", direction=FORWARD,
-                      flatten: bool = True):
+                      flatten: bool = True, r1: int | None = None,
+                      c1: int | None = None):
     """2D FFT of [R, C] split planes with both axes distributed.
 
     `r_axis` shards the R dim (and distributes the R-axis transforms);
     `c_axis` shards the C-bins (and distributes the C-axis transforms).
-    Inverse is 1/(R*C) scaled.
+    Inverse is 1/(R*C) scaled. `r1`/`c1` override the four-step
+    factorizations R = r1*r2 / C = c1*c2 (default ~sqrt split) — pick
+    them so the mesh axes divide the factors when the default split
+    doesn't (e.g. non-pow2 axis sizes).
 
     flatten=True gathers and returns [R, C] pairs matching
     np.fft.fft2 (row index = R). flatten=False returns the
@@ -61,22 +65,24 @@ def fft2_mesh2d_split(xr, xi, mesh: Mesh, r_axis: str = "a",
     R, C = int(xr.shape[0]), int(xr.shape[1])
     pa = mesh.shape[r_axis]
     pc = mesh.shape[c_axis]
-    r1, r2 = split_n(R)
-    c1, c2 = split_n(C)
-    if R % pa or c1 % pc or c2 % pc:
+    r1, r2 = split_n(R, r1)
+    c1, c2 = split_n(C, c1)
+    # pa | r1 implies pa | R (the step-1 batch constraint); pc | c2
+    # covers the step-2 batch constraint.
+    if c1 % pc or c2 % pc:
         raise ValueError(
-            f"mesh axis {r_axis}={pa} must divide R={R}; {c_axis}={pc} "
-            f"must divide both factors ({c1}, {c2}) of C={C}"
+            f"mesh axis {c_axis}={pc} must divide both factors "
+            f"({c1}, {c2}) of C={C} (override with c1=...)"
         )
-    if r1 % pa or r2 % pa or c2 % pc:
+    if r1 % pa or r2 % pa:
         raise ValueError(
             f"mesh axis {r_axis}={pa} must divide both factors "
-            f"({r1}, {r2}) of R={R}"
+            f"({r1}, {r2}) of R={R} (override with r1=...)"
         )
 
     # step 1: C-axis transform per row; R stays sharded as batch.
     yr, yi = four_step_fft_sharded_split(
-        xr, xi, mesh, axis_name=c_axis, direction=direction,
+        xr, xi, mesh, axis_name=c_axis, direction=direction, n1=c1,
         flatten=False, batch_axes=(r_axis,),
     )  # [R, c1, c2] P(r_axis, None, c_axis)
 
@@ -84,7 +90,7 @@ def fft2_mesh2d_split(xr, xi, mesh: Mesh, r_axis: str = "a",
     zr = jnp.transpose(yr, (1, 2, 0))
     zi = jnp.transpose(yi, (1, 2, 0))
     wr, wi = four_step_fft_sharded_split(
-        zr, zi, mesh, axis_name=r_axis, direction=direction,
+        zr, zi, mesh, axis_name=r_axis, direction=direction, n1=r1,
         flatten=False, batch_axes=(None, c_axis),
     )  # [c1, c2, r1, r2] P(None, c_axis, None, r_axis)
 

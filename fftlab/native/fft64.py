@@ -30,8 +30,11 @@ def fft64_split(re, im, inverse: bool = False):
 
     Forward unscaled / inverse 1/n (radix2_dit.c:115-119 convention).
     Returns new (re, im) float64 arrays of the input shape."""
-    re = np.ascontiguousarray(re, dtype=np.float64).copy()
-    im = np.ascontiguousarray(im, dtype=np.float64).copy()
+    # np.array(copy=True) gives exactly ONE fresh contiguous buffer per
+    # plane (ascontiguousarray(...).copy() would copy twice for the
+    # x.real/x.imag views the complex wrapper feeds in).
+    re = np.array(re, dtype=np.float64, order="C")
+    im = np.array(im, dtype=np.float64, order="C")
     if re.shape != im.shape:
         raise ValueError(f"plane shapes differ: {re.shape} vs {im.shape}")
     if re.ndim == 0:

@@ -94,11 +94,15 @@ def load_native_lib() -> ctypes.CDLL:
                 if not os.path.exists(_SO):
                     raise
             lib = ctypes.CDLL(_SO)
+            # A stale prebuilt .so (toolchain absent, so no rebuild)
+            # may predate newer symbols — AttributeError here must
+            # become the same RuntimeError contract as a failed build,
+            # not escape into native_available()/consumers.
             _declare(lib)
             _LIB = lib
             return lib
         except (subprocess.CalledProcessError, OSError,
-                subprocess.TimeoutExpired) as e:
+                subprocess.TimeoutExpired, AttributeError) as e:
             detail = getattr(e, "stderr", "") or str(e)
             _ERR = f"native library unavailable: {detail}"
             raise RuntimeError(_ERR) from e

@@ -95,6 +95,7 @@ def main():
         "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
         " 1.0)\n"
         "import jax.numpy as jnp, numpy as np\n"
+        "assert jax.devices()[0].platform == 'tpu', 'child not on TPU'\n"
         "B, n = 16, 1 << 20\n"
         "xr = jnp.zeros((B, n), jnp.float32)\n"
         "xi = jnp.zeros((B, n), jnp.float32)\n"
