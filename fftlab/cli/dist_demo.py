@@ -61,6 +61,21 @@ def main() -> None:
         err = float(np.max(np.abs(np.asarray(psd_s) - np.asarray(psd_1))))
         print(f"sharded Welch PSD (psum averaging): max err {err:.2e}")
 
+        # 2D image FFT block-sharded over the SAME 2D mesh, both axes
+        # distributed (each 1D pass a four-step over its mesh axis).
+        if dp > 1:
+            from fftlab.dist.fft2_mesh2d import fft2_mesh2d_split
+
+            R2, C2 = 16 * dp, 32 * sp * sp
+            img = rng.standard_normal((R2, C2)).astype(np.float32)
+            fr, fi = fft2_mesh2d_split(img, np.zeros_like(img), mesh,
+                                       "dp", "sp", r1=4 * dp, c1=4 * sp)
+            got = (np.asarray(fr, np.float64)
+                   + 1j * np.asarray(fi, np.float64))
+            err = float(np.max(np.abs(got - np.fft.fft2(img))))
+            print(f"2D-mesh 2D FFT ({R2}x{C2} over dp x sp, both axes "
+                  f"four-step): max err vs numpy {err:.2e}")
+
         # PP: stage-pipelined streaming sandwich (window/FFT/xH/IFFT
         # each on its own device, blocks flowing via ppermute).
         from fftlab.algos.split_stockham import spectral_filter_split
