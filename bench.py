@@ -281,17 +281,18 @@ def _large_fft_candidates(n: int):
             if supported_large(n):
                 cands.append(((lambda a, b, scale=None: fft_split_large(
                     a, b, scale=scale)), "fourstep_vmem"))
-                # Layout variants: blocked intermediates (contiguous
-                # inter-pass DMA) and wider lane blocks (bigger strided
-                # bursts). The fastest SNR-passing candidate wins, so
-                # the round bench self-tunes even when the offline sweep
+                # Blocked intermediates (contiguous inter-pass DMA):
+                # the fastest SNR-passing candidate wins, so the round
+                # bench self-tunes even when the offline sweep
                 # (scripts/tpu_session.py) never got a healthy window.
+                # (The w256 wide-lane variant measured slower in BOTH
+                # the r2s3 sweep and docs/performance.md's follow-up —
+                # it stays in the offline sweep scripts only, keeping
+                # this sweep's compile+timing budget for live
+                # candidates.)
                 cands.append(((lambda a, b, scale=None: fft_split_large(
                     a, b, blocked=True, scale=scale)),
                     "fourstep_vmem_blocked"))
-                cands.append(((lambda a, b, scale=None: fft_split_large(
-                    a, b, blocked=True, width=256, scale=scale)),
-                    "fourstep_vmem_blocked_w256"))
             if supported_huge(n):
                 cands.append(((lambda a, b, scale=None: fft_split_huge(
                     a, b, scale=scale)), "threestep_vmem"))
