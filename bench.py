@@ -12,6 +12,7 @@ fraction against the bandwidth measured IN THIS RUN:
   fft_16m_single   one 2^24 transform (four-step, single chip)
   serving_filter   fused overlap-save FIR (kernels/os_filter_vmem)
   stft             Pallas streaming STFT vs the XLA gather-framing path
+  rfft_2m          r2c plan (pack-two-reals through the half-size route)
 
 Timing = chain_time (fftlab/bench/timing.py): k applications chained in
 one jitted fori_loop, one dispatch+readback per measurement, slope over
@@ -475,6 +476,52 @@ def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     return r
 
 
+def bench_rfft(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+    """Real-input transform through the device-native r2c plan
+    (plan_r2c_1d_split): the pack-two-reals trick runs a HALF-size
+    complex transform through the dispatch route (the resident kernels
+    at this size), then Hermitian-unpacks in XLA. The reference's r2c
+    plan path never worked (fft_auto.c:391-403 use-after-free); this is
+    it, measured. Floor = the half-size transform's one residency
+    (8 B per real sample) + the unpack's read+write (~8 B) ≈
+    16 B/sample — the gap above that is the unfused XLA unpack, the
+    next fusion target."""
+    from fftlab.plan.api import plan_r2c_1d_split
+
+    n = 1 << 21 if on_tpu else 1 << 12
+    batch = 8 if on_tpu else 2
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    plan = plan_r2c_1d_split(n)
+    gr, gi = jax.jit(plan.fn)(x[:1])
+    got = (np.asarray(gr[0], np.float64)
+           + 1j * np.asarray(gi[0], np.float64))
+    want = np.fft.rfft(np.asarray(x[0], np.float64))
+    snr = _snr_db(got, want)
+    if snr < 100.0:
+        return {"error": f"accuracy gate failed: {snr:.1f} dB < 100",
+                "snr_db": round(snr, 1), "path": plan.algorithm}
+
+    def step(a):
+        yr, yi = plan.fn(a)
+        # r2c is not length-preserving, so the chain carries the input
+        # forward and folds a full reduction of the spectrum in (keeps
+        # the transform live without shape games).
+        return (a + jnp.float32(1e-30) * (jnp.sum(yr) + jnp.sum(yi)),)
+
+    r = _spread(step, lambda i: (x + jnp.float32(1e-3 * i),),
+                ks=(6, 16, 32), repeats=3)
+    total = batch * n
+    r["gsps"] = round(total / (r["ms"] / 1e3) / 1e9, 4)
+    r["snr_db"] = round(snr, 1)
+    r["path"] = plan.algorithm
+    t_min_ms = 16.0 * total / (bw_gbps * 1e9) * 1e3
+    r["roofline_fraction"] = round(t_min_ms / r["ms"], 3)
+    r["roofline_floor_ms"] = round(t_min_ms, 3)
+    r["n"] = n
+    return r
+
+
 def bench_stft(jax, jnp, on_tpu: bool) -> dict:
     """Pallas streaming STFT vs the XLA gather-framing STFT."""
     n = 1 << 22 if on_tpu else 1 << 14
@@ -674,6 +721,7 @@ def main() -> None:
         ("bluestein_prime",
          lambda: bench_bluestein_prime(jax, jnp, on_tpu, bw_gbps)),
         ("stft", lambda: bench_stft(jax, jnp, on_tpu)),
+        ("rfft_2m", lambda: bench_rfft(jax, jnp, on_tpu, bw_gbps)),
     ):
         if _time.time() - t_meas0 > budget_s:
             detail[name] = {"error": "skipped: bench time budget spent"}
