@@ -53,7 +53,16 @@ def main() -> None:
             for i in range(1, len(MENU)):  # skip the test suite by default
                 run(i)
             return
-        run(int(arg))
+        try:
+            idx = int(arg)
+        except ValueError:
+            print(__doc__.strip())
+            show_menu()
+            return
+        if not 1 <= idx <= len(MENU):
+            show_menu()
+            return
+        run(idx)
         return
     while True:
         show_menu()
