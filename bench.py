@@ -601,6 +601,31 @@ def _service_alive(timeout_s: float = 180.0) -> bool:
         return False
 
 
+def _last_healthy_note() -> dict:
+    """Context for an outage artifact: the most recent bench capture
+    with a nonzero headline, CLEARLY labeled as historical — the 0.0
+    headline stands; this only tells the reader what the device did the
+    last time it was reachable."""
+    import glob
+    import os
+
+    best = None
+    for p in sorted(glob.glob("bench_artifacts/bench_*.json"),
+                    key=os.path.getmtime, reverse=True):
+        try:
+            with open(p) as f:
+                blob = json.load(f)
+        except Exception:
+            continue
+        if blob.get("value"):
+            best = {"last_healthy_capture": {
+                "file": p, "value": blob["value"],
+                "unit": blob.get("unit"),
+                "mtime": os.path.getmtime(p)}}
+            break
+    return best or {}
+
+
 def _arm_watchdog(fuse_s: float, detail: dict) -> None:
     """Guarantee the driver its ONE JSON line even if a device op wedges
     mid-bench: after `fuse_s`, print whatever detail has accumulated,
@@ -663,7 +688,8 @@ def main() -> None:
                     "metric": "fft_1m_batched_throughput", "value": 0.0,
                     "unit": "Gsamples/s", "vs_baseline": 0.0,
                     "detail": dict(detail, error="TPU service unreachable "
-                                   "for the whole pre-flight window"),
+                                   "for the whole pre-flight window",
+                                   **_last_healthy_note()),
                 }))
                 return
             _time.sleep(60)
