@@ -193,6 +193,13 @@ def _ensure_wisdom_loaded() -> None:
         wisdom.import_wisdom(overwrite=False)
     except Exception:  # malformed file must never break dispatch
         pass
+    try:
+        # Repo-shipped measured defaults (lowest-priority tier): a fresh
+        # checkout with an empty ~/.cache still dispatches to the routes
+        # the last device A/B crowned (ab_summary.py --apply commits them).
+        wisdom.import_wisdom(wisdom.FACTORY_PATH, overwrite=False)
+    except Exception:
+        pass
 
 
 def best_route(n: int) -> str | None:

@@ -88,6 +88,23 @@ def main() -> int:
             print(f"recorded route wisdom: {ROUTE_OF[best]} @ "
                   f"{ffts[best]['median_ms']} ms ->",
                   wisdom.export_wisdom())
+            # Also commit the winner to the repo-shipped factory tier so
+            # the flip survives a wiped ~/.cache (fresh sessions/checkouts
+            # auto-load it at first dispatch lookup).
+            import json as _json
+
+            factory = {}
+            try:
+                with open(wisdom.FACTORY_PATH) as f:
+                    factory = _json.load(f)
+            except (FileNotFoundError, ValueError):
+                pass
+            factory.update({k: v for k, v in wisdom.snapshot().items()
+                            if k.startswith("route:")})
+            with open(wisdom.FACTORY_PATH, "w") as f:
+                _json.dump(factory, f, indent=2, sort_keys=True)
+            print(f"factory wisdom updated: {wisdom.FACTORY_PATH} "
+                  "(commit it)")
     if filts:
         bestf = min(filts, key=lambda k: filts[k]["median_ms"])
         print(f"filter winner: {bestf} -> set "

@@ -141,6 +141,37 @@ class TestWisdom:
         assert wisdom.lookup(888, "f32")["algorithm"] == "only_in_memory"
         wisdom.forget()
 
+    def test_factory_wisdom_tier(self, tmp_path, monkeypatch):
+        # Repo-shipped factory wisdom (ab_summary --apply commits device
+        # A/B winners there) must be auto-loaded on a fresh process with
+        # an empty user cache, and must NOT outrank user/session entries.
+        import json
+
+        from fftlab.plan import split_tuning, wisdom
+
+        user = tmp_path / "user_wisdom.json"  # does not exist yet
+        factory = tmp_path / "factory_wisdom.json"
+        factory.write_text(json.dumps({
+            "route:1048576:f32": {"algorithm": "resident_vmem",
+                                  "time_ms": 1.0, "platform": "tpu"},
+            "route:4096:f32": {"algorithm": "einsum", "time_ms": 0.1,
+                               "platform": "tpu"},
+        }))
+        monkeypatch.delenv("FFTLAB_NO_WISDOM_FILE", raising=False)
+        monkeypatch.setenv("FFTLAB_WISDOM_PATH", str(user))
+        monkeypatch.setattr(wisdom, "FACTORY_PATH", str(factory))
+        monkeypatch.setattr(split_tuning, "_WISDOM_FILE_LOADED", False)
+        wisdom.forget()
+        # Session measurement for 4096 outranks the factory entry.
+        wisdom.record(4096, "f32", "pallas_vmem", 0.05, kind="route")
+        split_tuning._ensure_wisdom_loaded()
+        assert wisdom.lookup(1 << 20, "f32", kind="route")[
+            "algorithm"] == "resident_vmem"
+        assert wisdom.lookup(4096, "f32", kind="route")[
+            "algorithm"] == "pallas_vmem"
+        wisdom.forget()
+        monkeypatch.setattr(split_tuning, "_WISDOM_FILE_LOADED", False)
+
 
 class TestBenchHarness:
     def test_benchmark_algorithm_result(self):
