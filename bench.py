@@ -2,10 +2,16 @@
 reproducible artifact (benchmark_all.c:119-211 analog, hardened for this
 backend).
 
-Prints ONE JSON line. The top-level metric is the batched 1M-point FFT
-throughput (the BASELINE.md north star); `detail` carries the full
-suite, each entry with its SNR gate, run-to-run spread, and roofline
-fraction against the bandwidth measured IN THIS RUN:
+Prints the headline JSON line INCREMENTALLY — once the bandwidth
+pre-flight lands, again after every 1M candidate path, and again after
+every sub-bench (intermediate lines carry `"partial": true`; the final
+line doesn't). The driver keeps the last complete line of stdout, so
+even an external kill mid-suite captures everything measured up to
+that moment (the r02 lesson: rc=124 must still yield a metric).
+The top-level metric is the batched 1M-point FFT throughput (the
+BASELINE.md north star); `detail` carries the full suite, each entry
+with its SNR gate, run-to-run spread, and roofline fraction against
+the bandwidth measured IN THIS RUN:
 
   bandwidth        elementwise-copy chain  -> effective HBM GB/s
   fft_1m_batched   batch x 2^20 c2c FFT (split f32, best device path)
@@ -146,10 +152,39 @@ def _measure_path(jax, jnp, fn, path, xr, xi, want, ks, repeats):
     return r
 
 
+def _crown(results: dict, min_passes: float, batch: int, n: int,
+           bw_gbps: float) -> dict:
+    """Best SNR-passing path so far + roofline fraction (no re-measure).
+
+    Used for the INCREMENTAL emits while the sweep is still running —
+    the driver keeps the last complete JSON line, so every partial crown
+    must already be a valid, conservative artifact."""
+    ok = [r for r in results.values() if "gsps" in r]
+    if not ok:
+        return {"error": "no path passed (yet)", "paths": results}
+    best = max(ok, key=lambda r: r["gsps"])
+    out = dict(best)
+    out["paths"] = results
+    t_min_ms = min_passes * 16.0 * batch * n / (bw_gbps * 1e9) * 1e3
+    if out["ms"] >= t_min_ms:
+        out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
+    out["roofline_floor_ms"] = round(t_min_ms, 3)
+    return out
+
+
 def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
-                    min_passes=2.0, seed=0) -> dict:
+                    min_passes=2.0, seed=0, deadline=None,
+                    on_update=None) -> dict:
     """SNR-gate + time every candidate path at (batch, n); crown the
-    fastest, with the roofline floor at `min_passes` HBM passes."""
+    fastest, with the roofline floor at `min_passes` HBM passes.
+
+    `deadline` (absolute time.time()) bounds the sweep: candidates past
+    it are recorded as skipped, never started — a cold compile cache can
+    cost minutes per candidate over this tunnel and the driver's clock
+    does not stop for it. `on_update(interim)` fires after every
+    measured candidate so the caller can re-emit the headline line."""
+    import time as _time
+
     rng = np.random.default_rng(seed)
     xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
     xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
@@ -157,11 +192,17 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
                       + 1j * np.asarray(xi[0], np.float64))
     results = {}
     for fn, path in _large_fft_candidates(n):
+        if (deadline is not None and _time.time() > deadline
+                and results):  # always measure at least one candidate
+            results[path] = {"error": "skipped: bench time budget spent"}
+            continue
         try:
             results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
                                           want, ks=ks, repeats=repeats)
         except Exception as e:
             results[path] = {"error": str(e)[:140]}
+        if on_update is not None and "gsps" in results[path]:
+            on_update(_crown(results, min_passes, batch, n, bw_gbps))
     ok = [r for r in results.values() if "gsps" in r]
     if not ok:
         return {"error": "no path passed", "paths": results}
@@ -232,7 +273,8 @@ def _record_route_wisdom(jax, n: int, batch: int, out: dict) -> None:
         pass  # wisdom persistence must never fail the bench
 
 
-def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
+                 deadline=None, on_update=None) -> dict:
     """The north-star metric: batched 1M-pt c2c. Floor = ONE HBM
     residency (16 B/sample) when the resident kernel covers the size."""
     n = 1 << 20 if on_tpu else 1 << 12
@@ -245,11 +287,17 @@ def bench_fft_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
             min_passes = 1.0
     return _bench_fft_size(jax, jnp, n, batch, bw_gbps,
                            ks=(8, 24, 48), repeats=4,
-                           min_passes=min_passes)
+                           min_passes=min_passes, deadline=deadline,
+                           on_update=on_update)
 
 
 def _large_fft_candidates(n: int):
-    """All large-n split paths available on this device (best wins)."""
+    """All large-n split paths available on this device (best wins).
+
+    ORDER MATTERS: the sweep emits an updated headline after every
+    measured candidate and the driver may kill it at any moment, so the
+    presumed winner goes first and experimental variants last — a cold
+    compile cache costs minutes per candidate over this tunnel."""
     import jax
 
     cands = []
@@ -276,12 +324,7 @@ def _large_fft_candidates(n: int):
                 # contiguous (extra copy-in/out phases in VMEM).
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale)), "resident_vmem"))
-                cands.append(((lambda a, b, scale=None:
-                               fft_split_resident_cio(a, b, scale=scale)),
-                              "resident_cio"))
             if supported_large(n):
-                cands.append(((lambda a, b, scale=None: fft_split_large(
-                    a, b, scale=scale)), "fourstep_vmem"))
                 # Blocked intermediates (contiguous inter-pass DMA):
                 # the fastest SNR-passing candidate wins, so the round
                 # bench self-tunes even when the offline sweep
@@ -294,12 +337,18 @@ def _large_fft_candidates(n: int):
                 cands.append(((lambda a, b, scale=None: fft_split_large(
                     a, b, blocked=True, scale=scale)),
                     "fourstep_vmem_blocked"))
+                cands.append(((lambda a, b, scale=None: fft_split_large(
+                    a, b, scale=scale)), "fourstep_vmem"))
             if supported_huge(n):
                 cands.append(((lambda a, b, scale=None: fft_split_huge(
                     a, b, scale=scale)), "threestep_vmem"))
                 cands.append(((lambda a, b, scale=None: fft_split_huge(
                     a, b, blocked=True, scale=scale)),
                     "threestep_vmem_blocked"))
+            if supported_resident(n):
+                cands.append(((lambda a, b, scale=None:
+                               fft_split_resident_cio(a, b, scale=scale)),
+                              "resident_cio"))
         except ImportError:
             pass
     from fftlab.algos.split_stockham import fft_split
@@ -313,18 +362,24 @@ def _large_fft_candidates(n: int):
         s = jnp.float32(scale)  # XLA fuses this into the last einsum
         return yr * s, yi * s
 
-    cands.append((_einsum, "einsum_stockham"))
+    # einsum is the universal fallback; on TPU it slots in right after
+    # the kernel favourites (fast compile => an early real number even
+    # on a cold cache), on CPU it is the only candidate.
+    pos = min(2, len(cands))
+    cands.insert(pos, (_einsum, "einsum_stockham"))
     return cands
 
 
 
 
-def bench_fft_16m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+def bench_fft_16m(jax, jnp, on_tpu: bool, bw_gbps: float,
+                  deadline=None) -> dict:
     """One SINGLE large transform (the TP-shard shape, one chip);
     the three-pass kernel sets the floor at 3 HBM passes."""
     n = 1 << 24 if on_tpu else 1 << 14
     return _bench_fft_size(jax, jnp, n, 1, bw_gbps,
-                           ks=(8, 24, 48), repeats=3, min_passes=3.0, seed=1)
+                           ks=(8, 24, 48), repeats=3, min_passes=3.0,
+                           seed=1, deadline=deadline)
 
 
 def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
@@ -375,7 +430,8 @@ def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
     return r
 
 
-def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
+                             deadline=None) -> dict:
     """The FFT -> H -> IFFT sandwich at 1M (fft_filtering.c:111-132 hot
     path): two-launch blocked sandwich (4 HBM passes) vs the fused
     single-residency kernel (1 residency + streamed H = 24 B/sample).
@@ -420,8 +476,13 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
         cands.append((lambda a, b, scale=None: spectral_filter_split(
             a, b, hr, hi), "einsum_filter"))
 
+    import time as _time
+
     results = {}
     for fn, path in cands:
+        if deadline is not None and _time.time() > deadline and results:
+            results[path] = {"error": "skipped: bench time budget spent"}
+            continue
         try:
             results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
                                           want, ks=(3, 8, 14), repeats=3)
@@ -626,23 +687,40 @@ def _last_healthy_note() -> dict:
     return best or {}
 
 
+_BASELINE_GSPS = (1 << 20) / 4.5e-3 / 1e9  # RTX 3090 cuFFT anchor
+
+
+def _headline(detail: dict, partial: bool) -> str:
+    """The driver-facing JSON line, built from whatever `detail` holds
+    RIGHT NOW. Printed incrementally — after the bandwidth pre-flight,
+    after every 1M candidate, and after every sub-bench — because the
+    driver captures stdout even when it kills the process (r02 proved
+    it: rc=124 with the warning banner intact) and keeps the LAST
+    complete line. Every emit must therefore be a valid artifact."""
+    head = detail.get("fft_1m_batched", {}) or {}
+    gsps = head.get("gsps", 0.0) or 0.0
+    line = {
+        "metric": "fft_1m_batched_throughput",
+        "value": gsps,
+        "unit": "Gsamples/s",
+        "vs_baseline": round(gsps / _BASELINE_GSPS, 3) if gsps else 0.0,
+        "detail": detail,
+    }
+    if partial:
+        line["partial"] = True
+    return json.dumps(line)
+
+
 def _arm_watchdog(fuse_s: float, detail: dict) -> None:
-    """Guarantee the driver its ONE JSON line even if a device op wedges
-    mid-bench: after `fuse_s`, print whatever detail has accumulated,
-    flagged, and hard-exit (a wedged XLA call cannot be interrupted any
-    other way)."""
+    """Guarantee the driver its final JSON line even if a device op
+    wedges mid-bench: after `fuse_s`, print whatever detail has
+    accumulated, flagged, and hard-exit (a wedged XLA call cannot be
+    interrupted any other way)."""
     import threading
 
     def fire():
         detail["watchdog"] = f"fired after {fuse_s:.0f}s (device wedged?)"
-        head = detail.get("fft_1m_batched", {})
-        print(json.dumps({
-            "metric": "fft_1m_batched_throughput",
-            "value": head.get("gsps", 0.0),
-            "unit": "Gsamples/s",
-            "vs_baseline": 0.0,
-            "detail": detail,
-        }), flush=True)
+        print(_headline(detail, partial=False), flush=True)
         import os as _os
 
         _os._exit(0)
@@ -669,32 +747,36 @@ def main() -> None:
     import jax.numpy as jnp
 
     t_start = _time.time()
-    # Hard self-budget: the driver must get its ONE JSON line even if
-    # the tunneled service is congested (compiles can take minutes
-    # each); remaining sub-benches are skipped once the budget is spent.
-    budget_s = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "2400"))
-    wait_s_early = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "1800"))
+    # Driver-safe self-budget (r02 lesson: the driver killed a bench
+    # whose own watchdog was armed at ~85 min — rc=124, no metric).
+    # Defaults now target ~12 min worst-case wall clock: wait <=240 s
+    # for an outage/congestion, then <=8 min of measurement. Sessions
+    # that want the full patient sweep raise FFTLAB_BENCH_*.
+    budget_s = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "480"))
+    wait_s_early = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "240"))
     detail: dict = {}
+
+    def emit(partial=True):
+        print(_headline(detail, partial), flush=True)
+
     # Outage guard BEFORE the first in-process device touch: if the
     # service is down, wait for it in bounded subprocess pings; if it
     # never returns, emit the JSON line and exit instead of wedging.
     skip_ping = (os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
                  or os.environ.get("FFTLAB_BENCH_SKIP_PING") == "1")
     if not skip_ping:
-        while not _service_alive():
+        while not _service_alive(timeout_s=min(180.0, wait_s_early)):
             detail["service"] = "outage: ping timed out"
             if _time.time() - t_start > wait_s_early:
-                print(json.dumps({
-                    "metric": "fft_1m_batched_throughput", "value": 0.0,
-                    "unit": "Gsamples/s", "vs_baseline": 0.0,
-                    "detail": dict(detail, error="TPU service unreachable "
-                                   "for the whole pre-flight window",
-                                   **_last_healthy_note()),
-                }))
+                detail.update(error="TPU service unreachable for the "
+                              "whole pre-flight window",
+                              **_last_healthy_note())
+                emit(partial=False)
                 return
-            _time.sleep(60)
-    # A wedge can also strike mid-bench; the watchdog guarantees output.
-    _arm_watchdog(wait_s_early + budget_s + 900.0, detail)
+            _time.sleep(30)
+    # A wedge can also strike mid-bench; the watchdog guarantees a
+    # final line (intermediate lines have already been flushed anyway).
+    _arm_watchdog(wait_s_early + budget_s + 300.0, detail)
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
@@ -733,41 +815,44 @@ def main() -> None:
         # steady-state effective bandwidth and say so.
         bw["floor_gbps_used"] = 285.0
         bw_gbps = 285.0
+    emit()  # first capturable line: platform + bandwidth, value 0.0
     # The measurement budget starts AFTER the pre-flight wait — waiting
     # out an unhealthy window must not eat the sub-benches' time (the
     # wait can legitimately consume up to wait_s on a congested service).
     t_meas0 = _time.time()
+    deadline = t_meas0 + budget_s
+
+    def on_1m_update(interim):
+        # Re-emit the headline as soon as ANY 1M candidate lands — the
+        # single most important number must survive an external kill.
+        detail["fft_1m_batched"] = interim
+        emit()
 
     for name, f in (
-        ("fft_1m_batched", lambda: bench_fft_1m(jax, jnp, on_tpu, bw_gbps)),
-        ("fft_16m_single", lambda: bench_fft_16m(jax, jnp, on_tpu, bw_gbps)),
+        ("fft_1m_batched", lambda: bench_fft_1m(
+            jax, jnp, on_tpu, bw_gbps, deadline=deadline,
+            on_update=on_1m_update)),
+        ("fft_16m_single", lambda: bench_fft_16m(
+            jax, jnp, on_tpu, bw_gbps, deadline=deadline)),
         ("spectral_filter_1m",
-         lambda: bench_spectral_filter_1m(jax, jnp, on_tpu, bw_gbps)),
+         lambda: bench_spectral_filter_1m(jax, jnp, on_tpu, bw_gbps,
+                                          deadline=deadline)),
         ("serving_filter", lambda: bench_serving_filter(jax, jnp, on_tpu)),
         ("bluestein_prime",
          lambda: bench_bluestein_prime(jax, jnp, on_tpu, bw_gbps)),
         ("stft", lambda: bench_stft(jax, jnp, on_tpu)),
         ("rfft_2m", lambda: bench_rfft(jax, jnp, on_tpu, bw_gbps)),
     ):
-        if _time.time() - t_meas0 > budget_s:
+        if _time.time() > deadline:
             detail[name] = {"error": "skipped: bench time budget spent"}
             continue
         try:
             detail[name] = f()
         except Exception as e:
             detail[name] = {"error": str(e)[:160]}
+        emit()  # each completed sub-bench enriches the capturable line
     detail["wall_s"] = round(_time.time() - t_start, 1)
-
-    head = detail.get("fft_1m_batched", {})
-    gsps = head.get("gsps", 0.0)
-    baseline_gsps = (1 << 20) / 4.5e-3 / 1e9  # RTX 3090 cuFFT anchor
-    print(json.dumps({
-        "metric": "fft_1m_batched_throughput",
-        "value": gsps,
-        "unit": "Gsamples/s",
-        "vs_baseline": round(gsps / baseline_gsps, 3) if gsps else 0.0,
-        "detail": detail,
-    }))
+    emit(partial=False)
 
 
 if __name__ == "__main__":

@@ -238,6 +238,56 @@ class TestBenchHarness:
                                     bw_gbps=100.0, ks=(2, 3, 4), repeats=1)
         assert out["floor_violation"] is True
 
+    def test_bench_incremental_emit_and_deadline(self, monkeypatch):
+        """The r02 lesson: the driver keeps the LAST complete stdout
+        line even when it kills the bench, so (a) `on_update` must fire
+        with a valid crowned interim after every measured candidate,
+        and (b) a spent deadline skips remaining candidates (never the
+        first) instead of overrunning the driver's clock."""
+        import importlib.util
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        def fake_measure(jax_, jnp_, fn, path, xr, xi, want, ks, repeats):
+            ms = 0.02 if path == "a" else 0.01
+            return {"ms": ms, "gsps": round(1.0 / ms, 3),
+                    "snr_db": 140.0, "path": path}
+
+        monkeypatch.setattr(bench, "_measure_path", fake_measure)
+        cands = [(lambda a, b, scale=None: (a, b), "a"),
+                 (lambda a, b, scale=None: (a, b), "b")]
+        monkeypatch.setattr(bench, "_large_fft_candidates", lambda n: cands)
+
+        interims = []
+        out = bench._bench_fft_size(
+            jax, jnp, n=1 << 12, batch=2, bw_gbps=100.0,
+            ks=(2, 3, 4), repeats=1, on_update=interims.append)
+        assert len(interims) == 2
+        assert interims[0]["path"] == "a"          # valid crown after #1
+        assert "roofline_floor_ms" in interims[0]
+        assert out["path"] == "b"                  # faster path wins
+
+        # deadline already spent: first candidate still measured, the
+        # rest recorded as skipped
+        out = bench._bench_fft_size(
+            jax, jnp, n=1 << 12, batch=2, bw_gbps=100.0,
+            ks=(2, 3, 4), repeats=1, deadline=time.time() - 1.0)
+        assert out["path"] == "a"
+        assert "skipped" in out["paths"]["b"]["error"]
+
+        # _headline: intermediate lines are flagged partial, final not
+        import json as _json
+
+        d = {"fft_1m_batched": {"gsps": 2.0}}
+        assert _json.loads(bench._headline(d, True))["partial"] is True
+        assert "partial" not in _json.loads(bench._headline(d, False))
+
     def test_complexity_exponent_nlogn(self):
         from fftlab.bench.harness import BenchResult, complexity_exponent
 
