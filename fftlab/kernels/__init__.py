@@ -16,4 +16,3 @@ from fftlab.kernels.fft_vmem import (
 )
 from fftlab.kernels.stft_vmem import pallas_stft_split
 from fftlab.kernels.stage_fused import fused_stage, fft_split_pipeline
-from fftlab.kernels.vpu_fft import vpu_fft_columns

@@ -1,6 +1,7 @@
 """Probe which Mosaic lowerings compile + how fast on this TPU backend.
 
-The round-1 VPU kernel (kernels/vpu_fft.py) hung Mosaic on its
+The round-1 VPU kernel (removed in round 3; see docs/performance.md
+"VPU butterfly kernel" negative result) hung Mosaic on its
 reshape/concat stage structure. Before building the round-2 large-n
 kernel, measure each candidate primitive in isolation:
 

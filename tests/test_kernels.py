@@ -111,57 +111,6 @@ class TestPallasSpectralFilter:
         np.testing.assert_allclose(np.asarray(fi), xi, atol=1e-4)
 
 
-class TestVpuFft:
-    @pytest.mark.parametrize("L", [64, 256, 1024, 4096])
-    def test_matches_numpy(self, L):
-        from fftlab.kernels.vpu_fft import vpu_fft_columns
-
-        rng = np.random.default_rng(L)
-        xr = rng.standard_normal((1, L, 128)).astype(np.float32)
-        xi = rng.standard_normal((1, L, 128)).astype(np.float32)
-        yr, yi = vpu_fft_columns(xr, xi, interpret=True)
-        got = np.asarray(yr) + 1j * np.asarray(yi)
-        want = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64),
-                          axis=1)
-        assert _snr(got, want) > 115.0
-
-    def test_bitrev_layout(self):
-        from fftlab.kernels.vpu_fft import bitrev_perm, vpu_fft_columns
-
-        rng = np.random.default_rng(1)
-        L = 256
-        xr = rng.standard_normal((1, L, 128)).astype(np.float32)
-        xi = np.zeros_like(xr)
-        raw_r, raw_i = vpu_fft_columns(xr, xi, bitrev_out=True,
-                                       interpret=True)
-        nat_r, nat_i = vpu_fft_columns(xr, xi, interpret=True)
-        perm = bitrev_perm(L)
-        np.testing.assert_allclose(np.asarray(raw_r)[:, perm],
-                                   np.asarray(nat_r), atol=1e-5)
-
-    def test_inverse_roundtrip(self):
-        from fftlab.kernels.vpu_fft import vpu_fft_columns
-
-        rng = np.random.default_rng(2)
-        xr = rng.standard_normal((2, 512, 128)).astype(np.float32)
-        xi = rng.standard_normal((2, 512, 128)).astype(np.float32)
-        yr, yi = vpu_fft_columns(xr, xi, interpret=True)
-        br, bi = vpu_fft_columns(yr, yi, Direction.INVERSE, interpret=True)
-        np.testing.assert_allclose(np.asarray(br), xr, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(bi), xi, atol=1e-4)
-
-    def test_validation(self):
-        from fftlab.kernels.vpu_fft import vpu_fft_columns
-
-        with pytest.raises(ValueError):
-            vpu_fft_columns(np.zeros((2, 100, 128), np.float32),
-                            np.zeros((2, 100, 128), np.float32),
-                            interpret=True)
-        with pytest.raises(ValueError):
-            vpu_fft_columns(np.zeros((2, 256, 64), np.float32),
-                            np.zeros((2, 256, 64), np.float32),
-                            interpret=True)
-
 
 class TestPallasOsFilter:
     @pytest.mark.parametrize("n,nh,fft", [(40000, 129, 2048),
