@@ -160,14 +160,17 @@ class RealtimeAnalyzer:
         n_frames = (len(buf) - c.fft_size) // c.hop + 1
         consumed = n_frames * c.hop
         self._tail = buf[consumed:]
-        frames = np.stack([
-            buf[i * c.hop : i * c.hop + c.fft_size] for i in range(n_frames)
-        ])
-        # Split-plane rfft: no complex dtype -> runs on complex-less TPUs.
-        from fftlab.algos.split_stockham import rfft_split
+        # Frame ON DEVICE via stft_split (the DMA-framing Pallas kernel
+        # on TPU for supported sizes — the default 2048/512 config rides
+        # it): the host ships the raw chunk once instead of a host-built
+        # frame tensor that is overlap-factor x larger. The cut length
+        # yields exactly n_frames ceil-framed windows, so no zero-padded
+        # phantom frame enters the EMA. No complex dtype anywhere.
+        from fftlab.dsp.stft import stft_split
 
-        w = jnp.asarray(get_window(c.window, c.fft_size), dtype=np.float32)
-        Xr, Xi = rfft_split(jnp.asarray(frames) * w)
+        cut = (n_frames - 1) * c.hop + c.fft_size
+        Xr, Xi = stft_split(jnp.asarray(buf[:cut]), c.fft_size, c.hop,
+                            c.window)
         mags = np.asarray(jnp.sqrt(Xr * Xr + Xi * Xi))
         alpha = 1.0 / c.averaging
         avg = self._avg if self._avg is not None else mags[0]

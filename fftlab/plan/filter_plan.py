@@ -196,6 +196,20 @@ class FilterPlan:
         padded = keep + next_power_of_two(n_blocks) * hop
         zpad = np.zeros(padded - len(buf), dtype=np.float32)
         bufp = jnp.asarray(np.concatenate([buf, zpad]))
+        if self._use_pallas():
+            # DMA-framing kernel on the halo-prefixed buffer: the kernel
+            # computes the zero-history causal filter of bufp, and for
+            # output index i >= keep the history window sits entirely
+            # inside buf — so dropping the first `keep` outputs yields
+            # the exact streaming continuation (same contract as the
+            # _jit_blocks valid-region slice below).
+            from fftlab.kernels.os_filter_vmem import pallas_os_filter_split
+
+            yr, _ = pallas_os_filter_split(
+                bufp, jnp.zeros(padded, jnp.float32), self.h,
+                fft_size=self._pallas_fft_size(),
+            )
+            return np.asarray(yr)[keep : keep + len(c)]
         yr, _ = self._jit_blocks(bufp, jnp.zeros(padded, jnp.float32))
         return np.asarray(yr)[: len(c)]
 

@@ -183,6 +183,25 @@ class TestAnalyzer:
         an = RealtimeAnalyzer(AnalyzerConfig(fft_size=512, hop=128))
         assert an.process(np.zeros(16)) is None
 
+    def test_process_matches_host_framing_oracle(self):
+        """process() now frames on device (stft_split -> DMA kernel on
+        TPU); the magnitudes must equal the straightforward host
+        framing + windowed rfft it replaced."""
+        from fftlab.core.window import get_window
+
+        cfg = AnalyzerConfig(fft_size=256, hop=128, averaging=1)
+        an = RealtimeAnalyzer(cfg)
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal(1024).astype(np.float32)
+        got = an.process(x)
+        w = get_window(cfg.window, cfg.fft_size)
+        n_frames = (1024 - cfg.fft_size) // cfg.hop + 1
+        frames = np.stack([x[i * cfg.hop : i * cfg.hop + cfg.fft_size]
+                           for i in range(n_frames)])
+        want = np.abs(np.fft.rfft(frames * w, axis=-1))
+        # averaging=1 -> EMA carry equals the LAST frame's magnitudes
+        np.testing.assert_allclose(got, want[-1], atol=2e-3)
+
 
 class TestIO:
     def test_text_roundtrip(self, tmp_path):

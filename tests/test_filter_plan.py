@@ -72,6 +72,22 @@ class TestFilterPlan:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_streaming_continuity_pallas_route(self, monkeypatch):
+        """stream() through the DMA overlap-save kernel (the TPU route,
+        exercised here via interpret mode) must produce the identical
+        streaming continuation as the XLA block path: the halo-prefixed
+        buffer's zero-history filter, valid from index nh-1."""
+        rng = np.random.default_rng(7)
+        n, nh = 5000, 65
+        x = rng.standard_normal(n).astype(np.float32)
+        h = rng.standard_normal(nh)
+        plan = FilterPlan(h)
+        monkeypatch.setattr(FilterPlan, "_use_pallas", lambda self: True)
+        chunks = [x[0:700], x[700:2048], x[2048:5000]]
+        got = np.concatenate([plan.stream(c) for c in chunks])
+        want = np.convolve(x.astype(np.float64), np.asarray(h, np.float64))[:n]
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
     def test_reset_restarts_stream(self):
         rng = np.random.default_rng(3)
         h = rng.standard_normal(9)
