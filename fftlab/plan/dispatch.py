@@ -12,7 +12,10 @@ Routes (split re/im planes, [..., n] batch-first):
   pallas_vmem      one-launch kernel, TPU, n = m*128 (m 8..128 pow2)
   resident_vmem    ONE-HBM-RESIDENCY kernel, TPU, pow2 n in 2^15..2^20:
                    whole signal lives in VMEM, 16 B/sample traffic —
-                   half the two-pass floor
+                   half the two-pass floor on paper; the r3 counted A/B
+                   measured it SLOWER than fourstep_vmem (strided
+                   column-chunk delivery dominates), so it stays a
+                   tuning candidate, not a default
   resident_cio     the same residency with EVERY HBM edge contiguous
                    (copy-in/out phases in VMEM instead of strided
                    column-chunk delivery)
@@ -64,11 +67,14 @@ def select_split_impl(n: int, batch: int = 1) -> str:
     from fftlab.kernels.fft_vmem import supported_size
     from fftlab.kernels.fourstep_vmem import supported_large
 
-    # resident_vmem is a ROUTES/tuning candidate but not the static
-    # default: its one-residency traffic advantage is structural, yet the
-    # measured winner on this device is still the two-pass kernel until
-    # a healthy-window A/B (tune_split_route / bench.py) says otherwise —
-    # wisdom entries override this heuristic when they exist.
+    # resident_vmem is a ROUTES/tuning candidate but NOT the static
+    # default: the r3 counted A/B (bench_artifacts/resident_ab.jsonl,
+    # 2 control-window-counted rounds) measured the blocked two-pass
+    # kernel at 5.7 ms median for 16x1M vs the resident kernel's 54 ms
+    # median / 8.5 ms best-ever — the one-residency traffic advantage
+    # is structural but its strided column-chunk delivery loses on this
+    # device. Wisdom entries (factory_wisdom.json carries the A/B
+    # verdict) override this heuristic when they exist.
     if supported_size(n) and n >= _VMEM_MIN_N:
         return "pallas_vmem"
     if supported_large(n):
@@ -92,11 +98,14 @@ def kernels_enabled() -> bool:
 
 
 def resident_filter_enabled() -> str | None:
-    """The single-residency filter sandwich is structurally 4x cheaper
-    in HBM traffic but not yet device-measured faster than the blocked
-    two-launch sandwich; opt in until the healthy-window A/B flips the
-    default: FFTLAB_RESIDENT_FILTER=1 -> v2 (strided edges),
-    =cio or 2 -> v3 (contiguous edges). Returns the variant or None."""
+    """The single-residency filter sandwich is structurally ~2.7x
+    cheaper in HBM traffic (24 vs 64 B/sample), and the r3 counted A/B
+    left it OPT-IN: on medians the blocked two-launch sandwich won
+    (19.2 ms vs resfilt's 23.2 across 2 congested counted rounds)
+    although the resident variant held the best single-round time
+    (12.6 ms) — a clean-window A/B may still flip this. Opt in with
+    FFTLAB_RESIDENT_FILTER=1 -> v2 (strided edges), =cio or 2 -> v3
+    (contiguous edges). Returns the variant or None."""
     v = os.environ.get("FFTLAB_RESIDENT_FILTER", "0")
     if v == "1":
         return "v2"

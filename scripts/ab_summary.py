@@ -16,6 +16,8 @@ import json
 import statistics
 import sys
 
+sys.path.insert(0, ".")
+
 ROUTE_OF = {
     "res": "resident_vmem",
     "res_r256": "resident_vmem",   # same route, wider out_rows
