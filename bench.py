@@ -169,6 +169,13 @@ def _crown(results: dict, min_passes: float, batch: int, n: int,
     if out["ms"] >= t_min_ms:
         out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
     out["roofline_floor_ms"] = round(t_min_ms, 3)
+    if min_passes < 2.0:
+        # The 1.0-pass floor assumes the one-residency kernel; the r3
+        # counted A/B measured it slower than the two-pass kernel on
+        # this device, so also report the fraction against the floor
+        # the winning kernel CAN physically reach (2 HBM passes).
+        t2 = 2.0 * 16.0 * batch * n / (bw_gbps * 1e9) * 1e3
+        out["roofline_fraction_two_pass"] = round(t2 / out["ms"], 3)
     return out
 
 
@@ -234,6 +241,10 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
                 out["paths"][out["path"]], floor_violation=True)
     out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
     out["roofline_floor_ms"] = round(t_min_ms, 3)
+    if min_passes < 2.0:
+        # See _crown: the achievable-floor companion fraction.
+        t2 = 2.0 * 16.0 * batch * n / (bw_gbps * 1e9) * 1e3
+        out["roofline_fraction_two_pass"] = round(t2 / out["ms"], 3)
     _record_route_wisdom(jax, n, batch, out)
     return out
 
