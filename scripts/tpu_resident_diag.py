@@ -1,9 +1,30 @@
-"""Decompose the resident kernel's 105 ms pathology: time stripped
-variants that isolate the in-DMA, the phase-A compute, the phase-B
-compute, and the strided out-DMA. Each variant is a small standalone
-pallas_call built here (results are wrong on purpose — only the time
-matters). Appends to bench_artifacts/resident_diag.jsonl.
+"""Phase-isolation diagnostic for the one-residency kernel's measured
+slowness (r3 counted A/B: resident 32-75 ms vs fourstep_blocked 4.8-6.7
+for 16x1M — >2x worse than the pass it saves should allow).
+
+Five stripped kernels share the v2 structure (same grid geometry, same
+BlockSpecs, same tables) but run exactly one cost component each, so
+timing them decomposes the full kernel's time:
+
+  read_only    phase-A grid, in_blk -> scratch copy (strided HBM read)
+  phase_a      read + in-VMEM column FFT + rank-1 twiddle into scratch
+  write_only   phase-B grid, scratch chunk -> out_blk copy (strided
+               HBM write)
+  phase_b_not  write + length-L2 column FFT, NO assembly transposes
+  phase_b      write + 8 dynamic-slice transposes + column FFT (the
+               real phase B)
+
+full-kernel time ~ phase_a + phase_b; the deltas attribute it:
+  phase_a - read_only          = pass-1 compute
+  phase_b - phase_b_not        = the transpose assembly
+  phase_b_not - write_only     = pass-2 compute
+
+Appends to bench_artifacts/resident_diag.jsonl. Run on the TPU in a
+healthy window (health-gated the same way as the A/B).
 """
+
+from __future__ import annotations
+
 import functools
 import json
 import os
@@ -24,154 +45,194 @@ import jax.numpy as jnp  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
+from fftlab.core.types import Direction, FORWARD  # noqa: E402
 from fftlab.kernels.fourstep_vmem import (  # noqa: E402
+    LANES,
     _col_fft_tables,
     _col_fft_vmem,
     _rank1_twiddle_np,
     _split_factors,
     _split_sides,
 )
-from fftlab.core.types import Direction  # noqa: E402
 
 ART = "bench_artifacts/resident_diag.jsonl"
-L1 = L2 = 1024
-N = L1 * L2
-B = 16
-W = R = 128
 
 
 def log(**kw):
     kw["t"] = round(time.time(), 1)
+    os.makedirs("bench_artifacts", exist_ok=True)
     with open(ART, "a") as f:
         f.write(json.dumps(kw) + "\n")
     print(kw, flush=True)
 
 
-def make_variant(mode: str):
-    """mode in dma_only | dma_in_only | phaseA | phaseB | full"""
-    fa, fb = _split_factors(L1)
-    tabs_np = _col_fft_tables(L1, Direction.FORWARD)
+def _mk_variant(variant: str, B: int, n: int, interpret: bool):
+    """Build one stripped pallas_call mirroring resident_vmem v2."""
+    L1, L2 = _split_sides(n)
+    W = LANES
+    R = min(LANES, L1)
+    C2 = L2 // W
+    G1 = L1 // R
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)
+    tabs1 = _col_fft_tables(L1, Direction.FORWARD)
+    tabs2 = _col_fft_tables(L2, Direction.FORWARD)
     A, P = _rank1_twiddle_np(L1, L2, W, Direction.FORWARD)
     Ar = jnp.asarray(A.real.astype(np.float32))
     Ai = jnp.asarray(A.imag.astype(np.float32))
     Pr = jnp.asarray(P.real.astype(np.float32))
     Pi = jnp.asarray(P.imag.astype(np.float32))
-
-    def kernel(xr_hbm, xi_hbm, F1, F2, F3, F4, F5, F6,
-               Ar_, Ai_, Pr_, Pi_, or_hbm, oi_hbm,
-               Mr, Mi, s0r, s0i, in_sems, out_sems):
-        b = pl.program_id(0)
-        dr = pltpu.make_async_copy(xr_hbm.at[b], Mr, in_sems.at[0])
-        di = pltpu.make_async_copy(xi_hbm.at[b], Mi, in_sems.at[1])
-        dr.start()
-        di.start()
-        dr.wait()
-        di.wait()
-        tabs = (F1[...], F2[...], F3[...], F4[...], F5[...], F6[...])
-        pr = Pr_[...]
-        pi = Pi_[...]
-        if mode in ("phaseA", "full"):
-            for c in range(L2 // W):
-                sl = slice(c * W, (c + 1) * W)
-                yr, yi = _col_fft_vmem(Mr[:, sl], Mi[:, sl], tabs, fa, fb)
-                ar = Ar_[c]
-                ai = Ai_[c]
-                wr = ar * pr - ai * pi
-                wi = ar * pi + ai * pr
-                Mr[:, sl] = yr * wr - yi * wi
-                Mi[:, sl] = yr * wi + yi * wr
-        if mode in ("phaseB", "full"):
-            # phase-B compute, but CONTIGUOUS row-aligned out DMA
-            # (no transpose of destination): isolates compute+transpose
-            # from write stride
-            pend = None
-            for g in range(L1 // R):
-                if pend is not None:
-                    pend[0].wait()
-                    pend[1].wait()
-                rs = slice(g * R, (g + 1) * R)
-                tr = jnp.transpose(Mr[rs, :], (1, 0))
-                ti = jnp.transpose(Mi[rs, :], (1, 0))
-                yr, yi = _col_fft_vmem(tr, ti, tabs, fa, fb)
-                s0r[...] = yr
-                s0i[...] = yi
-                d1 = pltpu.make_async_copy(
-                    s0r, or_hbm.at[b, :, pl.ds(g * R, R)], out_sems.at[0])
-                d2 = pltpu.make_async_copy(
-                    s0i, oi_hbm.at[b, :, pl.ds(g * R, R)], out_sems.at[1])
-                d1.start()
-                d2.start()
-                pend = (d1, d2)
-            pend[0].wait()
-            pend[1].wait()
-        else:
-            # plain contiguous full-matrix writeback
-            d1 = pltpu.make_async_copy(Mr, or_hbm.at[b], out_sems.at[0])
-            d2 = pltpu.make_async_copy(Mi, oi_hbm.at[b], out_sems.at[1])
-            d1.start()
-            d2.start()
-            d1.wait()
-            d2.wait()
-
-    hbm = pl.BlockSpec(memory_space=pl.ANY)
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dt = jnp.float32
 
-    @jax.jit
+    a_grid = variant in ("read_only", "phase_a")
+    steps = C2 if a_grid else G1
+
+    def kernel(xr_blk, xi_blk, Far1, Fai1, Fbr1, Fbi1, twr1, twi1,
+               Far2, Fai2, Fbr2, Fbi2, twr2, twi2, ar_blk, ai_blk,
+               PrT, PiT, or_ref, oi_ref, Mbr, Mbi, T2r, T2i):
+        s = pl.program_id(1)
+        if variant == "read_only":
+            Mbr[s] = xr_blk[0]
+            Mbi[s] = xi_blk[0]
+            or_ref[0] = Mbr[s]
+            oi_ref[0] = Mbi[s]
+        elif variant == "phase_a":
+            tabs1k = (Far1[...], Fai1[...], Fbr1[...], Fbi1[...],
+                      twr1[...], twi1[...])
+            yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1k, fa1, fb1)
+            ar = ar_blk[0]
+            ai = ai_blk[0]
+            wr = ar * PrT[...] - ai * PiT[...]
+            wi = ar * PiT[...] + ai * PrT[...]
+            Mbr[s] = yr * wr - yi * wi
+            Mbi[s] = yr * wi + yi * wr
+            or_ref[0] = Mbr[s]
+            oi_ref[0] = Mbi[s]
+        else:
+            g = s
+            if variant == "write_only":
+                # scratch chunk -> out, no compute (garbage data is fine
+                # for timing; nothing here can trap)
+                or_ref[0] = Mbr[g % C2][:, :R] * 1.000001
+                oi_ref[0] = Mbi[g % C2][:, :R] * 1.000001
+                return
+            if variant == "phase_b":
+                for c in range(C2):
+                    rs = pl.ds(g * R, R)
+                    ls = slice(c * W, (c + 1) * W)
+                    T2r[ls, :] = jnp.transpose(Mbr[c, rs, :], (1, 0))
+                    T2i[ls, :] = jnp.transpose(Mbi[c, rs, :], (1, 0))
+                xr2, xi2 = T2r[...], T2i[...]
+            else:  # phase_b_not: skip the transposes
+                xr2, xi2 = Mbr[g % C2][:, :R], Mbi[g % C2][:, :R]
+            tabs2k = (Far2[...], Fai2[...], Fbr2[...], Fbi2[...],
+                      twr2[...], twi2[...])
+            yr, yi = _col_fft_vmem(xr2, xi2, tabs2k, fa2, fb2)
+            or_ref[0] = yr
+            oi_ref[0] = yi
+
+    in_blk = pl.BlockSpec(
+        (1, L1, W),
+        (lambda b, s: (b, 0, jnp.minimum(s, C2 - 1))) if a_grid
+        else (lambda b, s: (b, 0, 0)),
+        memory_space=pltpu.VMEM)
+    a_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    if a_grid:
+        # phase-A variants write (L1, W) chunks at a parked column 0 —
+        # a 1/C2-sized output so the strided-read cost dominates
+        out_shape = (B, L1, W)
+        out_blk = pl.BlockSpec((1, L1, W), lambda b, s: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        out_shape = (B, L2, L1)
+        out_blk = pl.BlockSpec((1, L2, R), lambda b, s: (b, 0, s),
+                               memory_space=pltpu.VMEM)
+
+    grid = (B, steps)
+    f = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[in_blk, in_blk] + [const] * 12 + [a_blk, a_blk,
+                                                    const, const],
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct(out_shape, dt),
+                   jax.ShapeDtypeStruct(out_shape, dt)),
+        scratch_shapes=[
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((L2, R), dt),
+            pltpu.VMEM((L2, R), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
     def run(xr, xi):
         x3r = xr.reshape(B, L1, L2)
         x3i = xi.reshape(B, L1, L2)
-        yr, yi = pl.pallas_call(
-            kernel,
-            grid=(B,),
-            in_specs=[hbm, hbm] + [const] * 10,
-            out_specs=(hbm, hbm),
-            out_shape=(jax.ShapeDtypeStruct((B, L2, L1), jnp.float32),) * 2,
-            scratch_shapes=[
-                pltpu.VMEM((L1, L2), jnp.float32),
-                pltpu.VMEM((L1, L2), jnp.float32),
-                pltpu.VMEM((L2, R), jnp.float32),
-                pltpu.VMEM((L2, R), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=128 * 1024 * 1024,
-            ),
-            interpret=False,
-        )(x3r, x3i, *tabs_np, Ar, Ai, Pr, Pi)
-        return yr.reshape(B, N), yi.reshape(B, N)
+        return f(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
 
-    return run
+    return jax.jit(run)
 
 
-def main():
-    assert jax.devices()[0].platform == "tpu"
-    from fftlab.bench.timing import chain_time, min_slope
+VARIANTS = ("read_only", "phase_a", "write_only", "phase_b_not", "phase_b")
 
+
+def main() -> int:
+    from fftlab.bench.timing import chain_time, min_slope, stall_watchdog
+
+    interpret = jax.default_backend() != "tpu"
+    if not interpret:
+        stall_watchdog(ART, stall_s=2400.0)
+    B, n = 16, 1 << 20
     rng = np.random.default_rng(0)
-    xr = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
-    xi = jnp.asarray(rng.standard_normal((B, N)), jnp.float32)
+    xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
 
-    for mode in ("dma_only", "phaseA", "phaseB", "full"):
+    fns = {}
+    for v in VARIANTS:
+        t0 = time.time()
         try:
-            run = make_variant(mode)
-            t0 = time.time()
-            run(xr, xi)[0].block_until_ready()
-            compile_s = round(time.time() - t0, 1)
-
-            def step(a, b, run=run):
-                c, d = run(a, b)
-                s = jnp.float32(1e-20)  # keep magnitudes bounded
-                return c * s + a, d * s + b
-
-            raw = chain_time(step,
-                             lambda i: (xr + jnp.float32(1e-3 * i),
-                                        xi - jnp.float32(1e-3 * i)),
-                             ks=(2, 5, 8), repeats=3, return_raw=True)
-            dt = min_slope(raw)
-            log(mode=mode, ms=round(dt * 1e3, 3), compile_s=compile_s)
+            fn = _mk_variant(v, B, n, interpret)
+            fn(xr, xi)[0].block_until_ready()
+            fns[v] = fn
+            log(name=f"warm_{v}", compile_s=round(time.time() - t0, 1))
         except Exception as ex:  # noqa: BLE001
-            log(mode=mode, error=str(ex)[:300])
+            log(name=f"warm_{v}", error=str(ex)[:300],
+                compile_s=round(time.time() - t0, 1))
+
+    if interpret:
+        log(name="done", mode="interpret-smoke", variants=sorted(fns))
+        return 0
+
+    # Also time the real kernel in the same window for attribution.
+    from fftlab.kernels.resident_vmem import fft_split_resident
+
+    fns["full_v2"] = lambda a, b: fft_split_resident(a, b, FORWARD)
+    fns["full_v2"](xr, xi)[0].block_until_ready()
+
+    rounds = int(os.environ.get("DIAG_ROUNDS", "2"))
+    for rnd in range(rounds):
+        row = {"name": "diag_round", "round": rnd}
+        for v, fn in fns.items():
+            try:
+                raw = chain_time(
+                    fn,
+                    lambda i: (xr + jnp.float32(1e-3 * i),
+                               xi - jnp.float32(1e-3 * i)),
+                    ks=(3, 8, 14), repeats=3, return_raw=True)
+                dt = min_slope(raw)
+                row[v + "_ms"] = round(dt * 1e3, 4)
+            except Exception as ex:  # noqa: BLE001
+                row[v + "_err"] = str(ex)[:160]
+        log(**row)
+    log(name="done")
     return 0
 
 
