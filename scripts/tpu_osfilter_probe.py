@@ -111,19 +111,44 @@ def main():
                 for k in env:
                     os.environ.pop(k, None)
 
-    from fftlab.bench.timing import wait_healthy
+    from fftlab.bench.timing import copy_bandwidth, wait_healthy
 
-    if not wait_healthy(deadline_s=float(os.environ.get("PROBE_WAIT_S",
-                                                        "7200")),
-                        log=log):
-        log({"name": "probe_done", "healthy": False})
-        # 3 = retryable to probe_chain.sh: no healthy window, no timing
-        # rows — re-wait and retry instead of marking the probe done.
-        return 3
+    # Try the strict two-in-band gate for a bounded slice of the wait
+    # budget, then fall back ADVISORY (the A/B-validated pattern): on a
+    # day-long congested service the strict gate never fires, while the
+    # aligned_16k control (healthy value ~2.0 ms, r2 sweeps) landing in
+    # its 1.5-8 ms plausibility window proves the round anyway.
+    wait_s = float(os.environ.get("PROBE_WAIT_S", "7200"))
+    healthy = wait_healthy(deadline_s=min(wait_s, 1800.0), log=log)
+    if not healthy:
+        bw = copy_bandwidth()
+        log({"name": "health_advisory", "gbps": round(bw, 1),
+             "note": "strict gate never fired; proceeding, counting by "
+                     "the aligned_16k control window"})
     timeit("aligned_16k", variants.get("aligned_16k"))
     timeit("aligned_2k", variants.get("aligned_2k"))
     timeit("legacy_2k", legacy, env={"FFTLAB_OS_ALIGNED": "0"})
-    log({"name": "probe_done", "healthy": True})
+    if not healthy:
+        rows = {}
+        try:
+            with open(OUT) as f:
+                for line in f:
+                    try:
+                        r = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "ms" in r:
+                        rows[r.get("name")] = r["ms"]
+        except FileNotFoundError:
+            pass
+        ctrl = rows.get("aligned_16k", -1.0)
+        if not (1.5 <= ctrl <= 8.0):
+            log({"name": "probe_done", "healthy": False,
+                 "control_ms": ctrl})
+            # 3 = retryable: the advisory round failed its control.
+            return 3
+    log({"name": "probe_done", "healthy": bool(healthy),
+         "advisory": not healthy})
     return 0
 
 
