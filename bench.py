@@ -472,15 +472,18 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
             supported_resident,
         )
 
+        # Winner-first ordering (same rationale as _large_fft_candidates):
+        # the r3 counted A/B crowned the blocked two-launch sandwich on
+        # medians; the resident variants follow as challengers.
+        if supported_large(n):
+            cands.append((lambda a, b, scale=None: spectral_filter_large(
+                a, b, hr, hi, blocked=True), "fourstep_filter_blocked"))
         if supported_resident(n):
             cands.append((lambda a, b, scale=None: spectral_filter_resident(
                 a, b, hr, hi), "resident_filter"))
             cands.append((lambda a, b, scale=None:
                           spectral_filter_resident_cio(a, b, hr, hi),
                           "resident_filter_cio"))
-        if supported_large(n):
-            cands.append((lambda a, b, scale=None: spectral_filter_large(
-                a, b, hr, hi, blocked=True), "fourstep_filter_blocked"))
     if not cands:
         from fftlab.algos.split_stockham import spectral_filter_split
 

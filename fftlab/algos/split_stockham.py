@@ -154,7 +154,15 @@ def ifft_split(xr, xi, leaf: int = DEFAULT_LEAF_SPLIT):
 def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
     """Real-input FFT on the split path: real [..., n] -> (re, im) of the
     n//2+1 one-sided bins, via the pack-two-reals trick (real_fft.py
-    semantics without any complex dtype).
+    semantics without any complex dtype). The r2c the reference declared
+    but never shipped (fft_auto.c:391-403 use-after-free).
+
+    The Hermitian unpack is PAIRED when m = n/2 is even: bins k and m-k
+    are emitted together from one E[k], W[k]*O[k] computation, so the
+    half-size spectrum Z is read once instead of twice (natural +
+    conj-reversed) and every intermediate is m/2-sized — on TPU this
+    halves the unpack's HBM traffic, the dominant cost above the
+    half-size transform itself.
 
     `cfft(re, im) -> (re, im)` overrides the half-size complex transform
     (e.g. kernels/fourstep_vmem.fft_split_large for huge n)."""
@@ -168,6 +176,36 @@ def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
         return zr[..., :h], zi[..., :h]
     zr_in, zi_in = x[..., 0::2], x[..., 1::2]
     Zr, Zi = cfft(zr_in, zi_in)
+    m = n // 2
+    if m % 2 == 0:
+        # PAIRED unpack: bins k and m-k share E[k], W[k]*O[k] —
+        #   X[k]   = E + W*O            (k = 0..m/2)
+        #   X[m-k] = conj(E - W*O)      (k = 1..m/2-1), X[m] from k=0
+        # so Z is read ONCE (the naive full-range unpack reads it twice:
+        # natural + conj-reversed) and every intermediate is m/2-sized.
+        half = m // 2
+        Zlr, Zli = Zr[..., : half + 1], Zi[..., : half + 1]
+        # Zh[k] = Z[(m-k) % m] for k = 0..m/2:  [Z[0], Z[m-1]..Z[m/2]]
+        Zhr = jnp.concatenate(
+            [Zr[..., :1], Zr[..., half:][..., ::-1]], axis=-1)
+        Zhi = jnp.concatenate(
+            [Zi[..., :1], Zi[..., half:][..., ::-1]], axis=-1)
+        Er, Ei = 0.5 * (Zlr + Zhr), 0.5 * (Zli - Zhi)
+        Or_ = 0.5 * (Zli + Zhi)
+        Oi = -0.5 * (Zlr - Zhr)
+        k = np.arange(half + 1, dtype=np.float64)
+        w = np.exp(-2j * np.pi * k / n)
+        wr = jnp.asarray(w.real.astype(x.dtype))
+        wi = jnp.asarray(w.imag.astype(x.dtype))
+        WOr, WOi = _twiddle_split(Or_, Oi, wr, wi)
+        low_r, low_i = Er + WOr, Ei + WOi            # bins 0..m/2
+        hr_, hi_ = Er - WOr, -(Ei - WOi)             # conj(E - W*O)
+        # bins m/2+1..m-1 ascending = k = m/2-1 .. 1
+        mid_r = hr_[..., 1:half][..., ::-1]
+        mid_i = hi_[..., 1:half][..., ::-1]
+        Xr_out = jnp.concatenate([low_r, mid_r, hr_[..., :1]], axis=-1)
+        Xi_out = jnp.concatenate([low_i, mid_i, hi_[..., :1]], axis=-1)
+        return Xr_out, Xi_out
     Zr = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
     Zi = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
     # conj reversal: Zrev[k] = conj(Z[n/2 - k])
@@ -205,17 +243,45 @@ def irfft_split(Xr, Xi, n: int | None = None,
         fi = jnp.concatenate([Xi[..., :h], ti], axis=-1)
         yr, _ = fft_split(fr, fi, Direction.INVERSE, leaf)
         return yr
-    Xrr, Xri = Xr[..., ::-1], -Xi[..., ::-1]
-    Er, Ei = 0.5 * (Xr + Xrr), 0.5 * (Xi + Xri)
-    k = np.arange(h, dtype=np.float64)
-    w = np.exp(2j * np.pi * k / n)  # inverse basis
-    wr = jnp.asarray(w.real.astype(Xr.dtype))
-    wi = jnp.asarray(w.imag.astype(Xr.dtype))
-    Dr, Di = 0.5 * (Xr - Xrr), 0.5 * (Xi - Xri)
-    Or_, Oi = _twiddle_split(Dr, Di, wr, wi)
-    # Z = E + i*O
-    Zr = (Er - Oi)[..., : n // 2]
-    Zi = (Ei + Or_)[..., : n // 2]
+    m = n // 2
+    if m % 2 == 0:
+        # PAIRED repack (mirror of rfft_split's paired unpack): bins k
+        # and m-k share E[k], W[k]*D[k] —
+        #   Z[k]   = E + i*W*D          (k = 0..m/2)
+        #   Z[m-k] = conj(E - i*W*D)    (k = 1..m/2-1)
+        # so the spectrum is read ONCE and every intermediate is
+        # m/2-sized.
+        half = m // 2
+        Xlr, Xli = Xr[..., : half + 1], Xi[..., : half + 1]
+        Xhr = Xr[..., half:][..., ::-1]   # Xh[k] = X[m-k]
+        Xhi = Xi[..., half:][..., ::-1]
+        Er, Ei = 0.5 * (Xlr + Xhr), 0.5 * (Xli - Xhi)
+        Dr = 0.5 * (Xlr - Xhr)
+        Di = 0.5 * (Xli + Xhi)
+        k = np.arange(half + 1, dtype=np.float64)
+        w = np.exp(2j * np.pi * k / n)  # inverse basis
+        wr = jnp.asarray(w.real.astype(Xr.dtype))
+        wi = jnp.asarray(w.imag.astype(Xr.dtype))
+        Or_, Oi = _twiddle_split(Dr, Di, wr, wi)
+        low_r, low_i = Er - Oi, Ei + Or_             # Z bins 0..m/2
+        hr_ = Er + Oi                                 # conj(E - i*O)
+        hi_ = Or_ - Ei
+        Zr = jnp.concatenate(
+            [low_r, hr_[..., 1:half][..., ::-1]], axis=-1)
+        Zi = jnp.concatenate(
+            [low_i, hi_[..., 1:half][..., ::-1]], axis=-1)
+    else:
+        Xrr, Xri = Xr[..., ::-1], -Xi[..., ::-1]
+        Er, Ei = 0.5 * (Xr + Xrr), 0.5 * (Xi + Xri)
+        k = np.arange(h, dtype=np.float64)
+        w = np.exp(2j * np.pi * k / n)  # inverse basis
+        wr = jnp.asarray(w.real.astype(Xr.dtype))
+        wi = jnp.asarray(w.imag.astype(Xr.dtype))
+        Dr, Di = 0.5 * (Xr - Xrr), 0.5 * (Xi - Xri)
+        Or_, Oi = _twiddle_split(Dr, Di, wr, wi)
+        # Z = E + i*O
+        Zr = (Er - Oi)[..., : n // 2]
+        Zi = (Ei + Or_)[..., : n // 2]
     if cfft is None:
         cfft = lambda a, b: fft_split(a, b, Direction.INVERSE, leaf)
     zr, zi = cfft(Zr, Zi)

@@ -84,6 +84,26 @@ class TestRfftSplit:
         back = irfft_split(Xr, Xi, n=n)
         np.testing.assert_allclose(np.asarray(back), x, atol=1e-10)
 
+    @pytest.mark.parametrize("n", [8, 64, 1024, 20])
+    def test_paired_unpack_covers_every_bin(self, n):
+        """The paired Hermitian unpack (m even: bins k and m-k emitted
+        from one E/WO computation, Z read once) must agree bin-for-bin
+        with numpy — including the seam bins 0, m/2, m that the pairing
+        special-cases. n=20 (m=10 odd) exercises the fallback path."""
+        rng = np.random.default_rng(n + 11)
+        x = rng.standard_normal((3, n))
+        Xr, Xi = rfft_split(x)
+        got = from_split(Xr, Xi)
+        want = np.fft.rfft(x)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+        # Nyquist and DC must be exactly real
+        np.testing.assert_allclose(np.asarray(Xi)[..., 0], 0.0, atol=1e-10)
+        if n % 2 == 0:
+            np.testing.assert_allclose(np.asarray(Xi)[..., -1], 0.0,
+                                       atol=1e-10)
+        back = irfft_split(Xr, Xi, n=n)
+        np.testing.assert_allclose(np.asarray(back), x, atol=1e-10)
+
 
 class TestSpectralFilterSplit:
     def test_matches_complex_sandwich(self):
