@@ -325,7 +325,6 @@ def _large_fft_candidates(n: int):
 
             from fftlab.kernels.resident_vmem import (
                 fft_split_resident,
-                fft_split_resident_cio,
                 supported_resident,
             )
 
@@ -356,10 +355,12 @@ def _large_fft_candidates(n: int):
                 cands.append(((lambda a, b, scale=None: fft_split_huge(
                     a, b, blocked=True, scale=scale)),
                     "threestep_vmem_blocked"))
-            if supported_resident(n):
-                cands.append(((lambda a, b, scale=None:
-                               fft_split_resident_cio(a, b, scale=scale)),
-                              "resident_cio"))
+            # resident_cio stays OUT of the default sweep: the r3
+            # counted A/B measured it 18-98 ms at 16x1M (vs
+            # fourstep_blocked's 4.8-6.7) — a cold compile plus a
+            # measurement of a proven loser inside the driver's budget
+            # buys nothing. It remains an A/B candidate
+            # (scripts/tpu_resident_ab.py) and a dispatch route.
         except ImportError:
             pass
     from fftlab.algos.split_stockham import fft_split
