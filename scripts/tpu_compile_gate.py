@@ -117,8 +117,11 @@ fft_split_huge(xr, xi, FORWARD, blocked=True)[0].block_until_ready()
 """,
     "pallas_pipeline": """
 from fftlab.kernels.stage_fused import fft_split_pipeline
+from fftlab.algos.stockham import plan_factors
 xr, xi = planes(2, 1 << 16)
-fft_split_pipeline(xr, xi, FORWARD)[0].block_until_ready()
+factors = tuple(plan_factors(1 << 16, 128))
+fft_split_pipeline(xr, xi, FORWARD, factors=factors)[0]\
+    .block_until_ready()
 """,
     "os_filter_vmem": """
 from fftlab.kernels.os_filter_vmem import pallas_os_filter_split

@@ -174,9 +174,19 @@ def _mk_variant(variant: str, B: int, n: int, interpret: bool):
     )
 
     def run(xr, xi):
+        # chain_time chains run(run(x)) in a fori_loop, so the step must
+        # be SHAPE-PRESERVING: carry the inputs forward with an
+        # epsilon-coupled full reduction of the kernel outputs (keeps
+        # the kernel live in every iteration; same trick as bench.py's
+        # rfft chain).
         x3r = xr.reshape(B, L1, L2)
         x3i = xi.reshape(B, L1, L2)
-        return f(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
+        yr, yi = f(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
+        # A scalar coupling is enough: a pallas_call is opaque to XLA,
+        # so the kernel can't be pruned or slice-propagated — and unlike
+        # a full jnp.sum it adds no extra HBM pass over the output.
+        eps = jnp.float32(1e-30)
+        return (xr + eps * yr[0, 0, 0], xi + eps * yi[0, 0, 0])
 
     return jax.jit(run)
 
