@@ -254,6 +254,7 @@ _PATH_TO_ROUTE = {
     "resident_cio": "resident_cio",
     "fourstep_vmem": "fourstep_vmem",
     "fourstep_vmem_blocked": "fourstep_vmem",
+    "fourstep_vmem_rowmajor": "fourstep_vmem",
     "fourstep_vmem_blocked_w256": "fourstep_vmem",
     "threestep_vmem": "threestep_vmem",
     "threestep_vmem_blocked": "threestep_vmem",
@@ -347,8 +348,15 @@ def _large_fft_candidates(n: int):
                 cands.append(((lambda a, b, scale=None: fft_split_large(
                     a, b, blocked=True, scale=scale)),
                     "fourstep_vmem_blocked"))
+                # blocked=None resolves to blocked=True (the default),
+                # so the row-major comparison point must say so
+                # EXPLICITLY — a blocked=None candidate would be the
+                # same computation under a different jit key (r3s1:
+                # that redundant recompile wedged under congestion and
+                # burned the watchdog).
                 cands.append(((lambda a, b, scale=None: fft_split_large(
-                    a, b, scale=scale)), "fourstep_vmem"))
+                    a, b, blocked=False, scale=scale)),
+                    "fourstep_vmem_rowmajor"))
             if supported_huge(n):
                 cands.append(((lambda a, b, scale=None: fft_split_huge(
                     a, b, scale=scale)), "threestep_vmem"))

@@ -98,6 +98,11 @@ from fftlab.kernels.fourstep_vmem import fft_split_large
 xr, xi = planes(2, 1 << 20)
 fft_split_large(xr, xi, FORWARD, blocked=True)[0].block_until_ready()
 """,
+    "fourstep_vmem_rowmajor": """
+from fftlab.kernels.fourstep_vmem import fft_split_large
+xr, xi = planes(2, 1 << 20)
+fft_split_large(xr, xi, FORWARD, blocked=False)[0].block_until_ready()
+""",
     "fourstep_filter_blocked": """
 from fftlab.kernels.fourstep_vmem import spectral_filter_large
 xr, xi = planes(2, 1 << 20)
