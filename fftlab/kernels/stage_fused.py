@@ -112,6 +112,26 @@ def fused_stage(xr, xi, *, r: int, direction=FORWARD, twiddle: bool = True,
     return yr.reshape(B, n), yi.reshape(B, n)
 
 
+def pipeline_factors(n: int) -> tuple[int, ...]:
+    """Factorization of pow2 n that satisfies the fused-stage pipeline's
+    column constraint: every non-leaf stage radix r must leave
+    M = remaining//r divisible by 128 (lane width). Greedy largest-radix
+    choice clamped by that bound; the leaf (last factor, consumed by the
+    XLA matmul) is whatever <= 128 remains. plan_factors' balanced
+    splits (e.g. (64, 32, 32) at 2^16) violate the bound — this is the
+    chooser run_route and the compile gate must use."""
+    if n < 2 * LANES or n & (n - 1):
+        raise ValueError(f"pipeline needs pow2 n >= {2 * LANES}; got {n}")
+    fs = []
+    rem = n
+    while rem > LANES:
+        r = min(LANES, rem // LANES)
+        fs.append(r)
+        rem //= r
+    fs.append(rem)
+    return tuple(fs)
+
+
 def fft_split_pipeline(xr, xi, direction=FORWARD, factors=(64, 128, 128),
                        col_tile: int = 8, interpret: bool = False):
     """Full FFT from fused-stage launches: K-1 Pallas stages (contraction

@@ -232,10 +232,15 @@ def run_route(route: str, xr, xi, direction, scale: float | None = None):
 
         return fft_split_huge(xr, xi, direction, scale=scale)
     if route == "pallas_pipeline":
-        from fftlab.kernels.stage_fused import fft_split_pipeline
-        from fftlab.algos.stockham import plan_factors
+        from fftlab.kernels.stage_fused import (
+            fft_split_pipeline,
+            pipeline_factors,
+        )
 
-        factors = tuple(plan_factors(n, 128))
+        # plan_factors' balanced splits can violate the pipeline's
+        # M % 128 stage constraint (compile-gate r3 finding) — use the
+        # constraint-satisfying chooser.
+        factors = pipeline_factors(n)
         yr, yi = fft_split_pipeline(xr.reshape(batch, n),
                                     xi.reshape(batch, n),
                                     direction, factors=factors)

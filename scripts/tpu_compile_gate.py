@@ -121,11 +121,10 @@ xr, xi = planes(1, 1 << 23)
 fft_split_huge(xr, xi, FORWARD, blocked=True)[0].block_until_ready()
 """,
     "pallas_pipeline": """
-from fftlab.kernels.stage_fused import fft_split_pipeline
-from fftlab.algos.stockham import plan_factors
+from fftlab.kernels.stage_fused import fft_split_pipeline, pipeline_factors
 xr, xi = planes(2, 1 << 16)
-factors = tuple(plan_factors(1 << 16, 128))
-fft_split_pipeline(xr, xi, FORWARD, factors=factors)[0]\
+fft_split_pipeline(xr, xi, FORWARD,
+                   factors=pipeline_factors(1 << 16))[0]\
     .block_until_ready()
 """,
     "os_filter_vmem": """

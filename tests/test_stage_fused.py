@@ -103,3 +103,37 @@ class TestNonDivisibleColTile:
                     * np.outer(np.arange(2), np.arange(n // 2)) / n)
         want = (y * tw).reshape(-1)
         assert _snr(got, want) > 110.0
+
+    def test_pipeline_factors_satisfy_stage_constraint(self):
+        """Compile-gate r3 finding: plan_factors' balanced splits (e.g.
+        (64, 32, 32) at 2^16) violate the pipeline's M % 128 per-stage
+        bound and raise at call time. pipeline_factors must produce a
+        valid, product-preserving factorization for every supported
+        pow2, and the pipeline must accept it."""
+        from fftlab.kernels.stage_fused import (
+            fft_split_pipeline,
+            pipeline_factors,
+        )
+
+        for e in range(8, 27):
+            n = 1 << e
+            f = pipeline_factors(n)
+            assert int(np.prod(f)) == n
+            rem = n
+            for r in f[:-1]:
+                assert (rem // r) % 128 == 0, (n, f, r)
+                rem //= r
+        # the size that used to raise, end to end
+        n = 1 << 16
+        rng = np.random.default_rng(16)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_pipeline(xr, xi, factors=pipeline_factors(n),
+                                    interpret=True)
+        got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0],
+                                                              np.float64)
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 110.0
+        with pytest.raises(ValueError):
+            pipeline_factors(1000)  # non-pow2
