@@ -227,9 +227,16 @@ def main() -> int:
     fns["full_v2"] = lambda a, b: fft_split_resident(a, b, FORWARD)
     fns["full_v2"](xr, xi)[0].block_until_ready()
 
-    rounds = int(os.environ.get("DIAG_ROUNDS", "2"))
-    for rnd in range(rounds):
-        row = {"name": "diag_round", "round": rnd}
+    # Control-window counting (the A/B-validated pattern): a round is
+    # COUNTED only when the full v2 kernel's time lands near its best
+    # known healthy value (3.9 ms, r3s1 diag) — attribution deltas from
+    # a congested round are noise (observed: negative slopes, 5x
+    # round-to-round swings with no code change).
+    want = int(os.environ.get("DIAG_ROUNDS", "2"))
+    deadline = time.time() + float(os.environ.get("DIAG_WAIT_S", "3600"))
+    counted = 0
+    while counted < want and time.time() < deadline:
+        row = {"name": "diag_round", "round": counted}
         for v, fn in fns.items():
             try:
                 raw = chain_time(
@@ -241,9 +248,15 @@ def main() -> int:
                 row[v + "_ms"] = round(dt * 1e3, 4)
             except Exception as ex:  # noqa: BLE001
                 row[v + "_err"] = str(ex)[:160]
+        ctrl = row.get("full_v2_ms", -1.0)
+        row["counted"] = bool(3.0 <= ctrl <= 12.0)
         log(**row)
-    log(name="done")
-    return 0
+        if row["counted"]:
+            counted += 1
+        else:
+            time.sleep(45)
+    log(name="done", counted=counted)
+    return 0 if counted else 3
 
 
 if __name__ == "__main__":
