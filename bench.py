@@ -276,6 +276,15 @@ def _record_route_wisdom(jax, n: int, batch: int, out: dict) -> None:
         from fftlab.plan import wisdom
 
         wisdom.import_wisdom()   # merge the existing file first
+        # MIN-STATISTICS guard: this multi-tenant service swings 2-4x
+        # between micro-windows (r3s1 vs r3s2: the 1M crown flipped
+        # with no code change), and congestion only ever ADDS time —
+        # so a slower-window winner must not overwrite wisdom recorded
+        # in a faster window. Only an outright better time re-routes.
+        cached = wisdom.lookup(n, "f32", kind="route") or {}
+        old_ms = cached.get("time_ms")
+        if old_ms is not None and out["ms"] >= float(old_ms):
+            return
         wisdom.record(n, "f32", route, out["ms"], kind="route",
                       extra={"protocol": PROTOCOL, "batch": batch,
                              "platform": "tpu", "source": "bench.py",

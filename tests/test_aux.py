@@ -288,6 +288,41 @@ class TestBenchHarness:
         assert _json.loads(bench._headline(d, True))["partial"] is True
         assert "partial" not in _json.loads(bench._headline(d, False))
 
+    def test_route_wisdom_min_statistics_guard(self, monkeypatch, tmp_path):
+        """Cross-window service variance flips single-window winners
+        (r3s1 vs r3s2), and congestion only adds time — so a slower
+        winner must NOT overwrite wisdom from a faster window; a faster
+        one must."""
+        import importlib.util
+
+        monkeypatch.setenv("FFTLAB_WISDOM_PATH",
+                           str(tmp_path / "wisdom.json"))
+        spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        import jax
+
+        from fftlab.plan import wisdom
+
+        wisdom.forget()
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        n = 1 << 20
+        bench._record_route_wisdom(
+            jax, n, 16, {"path": "fourstep_vmem_blocked", "ms": 2.47})
+        assert wisdom.lookup(n, "f32", kind="route")["time_ms"] == 2.47
+        # slower window winner: rejected
+        bench._record_route_wisdom(
+            jax, n, 16, {"path": "resident_vmem", "ms": 5.36})
+        assert (wisdom.lookup(n, "f32", kind="route")["algorithm"]
+                == "fourstep_vmem")
+        # genuinely faster: accepted
+        bench._record_route_wisdom(
+            jax, n, 16, {"path": "resident_vmem", "ms": 1.9})
+        assert (wisdom.lookup(n, "f32", kind="route")["algorithm"]
+                == "resident_vmem")
+        wisdom.forget()
+
     def test_complexity_exponent_nlogn(self):
         from fftlab.bench.harness import BenchResult, complexity_exponent
 
