@@ -542,7 +542,12 @@ def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     from fftlab.algos.bluestein import bluestein_fft_split
     from fftlab.core.types import next_power_of_two
 
-    n = 1000003 if on_tpu else 10007  # prime
+    # n=500009 -> m=2^20: the size device-proven at 131.8 dB (r2s6).
+    # n=1000003 would need the m=2^21 sandwich, which CRASHES the
+    # backend compiler (HTTP 500, r3s2) — the L=2048 pass slabs sit at
+    # the documented 12-slab VMEM compile ceiling and the sandwich's H
+    # operands push past it.
+    n = 500009 if on_tpu else 10007  # prime
     batch = 4 if on_tpu else 1
     m = next_power_of_two(2 * n - 1)
     rng = np.random.default_rng(6)

