@@ -411,8 +411,15 @@ def bench_fft_16m(jax, jnp, on_tpu: bool, bw_gbps: float,
                            seed=1, deadline=deadline)
 
 
-def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
-    """Fused overlap-save FIR on a long signal (the serving pipeline)."""
+def bench_serving_filter(jax, jnp, on_tpu: bool,
+                         bw_gbps: float = 285.0) -> dict:
+    """Fused overlap-save FIR on a long signal (the serving pipeline).
+
+    Floor: the kernel reads and writes each plane once (16 B/sample of
+    the split pair) plus the overlap-save halo re-read
+    (fft_size/hop = 16384/(16384-128*ceil(128/128)) ~ 1.07x on the
+    read side) — reported as a plain 16 B/sample floor, slightly
+    optimistic, so the fraction is conservative."""
     n = 1 << 23 if on_tpu else 1 << 14
     nh = 129
     rng = np.random.default_rng(2)
@@ -456,6 +463,10 @@ def bench_serving_filter(jax, jnp, on_tpu: bool) -> dict:
     r["gsps"] = round(2 * n / (r["ms"] / 1e3) / 1e9, 4)  # 2 real channels
     r["snr_db"] = round(snr, 1)
     r["path"] = path
+    if on_tpu:
+        t_min_ms = 16.0 * n / (bw_gbps * 1e9) * 1e3
+        r["roofline_fraction"] = round(min(t_min_ms / r["ms"], 1.0), 3)
+        r["roofline_floor_ms"] = round(t_min_ms, 3)
     return r
 
 
@@ -874,7 +885,8 @@ def main() -> None:
         ("spectral_filter_1m",
          lambda: bench_spectral_filter_1m(jax, jnp, on_tpu, bw_gbps,
                                           deadline=deadline)),
-        ("serving_filter", lambda: bench_serving_filter(jax, jnp, on_tpu)),
+        ("serving_filter", lambda: bench_serving_filter(jax, jnp, on_tpu,
+                                                        bw_gbps)),
         ("bluestein_prime",
          lambda: bench_bluestein_prime(jax, jnp, on_tpu, bw_gbps)),
         ("stft", lambda: bench_stft(jax, jnp, on_tpu)),
