@@ -207,10 +207,125 @@ def _fft_resident_impl(xr, xi, *, direction: Direction, interpret: bool,
     return yr.reshape(B, n), yi.reshape(B, n)
 
 
+def _resident_v4_kernel(xr_blk, xi_blk,
+                        Far1, Fai1, Fbr1, Fbi1, twr1, twi1,
+                        Far2, Fai2, Fbr2, Fbi2, twr2, twi2,
+                        ar_blk, ai_blk, Pr, Pi,
+                        or_ref, oi_ref, M4r, M4i,
+                        *, L1, L2, W, R, fa1, fb1, fa2, fb2):
+    """v4 formulation: the assembly transposes move from phase B to
+    phase A with STATIC slicing (v2's phase B does C2 transposes per
+    step from DYNAMIC sublane offsets — 64 sliced transposes per batch
+    row on the phase-B critical path, where the out-block DMA is also
+    live). Here phase A stores its (L1, W) chunk already transposed
+    into per-g slots of a (G1, L2, R) scratch (G1 static transposes per
+    A step — same total count, but static slices, and they overlap the
+    in-block DMA stream instead of the out one); phase B is PURE
+    column-FFT + store."""
+    s = pl.program_id(1)
+    C2 = L2 // W
+    G1 = L1 // R
+
+    @pl.when(s < C2)
+    def _phase_a():
+        tabs1 = (Far1[...], Fai1[...], Fbr1[...], Fbi1[...],
+                 twr1[...], twi1[...])
+        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1)
+        ar = ar_blk[0]
+        ai = ai_blk[0]
+        wr = ar * Pr[...] - ai * Pi[...]
+        wi = ar * Pi[...] + ai * Pr[...]
+        tr = yr * wr - yi * wi
+        ti = yr * wi + yi * wr
+        for g in range(G1):
+            rs = slice(g * R, (g + 1) * R)          # static
+            ls = pl.ds(s * W, W)                    # dynamic sublane
+            M4r[g, ls, :] = jnp.transpose(tr[rs, :], (1, 0))
+            M4i[g, ls, :] = jnp.transpose(ti[rs, :], (1, 0))
+
+    @pl.when(s >= C2)
+    def _phase_b():
+        g = s - C2
+        tabs2 = (Far2[...], Fai2[...], Fbr2[...], Fbi2[...],
+                 twr2[...], twi2[...])
+        yr, yi = _col_fft_vmem(M4r[g], M4i[g], tabs2, fa2, fb2)
+        or_ref[0] = yr
+        oi_ref[0] = yi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("direction", "interpret", "scale", "R"),
+)
+def _fft_resident_v4_impl(xr, xi, *, direction: Direction,
+                          interpret: bool, scale=None,
+                          R: int | None = None):
+    B, n = xr.shape
+    L1, L2 = _split_sides(n)
+    W = LANES
+    if R is None:
+        R = min(LANES, L1)
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)
+    eff = (1.0 / n if direction == Direction.INVERSE else 1.0)
+    eff *= (scale if scale is not None else 1.0)
+    tabs1 = _col_fft_tables(L1, direction)
+    tabs2 = _col_fft_tables(L2, direction, None if eff == 1.0 else eff)
+    A, P = _rank1_twiddle_np(L1, L2, W, direction)
+    Ar = jnp.asarray(A.real.astype(np.float32))
+    Ai = jnp.asarray(A.imag.astype(np.float32))
+    Pr = jnp.asarray(P.real.astype(np.float32))
+    Pi = jnp.asarray(P.imag.astype(np.float32))
+
+    x3r = xr.reshape(B, L1, L2)
+    x3i = xi.reshape(B, L1, L2)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dt = xr.dtype
+    C2 = L2 // W
+    G1 = L1 // R
+    in_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.minimum(s, C2 - 1)),
+        memory_space=pltpu.VMEM)
+    a_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, L2, R),
+        lambda b, s: (b, 0, jnp.maximum(s - C2, 0)),
+        memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_resident_v4_kernel, L1=L1, L2=L2, W=W, R=R,
+                          fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2),
+        grid=(B, C2 + G1),
+        in_specs=[in_blk, in_blk] + [const] * 12 + [a_blk, a_blk,
+                                                    const, const],
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct((B, L2, L1), dt),
+                   jax.ShapeDtypeStruct((B, L2, L1), dt)),
+        scratch_shapes=[
+            pltpu.VMEM((G1, L2, R), dt),   # transposed resident matrix
+            pltpu.VMEM((G1, L2, R), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ((fa1 + fb1) + (fa2 + fb2)) * n * B,
+            transcendentals=0,
+            bytes_accessed=2 * 2 * 4 * n * B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
+    return yr.reshape(B, n), yi.reshape(B, n)
+
+
 def fft_split_resident(xr, xi, direction=FORWARD,
                        interpret: bool | None = None,
                        scale: float | None = None,
-                       out_rows: int | None = None):
+                       out_rows: int | None = None,
+                       layout: str = "v2"):
     """Batched FFT on split planes via the one-residency VMEM kernel.
 
     xr, xi: float32 [..., n], n = 2^15..2^20 pow2. Forward unscaled /
@@ -218,7 +333,11 @@ def fft_split_resident(xr, xi, direction=FORWARD,
     natural-order output. `scale` folds an extra output normalization
     into the phase-B tables for free. `out_rows` overrides the strided
     write's chunk width R (multiple of 128 dividing L1): wider R = wider
-    HBM write bursts at the cost of bigger double-buffered out blocks."""
+    HBM write bursts at the cost of bigger double-buffered out blocks.
+    `layout="v4"` stores the resident matrix TRANSPOSED during phase A
+    (static-sliced transposes that overlap the input DMA) so phase B is
+    pure column-FFT + store — the same math, a different placement of
+    the unavoidable transpose work (see _resident_v4_kernel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xr = jnp.asarray(xr)
@@ -233,7 +352,10 @@ def fft_split_resident(xr, xi, direction=FORWARD,
     for d in batch:
         B *= int(d)
     L1, _ = _split_sides(n)
-    yr, yi = _fft_resident_impl(
+    if layout not in ("v2", "v4"):
+        raise ValueError(f"layout must be 'v2' or 'v4'; got {layout!r}")
+    impl = _fft_resident_v4_impl if layout == "v4" else _fft_resident_impl
+    yr, yi = impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
         scale=None if scale is None else float(scale),

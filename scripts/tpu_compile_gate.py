@@ -64,6 +64,11 @@ from fftlab.kernels.resident_vmem import fft_split_resident
 xr, xi = planes(2, 1 << 20)
 fft_split_resident(xr, xi, FORWARD)[0].block_until_ready()
 """,
+    "resident_vmem_v4": """
+from fftlab.kernels.resident_vmem import fft_split_resident
+xr, xi = planes(2, 1 << 20)
+fft_split_resident(xr, xi, FORWARD, layout="v4")[0].block_until_ready()
+""",
     "resident_vmem_r256": """
 from fftlab.kernels.resident_vmem import fft_split_resident
 xr, xi = planes(2, 1 << 20)

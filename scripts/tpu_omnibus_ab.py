@@ -92,6 +92,8 @@ def main() -> int:
             a, b, FORWARD, blocked=True, scale=scale), small),
         ("res", lambda a, b: fft_split_resident(
             a, b, FORWARD, scale=scale), small),
+        ("res_v4", lambda a, b: fft_split_resident(
+            a, b, FORWARD, scale=scale, layout="v4"), small),
         ("resfilt", lambda a, b: spectral_filter_resident(
             a, b, hr, hi), small),
         ("resfilt_cio", lambda a, b: spectral_filter_resident_cio(

@@ -262,3 +262,49 @@ class TestResidentFilter:
             spectral_filter_resident(xr, xr, h, h, interpret=True)
         with pytest.raises(ValueError):
             spectral_filter_resident_cio(xr, xr, h, h, interpret=True)
+
+
+class TestV4Layout:
+    def test_v4_bitwise_equals_v2(self):
+        """v4 (transposed resident matrix, static-sliced phase-A
+        transposes) is the same math in a different staging — bitwise
+        equality with v2 in interpret mode, both directions."""
+        from fftlab.core.types import INVERSE
+        from fftlab.kernels.resident_vmem import fft_split_resident
+
+        rng = np.random.default_rng(44)
+        n = 1 << 16
+        xr = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+        for d in (None, INVERSE):
+            kw = {} if d is None else {"direction": d}
+            v2 = fft_split_resident(xr, xi, interpret=True, **kw)
+            v4 = fft_split_resident(xr, xi, interpret=True,
+                                    layout="v4", **kw)
+            np.testing.assert_array_equal(np.asarray(v2[0]),
+                                          np.asarray(v4[0]))
+            np.testing.assert_array_equal(np.asarray(v2[1]),
+                                          np.asarray(v4[1]))
+
+    def test_v4_scale_and_oracle(self):
+        from fftlab.kernels.resident_vmem import fft_split_resident
+
+        rng = np.random.default_rng(45)
+        n = 1 << 15
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        yr, yi = fft_split_resident(xr, xi, interpret=True, layout="v4",
+                                    scale=0.5)
+        got = np.asarray(yr[0], np.float64) + 1j * np.asarray(yi[0],
+                                                              np.float64)
+        want = 0.5 * np.fft.fft(np.asarray(xr[0], np.float64)
+                                + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 120.0
+
+    def test_bad_layout_raises(self):
+        from fftlab.kernels.resident_vmem import fft_split_resident
+
+        with pytest.raises(ValueError, match="layout"):
+            fft_split_resident(jnp.zeros((1, 1 << 15), jnp.float32),
+                               jnp.zeros((1, 1 << 15), jnp.float32),
+                               interpret=True, layout="v9")
