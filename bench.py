@@ -251,6 +251,7 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
 
 _PATH_TO_ROUTE = {
     "resident_vmem": "resident_vmem",
+    "resident_v4": "resident_v4",
     "resident_cio": "resident_cio",
     "fourstep_vmem": "fourstep_vmem",
     "fourstep_vmem_blocked": "fourstep_vmem",
@@ -340,8 +341,11 @@ def _large_fft_candidates(n: int):
 
             if supported_resident(n):
                 # ONE HBM residency: both passes in VMEM, 16 B/sample.
-                # v2 = strided column-chunk edges; v3 = every HBM edge
-                # contiguous (extra copy-in/out phases in VMEM).
+                # v2 = strided column-chunk edges; v4 = transposes moved
+                # to phase A with static slicing (v3/cio stays in the
+                # offline A/B only — proven slow).
+                cands.append(((lambda a, b, scale=None: fft_split_resident(
+                    a, b, scale=scale, layout="v4")), "resident_v4"))
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale)), "resident_vmem"))
             if supported_large(n):

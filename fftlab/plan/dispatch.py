@@ -38,7 +38,7 @@ import os
 
 from fftlab.plan.hardware import detect_hardware
 
-ROUTES = ("pallas_vmem", "resident_vmem", "resident_cio",
+ROUTES = ("pallas_vmem", "resident_vmem", "resident_v4", "resident_cio",
           "fourstep_vmem", "threestep_vmem", "pallas_pipeline", "einsum")
 
 # Measured on the v5e (docs/performance.md): the one-residency kernel
@@ -225,6 +225,11 @@ def run_route(route: str, xr, xi, direction, scale: float | None = None):
         from fftlab.kernels.resident_vmem import fft_split_resident
 
         return fft_split_resident(xr, xi, direction, scale=scale)
+    if route == "resident_v4":
+        from fftlab.kernels.resident_vmem import fft_split_resident
+
+        return fft_split_resident(xr, xi, direction, scale=scale,
+                                  layout="v4")
     if route == "resident_cio":
         from fftlab.kernels.resident_vmem import fft_split_resident_cio
 
