@@ -20,6 +20,7 @@ sys.path.insert(0, ".")
 
 ROUTE_OF = {
     "res": "resident_vmem",
+    "res_v4": "resident_v4",
     "res_r256": "resident_vmem",   # same route, wider out_rows
     "res_cio": "resident_cio",
     "fs_blocked": "fourstep_vmem",

@@ -65,6 +65,9 @@ def main():
 
     cands = [
         ("res", lambda a, b: fft_split_resident(a, b, FORWARD, scale=scale)),
+        # v4: transposes moved to phase A with static slicing (r3).
+        ("res_v4", lambda a, b: fft_split_resident(
+            a, b, FORWARD, scale=scale, layout="v4")),
         # Wider strided-write bursts (1 KB at stride L1*4): the roadmap's
         # two-rows-in-flight variant, expressed as out_rows=2*default.
         ("res_r256", lambda a, b: fft_split_resident(
