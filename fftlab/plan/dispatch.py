@@ -16,6 +16,9 @@ Routes (split re/im planes, [..., n] batch-first):
                    measured it SLOWER than fourstep_vmem (strided
                    column-chunk delivery dominates), so it stays a
                    tuning candidate, not a default
+  resident_v4      the same residency with the assembly transposes
+                   moved to phase A (static slicing, overlapping the
+                   input DMA) — phase B is pure column-FFT + store
   resident_cio     the same residency with EVERY HBM edge contiguous
                    (copy-in/out phases in VMEM instead of strided
                    column-chunk delivery)
