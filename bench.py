@@ -276,7 +276,14 @@ def _record_route_wisdom(jax, n: int, batch: int, out: dict) -> None:
         from fftlab.bench.timing import PROTOCOL
         from fftlab.plan import wisdom
 
-        wisdom.import_wisdom()   # merge the existing file first
+        wisdom.import_wisdom()   # merge the existing user file first
+        # The committed factory tier must join the comparison too —
+        # otherwise a fresh cache lets a congested-window crown shadow
+        # the repo-shipped A/B verdict (review r3 finding).
+        try:
+            wisdom.import_wisdom(wisdom.FACTORY_PATH, overwrite=False)
+        except Exception:
+            pass
         # MIN-STATISTICS guard: this multi-tenant service swings 2-4x
         # between micro-windows (r3s1 vs r3s2: the 1M crown flipped
         # with no code change), and congestion only ever ADDS time —
@@ -339,28 +346,26 @@ def _large_fft_candidates(n: int):
                 supported_resident,
             )
 
+            if supported_large(n):
+                # THE PRESUMED WINNER FIRST (factory-crowned: 2.47 ms
+                # best-ever at 16x1M): blocked intermediates,
+                # contiguous inter-pass DMA. (The w256 wide-lane
+                # variant measured slower in BOTH the r2s3 sweep and
+                # docs/performance.md's follow-up — it stays in the
+                # offline sweep scripts only.)
+                cands.append(((lambda a, b, scale=None: fft_split_large(
+                    a, b, blocked=True, scale=scale)),
+                    "fourstep_vmem_blocked"))
             if supported_resident(n):
-                # ONE HBM residency: both passes in VMEM, 16 B/sample.
-                # v2 = strided column-chunk edges; v4 = transposes moved
-                # to phase A with static slicing (v3/cio stays in the
-                # offline A/B only — proven slow).
+                # ONE HBM residency challengers: both passes in VMEM,
+                # 16 B/sample. v4 = transposes in phase A; v2 = strided
+                # column-chunk edges (v3/cio stays in the offline A/B
+                # only — proven slow).
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale, layout="v4")), "resident_v4"))
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale)), "resident_vmem"))
             if supported_large(n):
-                # Blocked intermediates (contiguous inter-pass DMA):
-                # the fastest SNR-passing candidate wins, so the round
-                # bench self-tunes even when the offline sweep
-                # (scripts/tpu_session.py) never got a healthy window.
-                # (The w256 wide-lane variant measured slower in BOTH
-                # the r2s3 sweep and docs/performance.md's follow-up —
-                # it stays in the offline sweep scripts only, keeping
-                # this sweep's compile+timing budget for live
-                # candidates.)
-                cands.append(((lambda a, b, scale=None: fft_split_large(
-                    a, b, blocked=True, scale=scale)),
-                    "fourstep_vmem_blocked"))
                 # blocked=None resolves to blocked=True (the default),
                 # so the row-major comparison point must say so
                 # EXPLICITLY — a blocked=None candidate would be the

@@ -214,14 +214,14 @@ def _resident_v4_kernel(xr_blk, xi_blk,
                         or_ref, oi_ref, M4r, M4i,
                         *, L1, L2, W, R, fa1, fb1, fa2, fb2):
     """v4 formulation: the assembly transposes move from phase B to
-    phase A with STATIC slicing (v2's phase B does C2 transposes per
-    step from DYNAMIC sublane offsets — 64 sliced transposes per batch
-    row on the phase-B critical path, where the out-block DMA is also
-    live). Here phase A stores its (L1, W) chunk already transposed
-    into per-g slots of a (G1, L2, R) scratch (G1 static transposes per
-    A step — same total count, but static slices, and they overlap the
-    in-block DMA stream instead of the out one); phase B is PURE
-    column-FFT + store."""
+    phase A. v2's phase B does C2 transposes per step whose SOURCE is
+    a dynamic-sublane slice of the scratch, on the same critical path
+    as the out-block DMA. Here phase A stores its (L1, W) chunk
+    already transposed into per-g slots of a (G1, L2, R) scratch —
+    same total transpose count, but the transpose source slice is
+    static (only the STORE destination keeps a dynamic sublane
+    offset, s*W), and the work overlaps the in-block DMA stream
+    instead of the out one; phase B is PURE column-FFT + store."""
     s = pl.program_id(1)
     C2 = L2 // W
     G1 = L1 // R

@@ -132,9 +132,10 @@ def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
     route — pass it when H is a cached plan-time constant so the O(n)
     host gather isn't redone per call.
     Equivalent numerics on every route: ifft(fft(x) * H), 1/n scaled.
-    On TPU, supported pow2 n rides the fused VMEM kernels (one HBM
-    residency opt-in via FFTLAB_RESIDENT_FILTER, else four passes via
-    the blocked two-launch form)."""
+    On TPU, supported pow2 n rides the fused VMEM kernels — the
+    one-residency resident sandwich (v2) by DEFAULT as of r3
+    (FFTLAB_RESIDENT_FILTER=0 opts back into the blocked two-launch
+    form; see resident_filter_enabled)."""
     import jax.numpy as jnp
 
     from fftlab.algos.split_stockham import spectral_filter_split_fused

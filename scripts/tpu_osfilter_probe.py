@@ -87,6 +87,10 @@ def main():
         legacy = None
     os.environ.pop("FFTLAB_OS_ALIGNED")
 
+    run_ms: dict = {}  # THIS run's measurements (the control check
+    # must never trust stale rows from the append-mode artifact —
+    # review r3 finding)
+
     def timeit(name, fn, env=None):
         if fn is None:
             return
@@ -102,7 +106,8 @@ def main():
             if dt <= 0:
                 log({"name": name, "error": "non-positive min-slope"})
             else:
-                log({"name": name, "ms": round(dt * 1e3, 3),
+                run_ms[name] = round(dt * 1e3, 3)
+                log({"name": name, "ms": run_ms[name],
                      "gsps": round(2 * n / dt / 1e9, 3)})
         except Exception as e:
             log({"name": name, "error": str(e)[:160]})
@@ -129,19 +134,7 @@ def main():
     timeit("aligned_2k", variants.get("aligned_2k"))
     timeit("legacy_2k", legacy, env={"FFTLAB_OS_ALIGNED": "0"})
     if not healthy:
-        rows = {}
-        try:
-            with open(OUT) as f:
-                for line in f:
-                    try:
-                        r = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    if "ms" in r:
-                        rows[r.get("name")] = r["ms"]
-        except FileNotFoundError:
-            pass
-        ctrl = rows.get("aligned_16k", -1.0)
+        ctrl = run_ms.get("aligned_16k", -1.0)
         if not (1.5 <= ctrl <= 8.0):
             log({"name": "probe_done", "healthy": False,
                  "control_ms": ctrl})

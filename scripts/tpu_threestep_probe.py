@@ -83,6 +83,12 @@ def main():
     # inside its plausibility window — a dead or congested window
     # cannot fake that.
     scale = 1.0 / float(np.sqrt(n))
+    if ("128", "128") not in live:
+        # The control combo never compiled — no round could ever count;
+        # bail instead of hammering the device for the whole window.
+        log(name="done", counted=0,
+            note="control combo w128_r128 not live; aborting")
+        return 3
     deadline = time.time() + float(os.environ.get("PROBE_WAIT_S", "7200"))
     want_rounds = int(os.environ.get("PROBE_ROUNDS", "3"))
     in_band = lambda g: 150.0 < g < 400.0
@@ -133,6 +139,8 @@ def main():
         log(**rnd)
         if rnd["counted"]:
             counted += 1
+        else:
+            time.sleep(45)  # back off between uncounted rounds
     log(name="done", counted=counted)
     # 3 = retryable to probe_chain.sh when NO round was counted.
     return 0 if counted else 3
