@@ -101,16 +101,21 @@ def kernels_enabled() -> bool:
 
 
 def resident_filter_enabled() -> str | None:
-    """The single-residency filter sandwich (24 vs 64 B/sample) is the
-    DEFAULT as of r3: it wins by min-statistics across every r3 device
-    campaign (best times: resfilt_cio 8.2 ms / resfilt 9.2 vs
-    fsfilt_blocked 15.4 for 16x1M) and won both same-window head-to-
-    heads that completed (A/B round 1: 12.6 vs invalid; bench r3s2:
-    42.0 vs 90.2 under congestion). v2 (strided edges) beat v3 (cio)
-    in 3 of 4 direct comparisons, so v2 is the default variant.
-    FFTLAB_RESIDENT_FILTER=0 opts back into the blocked two-launch
-    sandwich; =cio or 2 selects v3. Returns the variant or None."""
-    v = os.environ.get("FFTLAB_RESIDENT_FILTER", "1")
+    """The blocked two-launch sandwich is the filter DEFAULT; the
+    single-residency variants are opt-in. Final r3 evidence (mins
+    across ALL campaigns — the only robust estimator on a service
+    whose congestion varies minute-to-minute): fsfilt_blocked reached
+    2.35 ms for the 16x1M sandwich in the r3 omnibus and 2.53 ms in
+    the healthy r2s3 sweep — two independent campaigns within 8% —
+    while the resident variants never beat 8.2 ms (resfilt_cio) /
+    9.2 ms (resfilt v2) anywhere. The 24-vs-64 B/sample traffic
+    argument favors resident on paper, but the same per-step
+    inefficiency that makes the one-residency plain FFT lose applies
+    doubly to its fused sandwich. An earlier r3 flip to resident based
+    on incomplete minima was reverted by this data.
+    FFTLAB_RESIDENT_FILTER=1 opts into v2 (strided edges), =cio or 2
+    into v3 (contiguous edges). Returns the variant or None."""
+    v = os.environ.get("FFTLAB_RESIDENT_FILTER", "0")
     if v == "1":
         return "v2"
     if v in ("2", "cio"):
@@ -133,9 +138,9 @@ def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
     host gather isn't redone per call.
     Equivalent numerics on every route: ifft(fft(x) * H), 1/n scaled.
     On TPU, supported pow2 n rides the fused VMEM kernels — the
-    one-residency resident sandwich (v2) by DEFAULT as of r3
-    (FFTLAB_RESIDENT_FILTER=0 opts back into the blocked two-launch
-    form; see resident_filter_enabled)."""
+    blocked two-launch sandwich by default (min-statistics winner;
+    FFTLAB_RESIDENT_FILTER opts into the one-residency variants; see
+    resident_filter_enabled)."""
     import jax.numpy as jnp
 
     from fftlab.algos.split_stockham import spectral_filter_split_fused
