@@ -106,13 +106,13 @@ def resident_filter_enabled() -> str | None:
     across ALL campaigns — the only robust estimator on a service
     whose congestion varies minute-to-minute): fsfilt_blocked reached
     2.35 ms for the 16x1M sandwich in the r3 omnibus and 2.53 ms in
-    the healthy r2s3 sweep — two independent campaigns within 8% —
-    while the resident variants never beat 8.2 ms (resfilt_cio) /
-    9.2 ms (resfilt v2) anywhere. The 24-vs-64 B/sample traffic
-    argument favors resident on paper, but the same per-step
-    inefficiency that makes the one-residency plain FFT lose applies
-    doubly to its fused sandwich. An earlier r3 flip to resident based
-    on incomplete minima was reverted by this data.
+    the healthy r2s3 sweep — two independent campaigns within 8%.
+    The cio resident sandwich got CLOSE once (2.52 ms omnibus min, a
+    near-tie); resfilt v2 never beat 7.6 ms. Blocked keeps the default
+    on reproducibility (two campaigns vs one sample) and v2-losing
+    evidence; =cio stays one env var away if its near-tie repeats.
+    An earlier r3 flip to resident based on incomplete minima was
+    reverted by this data.
     FFTLAB_RESIDENT_FILTER=1 opts into v2 (strided edges), =cio or 2
     into v3 (contiguous edges). Returns the variant or None."""
     v = os.environ.get("FFTLAB_RESIDENT_FILTER", "0")
