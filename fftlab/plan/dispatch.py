@@ -70,16 +70,21 @@ def select_split_impl(n: int, batch: int = 1) -> str:
     from fftlab.kernels.fft_vmem import supported_size
     from fftlab.kernels.fourstep_vmem import supported_large
 
-    # resident_vmem is a ROUTES/tuning candidate but NOT the static
-    # default: the r3 counted A/B (bench_artifacts/resident_ab.jsonl,
-    # 2 control-window-counted rounds) measured the blocked two-pass
-    # kernel at 5.7 ms median for 16x1M vs the resident kernel's 54 ms
-    # median / 8.5 ms best-ever — the one-residency traffic advantage
-    # is structural but its strided column-chunk delivery loses on this
-    # device. Wisdom entries (factory_wisdom.json carries the A/B
-    # verdict) override this heuristic when they exist.
     if supported_size(n) and n >= _VMEM_MIN_N:
         return "pallas_vmem"
+    from fftlab.kernels.resident_vmem import supported_resident
+
+    # resident_v4 (transposes in phase A; phase B pure FFT+store) is
+    # the static default for the one-residency sizes as of r3s3: 16x1M
+    # in 1.61 ms = 10.4 GS/s, same-sweep against fourstep_blocked's
+    # 3.69 and v2's 4.74, beating the two-pass floor — the measured
+    # proof that the 16 B/sample residency pays once the transposes
+    # leave the phase-B critical path. (v2 stayed slower everywhere;
+    # the r3 A/B details are in docs/performance.md.) Wisdom entries
+    # (factory_wisdom.json ships the same verdict) outrank this
+    # heuristic when present.
+    if supported_resident(n):
+        return "resident_v4"
     if supported_large(n):
         return "fourstep_vmem"
     from fftlab.kernels.threestep_vmem import supported_huge

@@ -305,6 +305,11 @@ class TestBenchHarness:
 
         from fftlab.plan import wisdom
 
+        # Isolate the committed factory tier too — the guard imports it
+        # (overwrite=False) so a fresh cache can't shadow the shipped
+        # verdict, and the repo's real entries would poison this test.
+        monkeypatch.setattr(wisdom, "FACTORY_PATH",
+                            str(tmp_path / "no_factory.json"))
         wisdom.forget()
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         n = 1 << 20

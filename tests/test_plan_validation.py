@@ -317,12 +317,12 @@ class TestCapsDispatch:
         self._fake_caps(monkeypatch, "tpu")
         assert select_split_impl(8192) == "pallas_vmem"
         assert select_split_impl(16384) == "pallas_vmem"
-        # large pow2 sizes route to the two-pass kernel (the measured
-        # default; the one-residency resident_vmem route competes via
-        # wisdom/tuning, not the static heuristic)
-        assert select_split_impl(1 << 15) == "fourstep_vmem"
-        assert select_split_impl(1 << 17) == "fourstep_vmem"
-        assert select_split_impl(1 << 20) == "fourstep_vmem"
+        # one-residency sizes route to resident_v4 (the r3s3 measured
+        # winner: 1.61 ms vs fourstep_blocked's 3.69 same-sweep);
+        # beyond its VMEM ceiling the two-pass kernel takes over
+        assert select_split_impl(1 << 15) == "resident_v4"
+        assert select_split_impl(1 << 17) == "resident_v4"
+        assert select_split_impl(1 << 20) == "resident_v4"
         assert select_split_impl(1 << 22) == "fourstep_vmem"
         assert select_split_impl(1 << 24) == "threestep_vmem"
         # below the measured crossover and unsupported sizes -> einsum
