@@ -174,6 +174,24 @@ def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
     if n % 2 or n < 4:
         zr, zi = fft_split(x, jnp.zeros_like(x), FORWARD, leaf)
         return zr[..., :h], zi[..., :h]
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from fftlab.kernels.rfft_vmem import (
+            pack_supported,
+            pallas_hermitian_unpack,
+            pallas_pack_real,
+        )
+        from fftlab.plan.dispatch import kernels_enabled
+
+        if pack_supported(n) and kernels_enabled():
+            # XLA's stride-2 deinterleave and lane-reversing unpack are
+            # lane-gather class on this TPU (rfft probe r3: 18-98 ms +
+            # 47 ms at 8 x 2M vs ~0.5 ms copy floors); the MXU
+            # permutation-matmul kernels replace both.
+            zr_in, zi_in = pallas_pack_real(x)
+            Zr, Zi = cfft(zr_in, zi_in)
+            return pallas_hermitian_unpack(Zr, Zi, n)
     zr_in, zi_in = x[..., 0::2], x[..., 1::2]
     Zr, Zi = cfft(zr_in, zi_in)
     m = n // 2
@@ -285,6 +303,16 @@ def irfft_split(Xr, Xi, n: int | None = None,
     if cfft is None:
         cfft = lambda a, b: fft_split(a, b, Direction.INVERSE, leaf)
     zr, zi = cfft(Zr, Zi)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        from fftlab.kernels.rfft_vmem import pack_supported, pallas_interleave
+        from fftlab.plan.dispatch import kernels_enabled
+
+        if pack_supported(n) and kernels_enabled():
+            # MXU selection-matmul interleave (the XLA stack+reshape is
+            # lane-gather class on this TPU; rfft probe r3: ~10 ms).
+            return pallas_interleave(zr, zi)
     out = jnp.stack([zr, zi], axis=-1)
     return out.reshape(*out.shape[:-2], n)
 

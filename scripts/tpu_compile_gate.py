@@ -143,6 +143,21 @@ from fftlab.kernels.stft_vmem import pallas_stft_split
 x = planes(1, 1 << 17)[0][0]
 pallas_stft_split(x, 2048, 512)[0].block_until_ready()
 """,
+    "rfft_pack": """
+from fftlab.kernels.rfft_vmem import pallas_pack_real
+x = planes(8, 1 << 21)[0]
+pallas_pack_real(x)[0].block_until_ready()
+""",
+    "rfft_unpack": """
+from fftlab.kernels.rfft_vmem import pallas_hermitian_unpack
+zr, zi = planes(8, 1 << 20)
+pallas_hermitian_unpack(zr, zi, 1 << 21)[0].block_until_ready()
+""",
+    "rfft_interleave": """
+from fftlab.kernels.rfft_vmem import pallas_interleave
+zr, zi = planes(8, 1 << 20)
+pallas_interleave(zr, zi).block_until_ready()
+""",
     "stft_vmem_small": """
 from fftlab.kernels.stft_vmem import pallas_stft_split
 x = planes(1, 1 << 16)[0][0]

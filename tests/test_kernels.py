@@ -218,3 +218,57 @@ class TestOsFilterAligned:
                                        fft_size=2048, interpret=True)
         want = np.convolve(x.astype(np.float64), h)[:n]
         assert np.abs(np.asarray(yr) - want).max() < 1e-5
+
+
+class TestRfftVmem:
+    """MXU permutation-matmul r2c prologue/epilogue (kernels/rfft_vmem):
+    the XLA deinterleave/unpack are lane-gather class on TPU."""
+
+    @pytest.mark.parametrize("n", [2048, 8192, 65536])
+    def test_pack_interleave_exact(self, n):
+        from fftlab.kernels.rfft_vmem import (
+            pallas_interleave,
+            pallas_pack_real,
+        )
+
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        zr, zi = pallas_pack_real(x, interpret=True)
+        # 0/1 selection matmuls are EXACT: bitwise deinterleave
+        np.testing.assert_array_equal(np.asarray(zr), x[..., 0::2])
+        np.testing.assert_array_equal(np.asarray(zi), x[..., 1::2])
+        back = pallas_interleave(zr, zi, interpret=True)
+        np.testing.assert_array_equal(np.asarray(back), x)
+
+    @pytest.mark.parametrize("n", [2048, 65536])
+    def test_hermitian_unpack_matches_numpy(self, n):
+        from fftlab.kernels.rfft_vmem import pallas_hermitian_unpack
+
+        rng = np.random.default_rng(n + 1)
+        x = rng.standard_normal((2, n)).astype(np.float32)
+        z = (x[..., 0::2].astype(np.float64)
+             + 1j * x[..., 1::2].astype(np.float64))
+        Z = np.fft.fft(z, axis=-1)
+        Xr, Xi = pallas_hermitian_unpack(
+            jnp.asarray(Z.real, jnp.float32),
+            jnp.asarray(Z.imag, jnp.float32), n, interpret=True)
+        got = np.asarray(Xr, np.float64) + 1j * np.asarray(Xi, np.float64)
+        want = np.fft.rfft(x.astype(np.float64), axis=-1)
+        assert got.shape == want.shape
+        assert _snr(got, want) > 120.0
+        # seam bins: DC and Nyquist exactly real
+        np.testing.assert_allclose(np.asarray(Xi)[..., 0], 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Xi)[..., -1], 0.0, atol=1e-7)
+
+    def test_unsupported_sizes_raise(self):
+        from fftlab.kernels.rfft_vmem import (
+            pallas_hermitian_unpack,
+            pallas_pack_real,
+        )
+
+        with pytest.raises(ValueError):
+            pallas_pack_real(np.zeros((1, 100), np.float32), interpret=True)
+        with pytest.raises(ValueError):
+            pallas_hermitian_unpack(np.zeros((1, 512), np.float32),
+                                    np.zeros((1, 512), np.float32),
+                                    1024, interpret=True)
