@@ -252,6 +252,7 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
 _PATH_TO_ROUTE = {
     "resident_vmem": "resident_vmem",
     "resident_v4": "resident_v4",
+    "resident_v6": "resident_v6",
     "resident_cio": "resident_cio",
     "fourstep_vmem": "fourstep_vmem",
     "fourstep_vmem_blocked": "fourstep_vmem",
@@ -363,6 +364,10 @@ def _large_fft_candidates(n: int):
                 # only — proven slow).
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale, layout="v4")), "resident_v4"))
+                # v6 = zero in-VMEM transposes (lane-contraction phase
+                # B) — the challenger to v4's crown.
+                cands.append(((lambda a, b, scale=None: fft_split_resident(
+                    a, b, scale=scale, layout="v6")), "resident_v6"))
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale)), "resident_vmem"))
             if supported_large(n):
@@ -517,6 +522,16 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
             cands.append((lambda a, b, scale=None: spectral_filter_large(
                 a, b, hr, hi, blocked=True), "fourstep_filter_blocked"))
         if supported_resident(n):
+            from fftlab.kernels.resident_vmem import (
+                spectral_filter_resident_v5,
+            )
+
+            # v5 = transpose-free lane-contraction sandwich: the same
+            # design move that made resident_v4 the 1M FFT champion,
+            # applied to BOTH corner turns of the fused filter.
+            cands.append((lambda a, b, scale=None:
+                          spectral_filter_resident_v5(a, b, hr, hi),
+                          "resident_filter_v5"))
             cands.append((lambda a, b, scale=None: spectral_filter_resident(
                 a, b, hr, hi), "resident_filter"))
             cands.append((lambda a, b, scale=None:

@@ -78,7 +78,8 @@ def _split_factors(L: int) -> tuple[int, int]:
 
 
 def _col_fft_tables(L: int, direction: Direction,
-                    scale: float | None = None):
+                    scale: float | None = None,
+                    factors: tuple[int, int] | None = None):
     """Host tables for the in-VMEM length-L column FFT: Fa, Fb, and the
     inter-stage twiddle W_L^{k1a*j1b} (all float64 -> float32).
 
@@ -86,8 +87,13 @@ def _col_fft_tables(L: int, direction: Direction,
     LAST pass): an output scaling that would otherwise cost a whole
     read+write HBM pass (the reference's separate 1/n loop,
     radix2_dit.c:115-119) becomes free — fold it only into the last
-    pass's tables."""
-    fa, fb = _split_factors(L)
+    pass's tables.
+
+    `factors` overrides the balanced (fa, fb) split — the
+    lane-contraction form (_col_fft_lanes) needs fb pinned to the lane
+    width so stage A contracts whole slots."""
+    fa, fb = _split_factors(L) if factors is None else factors
+    assert fa * fb == L, (fa, fb, L)
     Fa = dft_matrix_np(fa, direction)
     Fb = dft_matrix_np(fb, direction)
     if scale is not None:
@@ -132,6 +138,57 @@ def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int):
           + jax.lax.dot_general(Fbi, tr, dn, precision=_P,
                                 preferred_element_type=jnp.float32))
     return yr.reshape(L, W), yi.reshape(L, W)
+
+
+def _col_fft_lanes(x3r, x3i, tabs, fa: int, fb: int):
+    """Length-L FFT over the SPLIT axes of an (fa, M, fb) stack.
+
+    The transform index is j = ja*fb + jb with ja the LEADING (slot)
+    axis and jb the LANE axis: stage A contracts the slot axis, stage B
+    contracts the lane axis, and the (L, M) natural-order output lands
+    with M on lanes — the corner turn a (M, L)-oriented input would
+    otherwise need rides the MXU contraction axes instead of a physical
+    VMEM transpose (dot_general picks which axis contracts; a transpose
+    of the operand is free at the instruction level).
+
+    Tables MUST be built with _col_fft_tables(L, dir, factors=(fa, fb))
+    where fb = the stack's lane width (128 in the resident kernels).
+    Same math as _col_fft_vmem — natural order by output axis order —
+    at 8*(L/fb + fb) flops/pt instead of the balanced 16*sqrt(L): the
+    unbalanced split trades MXU flops (plentiful) for zero relayouts
+    (the measured bottleneck — docs/performance.md, the v2->v4 arc)."""
+    Far, Fai, Fbr, Fbi, twr, twi = tabs
+    fa_, M, fb_ = x3r.shape
+    assert fa_ == fa and fb_ == fb, (x3r.shape, fa, fb)
+    # stage A: contract ja (the slot axis) — same (small, small) x
+    # (small, wide) jnp.dot shape the column form uses, via a
+    # trailing-collapse reshape
+    x2r = x3r.reshape(fa, M * fb)
+    x2i = x3i.reshape(fa, M * fb)
+    sr = (jnp.dot(Far, x2r, precision=_P, preferred_element_type=jnp.float32)
+          - jnp.dot(Fai, x2i, precision=_P, preferred_element_type=jnp.float32))
+    si = (jnp.dot(Far, x2i, precision=_P, preferred_element_type=jnp.float32)
+          + jnp.dot(Fai, x2r, precision=_P, preferred_element_type=jnp.float32))
+    # twiddle W_L^{ka*jb}: (fa, fb) broadcast over the middle axis
+    sr3 = sr.reshape(fa, M, fb)
+    si3 = si.reshape(fa, M, fb)
+    wr = twr.reshape(fa, 1, fb)
+    wi = twi.reshape(fa, 1, fb)
+    tr = sr3 * wr - si3 * wi
+    ti = sr3 * wi + si3 * wr
+    # stage B: contract jb (the LANE axis) -> (kb, ka, M); flattening
+    # (kb, ka) performs the digit reversal, so the result is natural k
+    # on sublanes with M on lanes.
+    dn = (((1,), (2,)), ((), ()))
+    yr = (jax.lax.dot_general(Fbr, tr, dn, precision=_P,
+                              preferred_element_type=jnp.float32)
+          - jax.lax.dot_general(Fbi, ti, dn, precision=_P,
+                                preferred_element_type=jnp.float32))
+    yi = (jax.lax.dot_general(Fbr, ti, dn, precision=_P,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(Fbi, tr, dn, precision=_P,
+                                preferred_element_type=jnp.float32))
+    return yr.reshape(fa * fb, M), yi.reshape(fa * fb, M)
 
 
 def _pass1_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,

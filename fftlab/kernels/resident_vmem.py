@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
 from fftlab.kernels.fourstep_vmem import (
     LANES,
+    _col_fft_lanes,
     _col_fft_tables,
     _col_fft_vmem,
     _rank1_twiddle_np,
@@ -321,6 +322,119 @@ def _fft_resident_v4_impl(xr, xi, *, direction: Direction,
     return yr.reshape(B, n), yi.reshape(B, n)
 
 
+def _resident_v6_kernel(xr_blk, xi_blk,
+                        Far1, Fai1, Fbr1, Fbi1, twr1, twi1,
+                        Lar2, Lai2, Lbr2, Lbi2, ltw2r, ltw2i,
+                        ar_blk, ai_blk, Pr, Pi,
+                        or_ref, oi_ref, Mbr, Mbi,
+                        *, L1, L2, W, R, fa1, fb1, la2, lb2):
+    """v6 formulation: ZERO in-VMEM transposes. Phase A is v2's
+    (column FFT + rank-1 twiddle, whole-slot store — static). Phase B
+    runs the length-L2 FFT directly on the (C2, R, W) slice
+    Mb[:, gR:(g+1)R, :] via the LANE-CONTRACTION form
+    (fourstep_vmem._col_fft_lanes): with factors (la2, lb2) =
+    (L2/W, W), the j2 = c*W + l split aligns stage A's contraction
+    with the SLOT axis and stage B's with the LANE axis, so the
+    corner turn that v2 did as C2 dynamic-sublane transposes (the
+    measured phase-B bottleneck) and v4 moved to phase A becomes part
+    of the MXU contractions themselves."""
+    s = pl.program_id(1)
+    C2 = L2 // W
+    G1 = L1 // R
+
+    @pl.when(s < C2)
+    def _phase_a():
+        tabs1 = (Far1[...], Fai1[...], Fbr1[...], Fbi1[...],
+                 twr1[...], twi1[...])
+        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1)
+        ar = ar_blk[0]
+        ai = ai_blk[0]
+        wr = ar * Pr[...] - ai * Pi[...]
+        wi = ar * Pi[...] + ai * Pr[...]
+        Mbr[s] = yr * wr - yi * wi
+        Mbi[s] = yr * wi + yi * wr
+
+    @pl.when(s >= C2)
+    def _phase_b():
+        g = s - C2
+        tabs2 = (Lar2[...], Lai2[...], Lbr2[...], Lbi2[...],
+                 ltw2r[...], ltw2i[...])
+        rs = pl.ds(g * R, R)
+        yr, yi = _col_fft_lanes(Mbr[:, rs, :], Mbi[:, rs, :],
+                                tabs2, la2, lb2)
+        or_ref[0] = yr
+        oi_ref[0] = yi
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("direction", "interpret", "scale", "R"),
+)
+def _fft_resident_v6_impl(xr, xi, *, direction: Direction,
+                          interpret: bool, scale=None,
+                          R: int | None = None):
+    B, n = xr.shape
+    L1, L2 = _split_sides(n)
+    W = LANES
+    if R is None:
+        R = min(LANES, L1)
+    fa1, fb1 = _split_factors(L1)
+    la2, lb2 = L2 // W, W          # lane-contraction factors for L2
+    eff = (1.0 / n if direction == Direction.INVERSE else 1.0)
+    eff *= (scale if scale is not None else 1.0)
+    tabs1 = _col_fft_tables(L1, direction)
+    tabs2 = _col_fft_tables(L2, direction, None if eff == 1.0 else eff,
+                            factors=(la2, lb2))
+    A, P = _rank1_twiddle_np(L1, L2, W, direction)
+    Ar = jnp.asarray(A.real.astype(np.float32))
+    Ai = jnp.asarray(A.imag.astype(np.float32))
+    Pr = jnp.asarray(P.real.astype(np.float32))
+    Pi = jnp.asarray(P.imag.astype(np.float32))
+
+    x3r = xr.reshape(B, L1, L2)
+    x3i = xi.reshape(B, L1, L2)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dt = xr.dtype
+    C2 = L2 // W
+    G1 = L1 // R
+    in_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.minimum(s, C2 - 1)),
+        memory_space=pltpu.VMEM)
+    a_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, L2, R),
+        lambda b, s: (b, 0, jnp.maximum(s - C2, 0)),
+        memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_resident_v6_kernel, L1=L1, L2=L2, W=W, R=R,
+                          fa1=fa1, fb1=fb1, la2=la2, lb2=lb2),
+        grid=(B, C2 + G1),
+        in_specs=[in_blk, in_blk] + [const] * 12 + [a_blk, a_blk,
+                                                    const, const],
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct((B, L2, L1), dt),
+                   jax.ShapeDtypeStruct((B, L2, L1), dt)),
+        scratch_shapes=[
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((C2, L1, W), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ((fa1 + fb1) + (la2 + lb2)) * n * B,
+            transcendentals=0,
+            bytes_accessed=2 * 2 * 4 * n * B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
+    return yr.reshape(B, n), yi.reshape(B, n)
+
+
 def fft_split_resident(xr, xi, direction=FORWARD,
                        interpret: bool | None = None,
                        scale: float | None = None,
@@ -337,7 +451,10 @@ def fft_split_resident(xr, xi, direction=FORWARD,
     `layout="v4"` stores the resident matrix TRANSPOSED during phase A
     (static-sliced transposes that overlap the input DMA) so phase B is
     pure column-FFT + store — the same math, a different placement of
-    the unavoidable transpose work (see _resident_v4_kernel)."""
+    the unavoidable transpose work (see _resident_v4_kernel).
+    `layout="v6"` removes the transposes entirely: phase B runs the
+    second FFT in lane-contraction form, so the corner turn rides the
+    MXU contraction axes (see _resident_v6_kernel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xr = jnp.asarray(xr)
@@ -352,9 +469,11 @@ def fft_split_resident(xr, xi, direction=FORWARD,
     for d in batch:
         B *= int(d)
     L1, _ = _split_sides(n)
-    if layout not in ("v2", "v4"):
-        raise ValueError(f"layout must be 'v2' or 'v4'; got {layout!r}")
-    impl = _fft_resident_v4_impl if layout == "v4" else _fft_resident_impl
+    if layout not in ("v2", "v4", "v6"):
+        raise ValueError(
+            f"layout must be 'v2', 'v4' or 'v6'; got {layout!r}")
+    impl = {"v2": _fft_resident_impl, "v4": _fft_resident_v4_impl,
+            "v6": _fft_resident_v6_impl}[layout]
     yr, yi = impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
@@ -971,6 +1090,223 @@ def spectral_filter_resident_cio(xr, xi, hr, hi,
         B *= int(d)
     yr, yi = _filter_resident_cio_impl(
         xr.reshape(B, n), xi.reshape(B, n), h3r, h3i,
+        interpret=bool(interpret),
+    )
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
+# ---------------------------------------------------------------------------
+# v5 fused filter: the TRANSPOSE-FREE sandwich. v2's mid phase does
+# 2*C2 dynamic-sublane tile transposes per chunk (C2 to assemble the
+# spectrum columns, C2 to store the inverse intermediate) on the same
+# critical path as its two FFTs and the streamed H chunk — the exact
+# pattern the v2->v4 plain-FFT arc measured as the loss. Here BOTH
+# corner turns ride MXU contraction axes instead
+# (fourstep_vmem._col_fft_lanes):
+#
+#   phase A   column FFT + fwd rank-1 twiddle -> Mb[s] (static store)
+#   mid g     fwd L2 FFT DIRECTLY on the (C2, R, W) slice
+#             Mb[:, gR:(g+1)R, :] in lane-contraction form -> natural
+#             (L2, R) spectrum columns -> ⊙H chunk -> standard inverse
+#             L2 FFT + inverse rank-1 twiddle -> v, stored back
+#             UNTRANSPOSED into the same rows (square R = W tiles,
+#             static source slices, dynamic sublane destination)
+#   phase B   slot Mb[q] reshaped (G1, R, W) IS the final inverse
+#             length-L1 FFT's operand in lane-contraction form
+#             (u = g*R + b: slots carry the sublane digit, lanes the
+#             minor digit) -> (L1, W) natural time order -> out block
+#
+# Zero in-VMEM transposes, one scratch matrix (v2 also carries the
+# (L2, R) assembly scratch), same one-residency traffic: 24 B/sample
+# including the streamed H. Flop cost rises ~1.5x (the lane form's
+# unbalanced factors), but the kernel is bandwidth-bound and the MXU
+# has the headroom — the r3 device A/B decides, like v4 before it.
+# Reference anchor: fft_filtering.c:111-132 as one VMEM residency.
+# ---------------------------------------------------------------------------
+
+
+def _filter_v5_kernel(xr_blk, xi_blk,
+                      F1r, F1i, G1r, G1i, T1r, T1i,          # fwd L1
+                      L2ar, L2ai, L2br, L2bi, L2tr, L2ti,    # fwd L2 (lane)
+                      I2ar, I2ai, I2br, I2bi, I2tr, I2ti,    # inv L2
+                      J1ar, J1ai, J1br, J1bi, J1tr, J1ti,    # inv L1 (lane, 1/n)
+                      af_blk_r, af_blk_i, Pfr, Pfi,          # fwd rank-1
+                      ai_blk_r, ai_blk_i, Ipr, Ipi,          # inv rank-1
+                      hr_blk, hi_blk,
+                      or_blk, oi_blk,
+                      Mbr, Mbi,
+                      *, L1: int, L2: int, W: int, R: int,
+                      fa1: int, fb1: int, fa2: int, fb2: int,
+                      la2: int, lb2: int, ja1: int, jb1: int):
+    s = pl.program_id(1)
+    C2 = L2 // W
+    G1 = L1 // R
+
+    @pl.when(s < C2)
+    def _phase_a():
+        tabs1 = (F1r[...], F1i[...], G1r[...], G1i[...],
+                 T1r[...], T1i[...])
+        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1)
+        ar = af_blk_r[0]
+        ai = af_blk_i[0]
+        wr = ar * Pfr[...] - ai * Pfi[...]
+        wi = ar * Pfi[...] + ai * Pfr[...]
+        Mbr[s] = yr * wr - yi * wi
+        Mbi[s] = yr * wi + yi * wr
+
+    @pl.when(jnp.logical_and(s >= C2, s < C2 + G1))
+    def _mid():
+        g = s - C2
+        rs = pl.ds(g * R, R)
+        tabs2f = (L2ar[...], L2ai[...], L2br[...], L2bi[...],
+                  L2tr[...], L2ti[...])
+        yr, yi = _col_fft_lanes(Mbr[:, rs, :], Mbi[:, rs, :],
+                                tabs2f, la2, lb2)
+        hr = hr_blk[0]
+        hi = hi_blk[0]
+        zr = yr * hr - yi * hi
+        zi = yr * hi + yi * hr
+        tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
+                  I2tr[...], I2ti[...])
+        # the inverse L2 FFT's input is already sublane-natural, so it
+        # keeps the cheaper balanced factors
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2)
+        iar = ai_blk_r[0]
+        iai = ai_blk_i[0]
+        iwr = iar * Ipr[...] - iai * Ipi[...]
+        iwi = iar * Ipi[...] + iai * Ipr[...]
+        vr = mr2 * iwr - mi2 * iwi      # (L2, R) = M'[:, g chunk]
+        vi = mr2 * iwi + mi2 * iwr
+        # untransposed square-tile store into the rows the read freed:
+        # Mb[c, gR + a, b] = M'[cW + a, gR + b]
+        for c in range(C2):
+            ls = slice(c * W, (c + 1) * W)
+            Mbr[c, rs, :] = vr[ls, :]
+            Mbi[c, rs, :] = vi[ls, :]
+
+    @pl.when(s >= C2 + G1)
+    def _phase_b():
+        q = s - C2 - G1
+        tabs1i = (J1ar[...], J1ai[...], J1br[...], J1bi[...],
+                  J1tr[...], J1ti[...])
+        # Mb[q].reshape(G1, R, W)[g, t, b] = M'[qW + t, gR + b]: the
+        # final inverse FFT over u = g*R + b in lane-contraction form
+        xg = Mbr[q].reshape(G1, R, W)
+        yg = Mbi[q].reshape(G1, R, W)
+        yr, yi = _col_fft_lanes(xg, yg, tabs1i, ja1, jb1)
+        or_blk[0] = yr
+        oi_blk[0] = yi
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret",),
+)
+def _filter_resident_v5_impl(xr, xi, h2r, h2i, *, interpret: bool):
+    B, n = xr.shape
+    L1, L2 = _split_sides(n)
+    W = LANES
+    R = min(LANES, L1)
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)   # balanced: the inverse L2 FFT
+    la2, lb2 = L2 // W, W           # lane form: the forward L2 FFT
+    ja1, jb1 = L1 // R, R           # lane form: the final inverse L1 FFT
+    fwd = Direction.FORWARD
+    inv = Direction.INVERSE
+    tabs1f = _col_fft_tables(L1, fwd)
+    tabs2f = _col_fft_tables(L2, fwd, factors=(la2, lb2))
+    tabs2i = _col_fft_tables(L2, inv)
+    tabs1i = _col_fft_tables(L1, inv, 1.0 / n, factors=(ja1, jb1))
+    Af, Pf = _rank1_twiddle_np(L1, L2, W, fwd)
+    Ai_, Pi_ = _rank1_twiddle_np(L2, L1, R, inv)
+    c32 = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(np.float32))
+
+    dt = xr.dtype
+    C2 = L2 // W
+    G1 = L1 // R
+    x3r = xr.reshape(B, L1, L2)
+    x3i = xi.reshape(B, L1, L2)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.minimum(s, C2 - 1)),
+        memory_space=pltpu.VMEM)
+    af_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    mid_idx = lambda s: jnp.clip(s - C2, 0, G1 - 1)
+    ai_blk = pl.BlockSpec(
+        (1, L2, 1),
+        lambda b, s: (mid_idx(s), 0, 0),
+        memory_space=pltpu.VMEM)
+    h_blk = pl.BlockSpec(
+        (1, L2, R),
+        lambda b, s: (0, 0, mid_idx(s)),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.maximum(s - C2 - G1, 0)),
+        memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_filter_v5_kernel, L1=L1, L2=L2, W=W,
+                          R=R, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2,
+                          la2=la2, lb2=lb2, ja1=ja1, jb1=jb1),
+        grid=(B, C2 + G1 + C2),
+        in_specs=[in_blk, in_blk] + [const] * 24
+                 + [af_blk, af_blk, const, const]
+                 + [ai_blk, ai_blk, const, const]
+                 + [h_blk, h_blk],
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct((B, L1, L2), dt),
+                   jax.ShapeDtypeStruct((B, L1, L2), dt)),
+        scratch_shapes=[
+            pltpu.VMEM((C2, L1, W), dt),
+            pltpu.VMEM((C2, L1, W), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ((fa1 + fb1) + (la2 + lb2) + (fa2 + fb2)
+                       + (ja1 + jb1)) * n * B,
+            transcendentals=0,
+            bytes_accessed=(2 * 2 + 1) * 2 * 4 * n * B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, *tabs1f, *tabs2f, *tabs2i, *tabs1i,
+      c32(Af.real), c32(Af.imag), c32(Pf.real), c32(Pf.imag),
+      c32(Ai_.real), c32(Ai_.imag), c32(Pi_.real), c32(Pi_.imag),
+      h2r, h2i)
+    return yr.reshape(B, n), yi.reshape(B, n)
+
+
+def spectral_filter_resident_v5(xr, xi, hr, hi,
+                                interpret: bool | None = None):
+    """The fused FFT -> H -> IFFT sandwich with ZERO in-VMEM
+    transposes (the v5 lane-contraction formulation — see the design
+    block above). Same contract as `spectral_filter_resident`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_resident(n):
+        raise ValueError(
+            f"spectral_filter_resident_v5 supports pow2 n in "
+            f"[{MIN_N}, {MAX_N}]; got {n}"
+        )
+    L1, L2 = _split_sides(n)
+    # the untransposed mid store needs square (R, W) tiles; R = W = 128
+    # holds for every supported n (L1 >= 128 from MIN_N = 2^15)
+    assert min(LANES, L1) == LANES, (n, L1)
+    h2r = jnp.asarray(hr, dtype=xr.dtype).reshape(1, L2, L1)
+    h2i = jnp.asarray(hi, dtype=xr.dtype).reshape(1, L2, L1)
+    batch = xr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= int(d)
+    yr, yi = _filter_resident_v5_impl(
+        xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
         interpret=bool(interpret),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)

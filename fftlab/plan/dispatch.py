@@ -19,6 +19,10 @@ Routes (split re/im planes, [..., n] batch-first):
   resident_v4      the same residency with the assembly transposes
                    moved to phase A (static slicing, overlapping the
                    input DMA) — phase B is pure column-FFT + store
+  resident_v6      the same residency with ZERO in-VMEM transposes:
+                   phase B runs the second FFT in lane-contraction
+                   form, the corner turn riding the MXU contraction
+                   axes (fourstep_vmem._col_fft_lanes)
   resident_cio     the same residency with EVERY HBM edge contiguous
                    (copy-in/out phases in VMEM instead of strided
                    column-chunk delivery)
@@ -41,8 +45,9 @@ import os
 
 from fftlab.plan.hardware import detect_hardware
 
-ROUTES = ("pallas_vmem", "resident_vmem", "resident_v4", "resident_cio",
-          "fourstep_vmem", "threestep_vmem", "pallas_pipeline", "einsum")
+ROUTES = ("pallas_vmem", "resident_vmem", "resident_v4", "resident_v6",
+          "resident_cio", "fourstep_vmem", "threestep_vmem",
+          "pallas_pipeline", "einsum")
 
 # Measured on the v5e (docs/performance.md): the one-residency kernel
 # beats the einsum path from 8K up; at 4K multi-row blocking makes it
@@ -119,12 +124,15 @@ def resident_filter_enabled() -> str | None:
     An earlier r3 flip to resident based on incomplete minima was
     reverted by this data.
     FFTLAB_RESIDENT_FILTER=1 opts into v2 (strided edges), =cio or 2
-    into v3 (contiguous edges). Returns the variant or None."""
+    into v3 (contiguous edges), =v5 or 3 into the transpose-free
+    lane-contraction sandwich. Returns the variant or None."""
     v = os.environ.get("FFTLAB_RESIDENT_FILTER", "0")
     if v == "1":
         return "v2"
     if v in ("2", "cio"):
         return "cio"
+    if v in ("3", "v5"):
+        return "v5"
     return None
 
 
@@ -159,13 +167,15 @@ def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
         from fftlab.kernels.resident_vmem import (
             spectral_filter_resident,
             spectral_filter_resident_cio,
+            spectral_filter_resident_v5,
             supported_resident,
         )
 
         variant = resident_filter_enabled()
         if supported_resident(n) and variant:
-            fuse = (spectral_filter_resident_cio if variant == "cio"
-                    else spectral_filter_resident)
+            fuse = {"cio": spectral_filter_resident_cio,
+                    "v5": spectral_filter_resident_v5,
+                    "v2": spectral_filter_resident}[variant]
             return fuse(xr, xi, jnp.asarray(hr), jnp.asarray(hi))
         # The two-launch sandwich above 2^20 CRASHES the backend
         # compiler (HTTP 500, bench r3s2 at m=2^21): the L=2048 pass
@@ -244,6 +254,11 @@ def run_route(route: str, xr, xi, direction, scale: float | None = None):
 
         return fft_split_resident(xr, xi, direction, scale=scale,
                                   layout="v4")
+    if route == "resident_v6":
+        from fftlab.kernels.resident_vmem import fft_split_resident
+
+        return fft_split_resident(xr, xi, direction, scale=scale,
+                                  layout="v6")
     if route == "resident_cio":
         from fftlab.kernels.resident_vmem import fft_split_resident_cio
 

@@ -95,6 +95,7 @@ def _route_candidates(n: int) -> list[str]:
     if supported_resident(n):
         cands.append("resident_vmem")
         cands.append("resident_v4")
+        cands.append("resident_v6")
         cands.append("resident_cio")
     if supported_large(n):
         cands.append("fourstep_vmem")

@@ -21,11 +21,13 @@ sys.path.insert(0, ".")
 ROUTE_OF = {
     "res": "resident_vmem",
     "res_v4": "resident_v4",
+    "res_v6": "resident_v6",
     "res_r256": "resident_vmem",   # same route, wider out_rows
     "res_cio": "resident_cio",
     "fs_blocked": "fourstep_vmem",
 }
-FILTER_ENV = {"resfilt": "1", "resfilt_cio": "cio", "fsfilt_blocked": "0"}
+FILTER_ENV = {"resfilt": "1", "resfilt_cio": "cio", "resfilt_v5": "v5",
+              "fsfilt_blocked": "0"}
 
 
 def load_rounds(path: str) -> list[dict]:

@@ -69,6 +69,18 @@ from fftlab.kernels.resident_vmem import fft_split_resident
 xr, xi = planes(2, 1 << 20)
 fft_split_resident(xr, xi, FORWARD, layout="v4")[0].block_until_ready()
 """,
+    "resident_vmem_v6": """
+from fftlab.kernels.resident_vmem import fft_split_resident
+xr, xi = planes(2, 1 << 20)
+fft_split_resident(xr, xi, FORWARD, layout="v6")[0].block_until_ready()
+""",
+    "resident_filter_v5": """
+from fftlab.kernels.resident_vmem import spectral_filter_resident_v5
+xr, xi = planes(2, 1 << 20)
+h = jnp.ones(1 << 20, jnp.float32)
+spectral_filter_resident_v5(xr, xi, h, jnp.zeros_like(h))[0]\
+    .block_until_ready()
+""",
     "resident_vmem_r256": """
 from fftlab.kernels.resident_vmem import fft_split_resident
 xr, xi = planes(2, 1 << 20)

@@ -60,6 +60,7 @@ def main() -> int:
         fft_split_resident,
         spectral_filter_resident,
         spectral_filter_resident_cio,
+        spectral_filter_resident_v5,
     )
     from fftlab.kernels.threestep_vmem import fft_split_huge
 
@@ -94,7 +95,11 @@ def main() -> int:
             a, b, FORWARD, scale=scale), small),
         ("res_v4", lambda a, b: fft_split_resident(
             a, b, FORWARD, scale=scale, layout="v4"), small),
+        ("res_v6", lambda a, b: fft_split_resident(
+            a, b, FORWARD, scale=scale, layout="v6"), small),
         ("resfilt", lambda a, b: spectral_filter_resident(
+            a, b, hr, hi), small),
+        ("resfilt_v5", lambda a, b: spectral_filter_resident_v5(
             a, b, hr, hi), small),
         ("resfilt_cio", lambda a, b: spectral_filter_resident_cio(
             a, b, hr, hi), small),

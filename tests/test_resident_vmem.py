@@ -308,3 +308,103 @@ class TestV4Layout:
             fft_split_resident(jnp.zeros((1, 1 << 15), jnp.float32),
                                jnp.zeros((1, 1 << 15), jnp.float32),
                                interpret=True, layout="v9")
+
+
+class TestV6Layout:
+    """v6 = zero in-VMEM transposes: phase B's FFT runs in
+    lane-contraction form (fourstep_vmem._col_fft_lanes), the corner
+    turn riding the MXU contraction axes. Different summation order
+    than v2 (unbalanced factors), so allclose/SNR gates, not bitwise."""
+
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 16, 1 << 19])
+    def test_v6_oracle_and_matches_v2(self, n):
+        from fftlab.core.types import INVERSE
+        from fftlab.kernels.resident_vmem import fft_split_resident
+
+        rng = np.random.default_rng(n % 61)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        yr, yi = fft_split_resident(xr, xi, interpret=True, layout="v6")
+        v2r, v2i = fft_split_resident(xr, xi, interpret=True)
+        np.testing.assert_allclose(np.asarray(yr), np.asarray(v2r),
+                                   atol=2e-2)
+        np.testing.assert_allclose(np.asarray(yi), np.asarray(v2i),
+                                   atol=2e-2)
+        got = (np.asarray(yr[0], np.float64)
+               + 1j * np.asarray(yi[0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 120.0
+        br, bi = fft_split_resident(yr, yi, INVERSE, interpret=True,
+                                    layout="v6")
+        np.testing.assert_allclose(np.asarray(br), np.asarray(xr),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(bi), np.asarray(xi),
+                                   atol=3e-4)
+
+    def test_v6_scale_and_route(self):
+        from fftlab.core.types import Direction
+        from fftlab.kernels.resident_vmem import fft_split_resident
+        from fftlab.plan.dispatch import ROUTES, run_route
+
+        assert "resident_v6" in ROUTES
+        n = 1 << 15
+        rng = np.random.default_rng(46)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        sr, si = fft_split_resident(xr, xi, interpret=True, layout="v6",
+                                    scale=0.5)
+        yr, yi = fft_split_resident(xr, xi, interpret=True, layout="v6")
+        np.testing.assert_allclose(np.asarray(sr), 0.5 * np.asarray(yr),
+                                   rtol=1e-5, atol=1e-4)
+        rr, ri = run_route("resident_v6", xr, xi, Direction.FORWARD)
+        got = (np.asarray(rr[0], np.float64)
+               + 1j * np.asarray(ri[0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 120.0
+
+
+class TestV5Filter:
+    """v5 = the transpose-free fused sandwich (both corner turns as
+    lane contractions; in-place square-tile mid store)."""
+
+    def _oracle(self, x, H):
+        return np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
+
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 17, 1 << 20])
+    def test_matches_oracle_and_v2(self, n):
+        from fftlab.kernels.resident_vmem import (
+            spectral_filter_resident,
+            spectral_filter_resident_v5,
+        )
+
+        rng = np.random.default_rng(n % 43)
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        args = (x.real.astype(np.float32), x.imag.astype(np.float32),
+                H.real.astype(np.float32), H.imag.astype(np.float32))
+        ar, ai = spectral_filter_resident_v5(*args, interpret=True)
+        got = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
+        assert _snr(got, self._oracle(x, H)) > 120.0
+        if n <= 1 << 17:  # keep the interpret-mode cross-check cheap
+            br, bi = spectral_filter_resident(*args, interpret=True)
+            np.testing.assert_allclose(np.asarray(ar), np.asarray(br),
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                       atol=2e-4)
+
+    def test_size_gate_and_dispatch_env(self, monkeypatch):
+        from fftlab.kernels.resident_vmem import spectral_filter_resident_v5
+        from fftlab.plan.dispatch import resident_filter_enabled
+
+        xr = jnp.zeros((1, 1 << 14), jnp.float32)
+        h = jnp.zeros(1 << 14, jnp.float32)
+        with pytest.raises(ValueError):
+            spectral_filter_resident_v5(xr, xr, h, h, interpret=True)
+        monkeypatch.setenv("FFTLAB_RESIDENT_FILTER", "v5")
+        assert resident_filter_enabled() == "v5"
+        monkeypatch.setenv("FFTLAB_RESIDENT_FILTER", "3")
+        assert resident_filter_enabled() == "v5"
+        monkeypatch.setenv("FFTLAB_RESIDENT_FILTER", "0")
+        assert resident_filter_enabled() is None
