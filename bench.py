@@ -259,6 +259,7 @@ _PATH_TO_ROUTE = {
     "fourstep_vmem_rowmajor": "fourstep_vmem",
     "fourstep_vmem_blocked_w256": "fourstep_vmem",
     "threestep_vmem": "threestep_vmem",
+    "threestep_vmem_lanes": "threestep_vmem",
     "threestep_vmem_blocked": "threestep_vmem",
     "einsum_stockham": "einsum",
 }
@@ -383,6 +384,12 @@ def _large_fft_candidates(n: int):
             if supported_huge(n):
                 cands.append(((lambda a, b, scale=None: fft_split_huge(
                     a, b, scale=scale)), "threestep_vmem"))
+                # transpose-free pass 3 (lane-axis FFT): the kernel's
+                # only in-VMEM transpose removed — same design move as
+                # resident v5/v6.
+                cands.append(((lambda a, b, scale=None: fft_split_huge(
+                    a, b, scale=scale, lanes=True)),
+                    "threestep_vmem_lanes"))
                 cands.append(((lambda a, b, scale=None: fft_split_huge(
                     a, b, blocked=True, scale=scale)),
                     "threestep_vmem_blocked"))

@@ -191,6 +191,47 @@ def _col_fft_lanes(x3r, x3i, tabs, fa: int, fb: int):
     return yr.reshape(fa * fb, M), yi.reshape(fa * fb, M)
 
 
+def _row_fft_lanes(xr, xi, tabs, fa: int, fb: int):
+    """Length-L FFT along the LANE axis of an (M, L) slab, output
+    (L, M) natural order — the row-slab counterpart of _col_fft_lanes.
+
+    The j = ja*fb + jb split must have fb = a multiple of 128 so the
+    (M, L) -> (M, fa, fb) lane split is tile-aligned (free). Stage A
+    contracts ja through the proven middle-axis dot_general pattern,
+    stage B contracts the lane axis; the (L, M) corner turn the caller
+    would otherwise do as a physical VMEM transpose (threestep pass 3)
+    rides the contraction axes. Tables: _col_fft_tables(L, dir,
+    factors=(fa, fb))."""
+    Far, Fai, Fbr, Fbi, twr, twi = tabs
+    M, L = xr.shape
+    assert fa * fb == L, (fa, fb, L)
+    x3r = xr.reshape(M, fa, fb)
+    x3i = xi.reshape(M, fa, fb)
+    dnA = (((1,), (1,)), ((), ()))   # Fa (fa,fa) x (M, fa, fb) -> (fa, M, fb)
+    sr = (jax.lax.dot_general(Far, x3r, dnA, precision=_P,
+                              preferred_element_type=jnp.float32)
+          - jax.lax.dot_general(Fai, x3i, dnA, precision=_P,
+                                preferred_element_type=jnp.float32))
+    si = (jax.lax.dot_general(Far, x3i, dnA, precision=_P,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(Fai, x3r, dnA, precision=_P,
+                                preferred_element_type=jnp.float32))
+    wr = twr.reshape(fa, 1, fb)
+    wi = twi.reshape(fa, 1, fb)
+    tr = sr * wr - si * wi
+    ti = sr * wi + si * wr
+    dnB = (((1,), (2,)), ((), ()))   # Fb (fb,fb) x (fa, M, fb) -> (fb, fa, M)
+    yr = (jax.lax.dot_general(Fbr, tr, dnB, precision=_P,
+                              preferred_element_type=jnp.float32)
+          - jax.lax.dot_general(Fbi, ti, dnB, precision=_P,
+                                preferred_element_type=jnp.float32))
+    yi = (jax.lax.dot_general(Fbr, ti, dnB, precision=_P,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(Fbi, tr, dnB, precision=_P,
+                                preferred_element_type=jnp.float32))
+    return yr.reshape(L, M), yi.reshape(L, M)
+
+
 def _pass1_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
                   ar_ref, ai_ref, pr_ref, pi_ref,
                   or_ref, oi_ref, *, fa, fb):

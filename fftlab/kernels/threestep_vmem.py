@@ -81,6 +81,24 @@ def _pass_row_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     oi_ref[0] = yi
 
 
+def _pass_row_lanes_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                           or_ref, oi_ref, *, fa, fb):
+    """Contiguous row slab -> LANE-axis FFT (fourstep_vmem.
+    _row_fft_lanes): the (F3, LANES) corner turn that the default
+    kernel does as a whole-slab jnp.transpose rides the MXU
+    contraction axes instead — the same move that removed every
+    transpose from the resident v5/v6 kernels. The kernel's only
+    in-VMEM transpose is pass 3's, so this variant makes the whole
+    three-pass path transpose-free. Tables must be built with
+    factors=(F3//128, 128)."""
+    from fftlab.kernels.fourstep_vmem import _row_fft_lanes
+
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    yr, yi = _row_fft_lanes(xr_ref[...], xi_ref[...], tabs, fa, fb)
+    or_ref[0] = yr
+    oi_ref[0] = yi
+
+
 def _blocked_huge_default() -> bool:
     """Blocked-intermediate switch for the three-pass kernel
     (FFTLAB_TS_BLOCKED=1 enables; off until device-verified)."""
@@ -128,11 +146,12 @@ def _burst_widths(n: int) -> tuple[int, int]:
 
 @functools.partial(
     jax.jit, static_argnames=("direction", "interpret", "blocked", "scale",
-                              "w1", "r3")
+                              "w1", "r3", "lanes")
 )
 def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool,
                    blocked: bool = False, scale=None,
-                   w1: int = LANES, r3: int = LANES):
+                   w1: int = LANES, r3: int = LANES,
+                   lanes: bool = False):
     eff = (1.0 / xr.shape[-1] if direction == Direction.INVERSE else 1.0)
     eff *= (scale if scale is not None else 1.0)
     scale = None if eff == 1.0 else eff
@@ -146,10 +165,14 @@ def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool,
     Q = (B * F1 * F2) // LANES  # pass-3 row-slab count
     fa1, fb1 = _split_factors(F1)
     fa2, fb2 = _split_factors(F2)
-    fa3, fb3 = _split_factors(F3)
+    # lanes=True: pass 3 contracts the slab's lane axis directly
+    # (transpose-free, factors pinned to (F3/128, 128)); see
+    # _pass_row_lanes_kernel.
+    fa3, fb3 = (F3 // LANES, LANES) if lanes else _split_factors(F3)
     tabs1 = _col_fft_tables(F1, direction)
     tabs2 = _col_fft_tables(F2, direction)
-    tabs3 = _col_fft_tables(F3, direction, scale)  # scale rides pass 3
+    tabs3 = _col_fft_tables(F3, direction, scale,  # scale rides pass 3
+                            factors=(fa3, fb3))
     const = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     # ---- pass 1: (B, F1, F2*F3), fused W_n^{k1*j23} (rank-1 form) -----
@@ -215,8 +238,9 @@ def _fft_huge_impl(xr, xi, *, direction: Direction, interpret: bool,
         lambda q: (q // P, 0, q % P),
         memory_space=pltpu.VMEM,
     )
+    pass3 = _pass_row_lanes_kernel if lanes else _pass_row_kernel
     yr, yi = pl.pallas_call(
-        functools.partial(_pass_row_kernel, fa=fa3, fb=fb3),
+        functools.partial(pass3, fa=fa3, fb=fb3),
         grid=(Q,),
         in_specs=[row3, row3] + [const] * 6,
         out_specs=(out3, out3),
@@ -415,7 +439,8 @@ def _fft_huge_blocked(xr, xi, direction: Direction, interpret: bool,
 def fft_split_huge(xr, xi, direction=FORWARD,
                    interpret: bool | None = None,
                    blocked: bool | None = None,
-                   scale: float | None = None):
+                   scale: float | None = None,
+                   lanes: bool | None = None):
     """Batched huge-n FFT on split planes via the three-pass kernel.
 
     xr, xi: float32 [..., n], n = 2^23..2^26 pow2. Forward unscaled /
@@ -423,7 +448,10 @@ def fft_split_huge(xr, xi, direction=FORWARD,
     layout (None = FFTLAB_TS_BLOCKED env; silently row-major where the
     blocked slabs would not fit VMEM — see blocked_huge_feasible).
     `scale` folds an extra output normalization into the pass-3 tables
-    for free (composes with the inverse 1/n)."""
+    for free (composes with the inverse 1/n). `lanes` (row-major
+    variant only; None = FFTLAB_TS_LANES env) runs pass 3 as a
+    lane-axis FFT, removing the kernel's only in-VMEM transpose at the
+    cost of unbalanced pass-3 factors — the device A/B decides."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     xr = jnp.asarray(xr)
@@ -437,6 +465,10 @@ def fft_split_huge(xr, xi, direction=FORWARD,
         blocked = _blocked_huge_default()
     blocked = bool(blocked) and blocked_huge_feasible(n)
     w1, r3 = _burst_widths(n) if blocked else (LANES, LANES)
+    if lanes is None:
+        import os
+
+        lanes = os.environ.get("FFTLAB_TS_LANES", "0") != "0"
     batch = xr.shape[:-1]
     B = 1
     for d in batch:
@@ -445,7 +477,7 @@ def fft_split_huge(xr, xi, direction=FORWARD,
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
         blocked=blocked, scale=None if scale is None else float(scale),
-        w1=w1, r3=r3,
+        w1=w1, r3=r3, lanes=bool(lanes) and not blocked,
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

@@ -105,6 +105,11 @@ h = jnp.ones(1 << 20, jnp.float32)
 spectral_filter_resident_cio(xr, xi, h, jnp.zeros_like(h))[0]\
     .block_until_ready()
 """,
+    "threestep_vmem_lanes": """
+from fftlab.kernels.threestep_vmem import fft_split_huge
+xr, xi = planes(1, 1 << 23)
+fft_split_huge(xr, xi, FORWARD, lanes=True)[0].block_until_ready()
+""",
     "fourstep_vmem": """
 from fftlab.kernels.fourstep_vmem import fft_split_large
 xr, xi = planes(2, 1 << 20)

@@ -106,7 +106,8 @@ def main() -> int:
         ("fsfilt_blocked", lambda a, b: spectral_filter_large(
             a, b, hr, hi, blocked=True), small),
         ("ts_r128", ts(128), huge),
-        ("ts_r256", ts(256), huge),
+        ("ts_lanes", lambda a, b: fft_split_huge(
+            a, b, FORWARD, lanes=True, scale=hscale), huge),
     ]
 
     # Diag variants join the same rounds (phase attribution needs the

@@ -87,6 +87,49 @@ class TestThreestep:
                            interpret=True)
 
 
+class TestLanesPass3:
+    """lanes=True runs pass 3 as a lane-axis FFT (transpose-free; the
+    corner turn rides the MXU contraction axes — see
+    _pass_row_lanes_kernel). Different summation order than the
+    transpose+column default, so allclose/SNR gates."""
+
+    def test_lanes_matches_default_and_oracle(self):
+        from fftlab.core.types import Direction
+        from fftlab.kernels.threestep_vmem import fft_split_huge
+
+        n = 1 << 23
+        rng = np.random.default_rng(13)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        a = fft_split_huge(xr, xi, interpret=True, lanes=False)
+        b = fft_split_huge(xr, xi, interpret=True, lanes=True)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   atol=5e-2)
+        got = (np.asarray(b[0][0], np.float64)
+               + 1j * np.asarray(b[1][0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 120.0
+        inv = fft_split_huge(*b, Direction.INVERSE, interpret=True,
+                             lanes=True)
+        np.testing.assert_allclose(np.asarray(inv[0]), np.asarray(xr),
+                                   atol=3e-4)
+
+    def test_lanes_env_default(self, monkeypatch):
+        """FFTLAB_TS_LANES resolves OUTSIDE jit; blocked=True overrides
+        lanes (the blocked variant has its own pass-3 structure)."""
+        from fftlab.kernels.threestep_vmem import fft_split_huge
+
+        n = 1 << 23
+        rng = np.random.default_rng(14)
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        monkeypatch.setenv("FFTLAB_TS_LANES", "1")
+        a = fft_split_huge(xr, xi, interpret=True)
+        b = fft_split_huge(xr, xi, interpret=True, lanes=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
 class TestScaleFoldingHuge:
     def test_scaled_forward_matches_postmultiply(self):
         n = 1 << 23
