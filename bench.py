@@ -258,6 +258,7 @@ _PATH_TO_ROUTE = {
     "fourstep_vmem_blocked": "fourstep_vmem",
     "fourstep_vmem_rowmajor": "fourstep_vmem",
     "fourstep_vmem_blocked_w256": "fourstep_vmem",
+    "fourstep_vmem_blocked_lanes": "fourstep_vmem",
     "threestep_vmem": "threestep_vmem",
     "threestep_vmem_lanes": "threestep_vmem",
     "threestep_vmem_blocked": "threestep_vmem",
@@ -381,6 +382,12 @@ def _large_fft_candidates(n: int):
                 cands.append(((lambda a, b, scale=None: fft_split_large(
                     a, b, blocked=False, scale=scale)),
                     "fourstep_vmem_rowmajor"))
+                # transpose-free pass 2 (lane contraction) on the
+                # blocked layout — experimental, so after the proven
+                # comparison points.
+                cands.append(((lambda a, b, scale=None: fft_split_large(
+                    a, b, blocked=True, scale=scale, lanes=True)),
+                    "fourstep_vmem_blocked_lanes"))
             if supported_huge(n):
                 cands.append(((lambda a, b, scale=None: fft_split_huge(
                     a, b, scale=scale)), "threestep_vmem"))
@@ -528,6 +535,10 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
         if supported_large(n):
             cands.append((lambda a, b, scale=None: spectral_filter_large(
                 a, b, hr, hi, blocked=True), "fourstep_filter_blocked"))
+            # the champion's transpose-free pass-2 variant
+            cands.append((lambda a, b, scale=None: spectral_filter_large(
+                a, b, hr, hi, blocked=True, lanes=True),
+                "fourstep_filter_lanes"))
         if supported_resident(n):
             from fftlab.kernels.resident_vmem import (
                 spectral_filter_resident_v5,

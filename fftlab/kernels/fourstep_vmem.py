@@ -292,6 +292,56 @@ def _pass2_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
     oi_ref[...] = yi.reshape(oi_ref.shape)
 
 
+def _pass2_lanes_load(xr_ref, xi_ref, fa: int, fb: int):
+    """Pass-2 input as an (fa, M, fb) lane-contraction stack — the
+    transpose-free counterpart of _pass2_load. The blocked slab
+    (1, C2, R2, W1) IS the stack when fb = W1 (ja = the lane-block
+    index c); the row-major slab (1, R2, L2) lane-splits tile-aligned
+    and goes through _row_fft_lanes' layout instead."""
+    if xr_ref.ndim == 3:                       # (1, R2, L2) row-major
+        _, R2, L2 = xr_ref.shape
+        return (xr_ref[...].reshape(R2, L2),
+                xi_ref[...].reshape(R2, L2), True)
+    _, C2, R2, W1 = xr_ref.shape               # blocked
+    assert C2 == fa and W1 == fb, (xr_ref.shape, fa, fb)
+    return (xr_ref[...].reshape(C2, R2, W1),
+            xi_ref[...].reshape(C2, R2, W1), False)
+
+
+def _pass2_lanes_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
+                        or_ref, oi_ref, *, fa, fb):
+    """Pass 2 without the in-VMEM corner turn: the length-L2 FFT
+    contracts the slab's lane-side digit axes directly
+    (_col_fft_lanes/_row_fft_lanes), so _unblock_mid's per-tile
+    transposes / the row-major whole-slab transpose disappear.
+    Tables must be built with factors=(fa, fb)."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    xr, xi, rowmajor = _pass2_lanes_load(xr_ref, xi_ref, fa, fb)
+    if rowmajor:
+        yr, yi = _row_fft_lanes(xr, xi, tabs, fa, fb)
+    else:
+        yr, yi = _col_fft_lanes(xr, xi, tabs, fa, fb)
+    or_ref[...] = yr.reshape(or_ref.shape)
+    oi_ref[...] = yi.reshape(oi_ref.shape)
+
+
+def _pass2_filter_lanes_kernel(xr_ref, xi_ref,
+                               Far, Fai, Fbr, Fbi, Twr, Twi,
+                               hr_ref, hi_ref, or_ref, oi_ref, *, fa, fb):
+    """_pass2_lanes_kernel with the spectral response fused into the
+    epilogue (the _pass2_filter_kernel counterpart)."""
+    tabs = (Far[...], Fai[...], Fbr[...], Fbi[...], Twr[...], Twi[...])
+    xr, xi, rowmajor = _pass2_lanes_load(xr_ref, xi_ref, fa, fb)
+    if rowmajor:
+        yr, yi = _row_fft_lanes(xr, xi, tabs, fa, fb)
+    else:
+        yr, yi = _col_fft_lanes(xr, xi, tabs, fa, fb)
+    hr = hr_ref[...].reshape(yr.shape)
+    hi = hi_ref[...].reshape(yr.shape)
+    or_ref[...] = (yr * hr - yi * hi).reshape(or_ref.shape)
+    oi_ref[...] = (yr * hi + yi * hr).reshape(oi_ref.shape)
+
+
 def _pass2_filter_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
                          hr_ref, hi_ref, or_ref, oi_ref, *, fa, fb):
     """Pass 2 with the spectral response fused into the epilogue: the
@@ -397,7 +447,7 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
               width=None, blocked_mid: bool | None = None,
               sides=None, in_blocked: bool = False,
               out_blocked: bool = False, scale: float | None = None,
-              env_width: int | None = None):
+              env_width: int | None = None, lanes: bool = False):
     """The two pallas launches of one transform. `h2` (pair of (1, L2, L1)
     natural-order response planes) fuses a spectral multiply into pass 2's
     epilogue for zero extra passes. Returns (B, n) unscaled.
@@ -445,9 +495,16 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     C2 = L2 // W1
     G1 = L1 // R2
     fa1, fb1 = _split_factors(L1)
-    fa2, fb2 = _split_factors(L2)
+    # lanes=True: pass 2 contracts the slab's lane-side digit axes
+    # directly (transpose-free; see _pass2_lanes_kernel). The blocked
+    # stack pins fb2 to W1; row-major lane-splits at 128.
+    if lanes:
+        fa2, fb2 = (L2 // W1, W1) if blocked_mid else (L2 // LANES, LANES)
+    else:
+        fa2, fb2 = _split_factors(L2)
+    tabs2 = _col_fft_tables(L2, direction, scale,  # scale rides pass 2
+                            factors=(fa2, fb2))
     tabs1 = _col_fft_tables(L1, direction)
-    tabs2 = _col_fft_tables(L2, direction, scale)  # scale rides pass 2
     A, P = _rank1_twiddle_np(L1, L2, W1, direction)
     Ar = jnp.asarray(A.real.astype(np.float32))
     Ai = jnp.asarray(A.imag.astype(np.float32))
@@ -513,11 +570,13 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
     h_blk = pl.BlockSpec((1, L2, R2), lambda g, b: (0, 0, g),
                          memory_space=pltpu.VMEM)
     if h2 is None:
-        kern = functools.partial(_pass2_kernel, fa=fa2, fb=fb2)
+        body = _pass2_lanes_kernel if lanes else _pass2_kernel
+        kern = functools.partial(body, fa=fa2, fb=fb2)
         in_specs = [row_blk, row_blk] + [const] * 6
         args = (mr, mi, *tabs2)
     else:
-        kern = functools.partial(_pass2_filter_kernel, fa=fa2, fb=fb2)
+        body = _pass2_filter_lanes_kernel if lanes else _pass2_filter_kernel
+        kern = functools.partial(body, fa=fa2, fb=fb2)
         in_specs = [row_blk, row_blk] + [const] * 6 + [h_blk, h_blk]
         args = (mr, mi, *tabs2, h2[0], h2[1])
     yr, yi = pl.pallas_call(
@@ -542,25 +601,27 @@ def _two_pass(xr, xi, direction: Direction, interpret: bool, h2=None,
 @functools.partial(
     jax.jit,
     static_argnames=("direction", "interpret", "width", "blocked", "scale",
-                     "env_width"),
+                     "env_width", "lanes"),
 )
 def _fft_large_impl(xr, xi, *, direction: Direction, interpret: bool,
                     width=None, blocked=None, scale=None,
-                    env_width: int | None = None):
+                    env_width: int | None = None, lanes: bool = False):
     n = int(xr.shape[-1])
     eff = (1.0 / n if direction == Direction.INVERSE else 1.0)
     eff *= (scale if scale is not None else 1.0)
     return _two_pass(xr, xi, direction, interpret, width=width,
                      blocked_mid=blocked,
                      scale=None if eff == 1.0 else eff,
-                     env_width=env_width)
+                     env_width=env_width, lanes=lanes)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "blocked", "env_width"))
+                   static_argnames=("interpret", "blocked", "env_width",
+                                    "lanes"))
 def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool,
                        blocked: bool = False,
-                       env_width: int | None = None):
+                       env_width: int | None = None,
+                       lanes: bool = False):
     """FFT -> H -> IFFT in four launches. With `blocked` (sandwich
     fusion) the forward's pass 2 writes its natural (L2, L1) spectrum
     matrix in COLUMN BLOCKS — exactly the inverse transform's (with
@@ -570,15 +631,26 @@ def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool,
     n = int(xr.shape[-1])
     gr, gi = _two_pass(xr, xi, Direction.FORWARD, interpret,
                        h2=(h2r, h2i), blocked_mid=blocked,
-                       out_blocked=blocked, env_width=env_width)
+                       out_blocked=blocked, env_width=env_width,
+                       lanes=lanes)
     # inverse 1/n rides the last pass's tables: four passes, no more
     return _two_pass(gr, gi, Direction.INVERSE, interpret,
                      blocked_mid=blocked, in_blocked=blocked,
-                     scale=1.0 / n, env_width=env_width)
+                     scale=1.0 / n, env_width=env_width, lanes=lanes)
+
+
+def _lanes_default() -> bool:
+    """FFTLAB_FS_LANES=1 turns on the transpose-free pass 2 (lane
+    contraction) in the two-pass kernel and the sandwich; off until the
+    device A/B crowns it (resolved OUTSIDE jit — static cache key)."""
+    import os
+
+    return os.environ.get("FFTLAB_FS_LANES", "0") != "0"
 
 
 def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
-                          blocked: bool | None = None):
+                          blocked: bool | None = None,
+                          lanes: bool | None = None):
     """FFT -> H -> IFFT on large signals in FOUR HBM passes total: the
     H multiply rides pass 2's epilogue (zero extra traffic), and the
     inverse is the same two-pass kernel with conjugated tables. The XLA
@@ -606,10 +678,12 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
         B *= int(d)
     if blocked is None:
         blocked = _blocked_filter_default()  # resolved outside jit (cache key)
+    if lanes is None:
+        lanes = _lanes_default()
     yr, yi = _filter_large_impl(
         xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
         interpret=bool(interpret), blocked=bool(blocked),
-        env_width=_env_width(),
+        env_width=_env_width(), lanes=bool(lanes),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 
@@ -617,7 +691,8 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
 def fft_split_large(xr, xi, direction=FORWARD,
                     interpret: bool | None = None, width: int | None = None,
                     blocked: bool | None = None,
-                    scale: float | None = None):
+                    scale: float | None = None,
+                    lanes: bool | None = None):
     """Batched large-n FFT on split planes via the two-pass VMEM kernel.
 
     xr, xi: float32 [B, n] (or [..., n]; batch dims are flattened),
@@ -646,12 +721,14 @@ def fft_split_large(xr, xi, direction=FORWARD,
     B = 1
     for d in batch:
         B *= int(d)
+    if lanes is None:
+        lanes = _lanes_default()
     yr, yi = _fft_large_impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
         width=width, blocked=bool(blocked),
         scale=None if scale is None else float(scale),
-        env_width=_env_width(),
+        env_width=_env_width(), lanes=bool(lanes),
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

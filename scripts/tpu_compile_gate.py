@@ -120,6 +120,19 @@ from fftlab.kernels.fourstep_vmem import fft_split_large
 xr, xi = planes(2, 1 << 20)
 fft_split_large(xr, xi, FORWARD, blocked=True)[0].block_until_ready()
 """,
+    "fourstep_vmem_lanes": """
+from fftlab.kernels.fourstep_vmem import fft_split_large
+xr, xi = planes(2, 1 << 20)
+fft_split_large(xr, xi, FORWARD, blocked=True, lanes=True)[0]\
+    .block_until_ready()
+""",
+    "fourstep_filter_lanes": """
+from fftlab.kernels.fourstep_vmem import spectral_filter_large
+xr, xi = planes(2, 1 << 20)
+h = jnp.ones(1 << 20, jnp.float32)
+spectral_filter_large(xr, xi, h, jnp.zeros_like(h), blocked=True,
+                      lanes=True)[0].block_until_ready()
+""",
     "fourstep_vmem_rowmajor": """
 from fftlab.kernels.fourstep_vmem import fft_split_large
 xr, xi = planes(2, 1 << 20)

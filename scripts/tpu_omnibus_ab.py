@@ -105,6 +105,10 @@ def main() -> int:
             a, b, hr, hi), small),
         ("fsfilt_blocked", lambda a, b: spectral_filter_large(
             a, b, hr, hi, blocked=True), small),
+        ("fs_lanes", lambda a, b: fft_split_large(
+            a, b, FORWARD, blocked=True, scale=scale, lanes=True), small),
+        ("fsfilt_lanes", lambda a, b: spectral_filter_large(
+            a, b, hr, hi, blocked=True, lanes=True), small),
         ("ts_r128", ts(128), huge),
         ("ts_lanes", lambda a, b: fft_split_huge(
             a, b, FORWARD, lanes=True, scale=hscale), huge),

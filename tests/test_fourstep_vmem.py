@@ -300,3 +300,55 @@ class TestScaleFolding:
         br, bi = fft_split_large(yr, yi, Direction.INVERSE, interpret=True)
         assert _snr(np.asarray(br[0]), np.asarray(xr[0])) > 110.0
         assert _snr(np.asarray(bi[0]), np.asarray(xi[0])) > 110.0
+
+
+class TestLanesPass2:
+    """lanes=True replaces pass 2's in-VMEM corner turn (whole-slab
+    transpose row-major / _unblock_mid per-tile transposes blocked)
+    with lane-contraction FFTs (_col_fft_lanes/_row_fft_lanes).
+    Different summation order, so allclose/SNR gates."""
+
+    @pytest.mark.parametrize("blocked", [True, False])
+    def test_lanes_matches_default_and_oracle(self, blocked):
+        n = 1 << 16
+        rng = np.random.default_rng(17)
+        xr = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+        a = fft_split_large(xr, xi, interpret=True, blocked=blocked,
+                            lanes=False)
+        b = fft_split_large(xr, xi, interpret=True, blocked=blocked,
+                            lanes=True)
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   atol=2e-2)
+        got = (np.asarray(b[0][0], np.float64)
+               + 1j * np.asarray(b[1][0], np.float64))
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        assert _snr(got, want) > 120.0
+        inv = fft_split_large(*b, Direction.INVERSE, interpret=True,
+                              blocked=blocked, lanes=True)
+        np.testing.assert_allclose(np.asarray(inv[0]), np.asarray(xr),
+                                   atol=3e-4)
+
+    def test_filter_lanes_matches_oracle(self):
+        from fftlab.kernels.fourstep_vmem import spectral_filter_large
+
+        n = 1 << 16
+        rng = np.random.default_rng(18)
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        yr, yi = spectral_filter_large(
+            x.real.astype(np.float32), x.imag.astype(np.float32),
+            H.real.astype(np.float32), H.imag.astype(np.float32),
+            interpret=True, blocked=True, lanes=True)
+        got = np.asarray(yr, np.float64) + 1j * np.asarray(yi, np.float64)
+        want = np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
+        assert _snr(got, want) > 120.0
+
+    def test_lanes_env_default(self, monkeypatch):
+        from fftlab.kernels.fourstep_vmem import _lanes_default
+
+        monkeypatch.setenv("FFTLAB_FS_LANES", "1")
+        assert _lanes_default()
+        monkeypatch.setenv("FFTLAB_FS_LANES", "0")
+        assert not _lanes_default()
