@@ -3,9 +3,15 @@
 
 PY ?= python
 
-.PHONY: all native test test-fast bench demos lint clean
+.PHONY: all native install test test-fast bench demos lint clean
 
 all: native
+
+# `make install` analog (reference Makefile:216-233): editable install
+# + console scripts (fftlab-*). --no-build-isolation/--no-deps keep it
+# fully offline (this image has no package index).
+install:
+	$(PY) -m pip install --no-build-isolation --no-deps -e .
 
 # C++ host runtime (WAV IO, ring buffer, Q15 FFT) -> libfftlab_native.so
 native:

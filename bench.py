@@ -52,7 +52,7 @@ def _snr_db(got: np.ndarray, want: np.ndarray) -> float:
     return float(10 * np.log10(sig / max(err, 1e-300)))
 
 
-def _spread(step, mk_state, ks, repeats=4):
+def _spread(step, mk_state, ks, repeats=4, deadline=None, floor_ms=None):
     """chain_time repeated -> {ms (min-slope), per-repeat spread}.
 
     The headline `ms` is the MIN-SLOPE estimate (fftlab.bench.timing
@@ -63,14 +63,21 @@ def _spread(step, mk_state, ks, repeats=4):
     estimator can take the max over pairwise min-slopes — with only two,
     a short chain congested in EVERY repeat deflates the slope below
     physics (observed: 14.4 GS/s at a 2.9 ms HBM floor). The per-repeat
-    slopes are still reported as the spread/noise diagnostic."""
+    slopes are still reported as the spread/noise diagnostic.
+
+    Validity guard (r3 review): an estimate that is non-positive or
+    beats `floor_ms` (the op's physical HBM floor) is a measurement
+    artifact — more samples are merged instead of publishing it, and
+    if the deadline runs out first the result says `floor_violation`
+    rather than presenting impossible speed as real. `deadline` (abs
+    time.time()) bounds the retry loop so one noisy sweep can never
+    eat the suite's whole budget (the r03 watchdog lesson)."""
     import time as _time
 
-    from fftlab.bench.timing import min_slope
-
-    from fftlab.bench.timing import chain_time
+    from fftlab.bench.timing import chain_time, min_slope, slope_valid
 
     raw: dict = {}
+    ms = -1.0
     for attempt in range(3):
         fresh = chain_time(step, mk_state, ks=ks, repeats=repeats,
                            return_raw=True)
@@ -83,7 +90,9 @@ def _spread(step, mk_state, ks, repeats=4):
         ms = min_slope(raw)
         n_rep = len(raw[kk[0]])
         noisy = len(good) < n_rep or (ms > 0 and (max(slopes) / ms) > 2.0)
-        if ms > 0 and (not noisy or attempt >= 1):
+        valid = slope_valid(ms * 1e3, floor_ms)
+        out_of_time = deadline is not None and _time.time() > deadline
+        if valid and (not noisy or attempt >= 1 or out_of_time):
             # noisy first round: sample once more and merge — per-k
             # minima get more chances to catch a clean window; after
             # the merge, publish whatever we have (flagged).
@@ -96,9 +105,19 @@ def _spread(step, mk_state, ks, repeats=4):
             if noisy:
                 r["noisy"] = True
             return r
-        if ms <= 0 and attempt < 2:
-            _time.sleep(30)
-    raise RuntimeError("min-slope non-positive thrice (congested service)")
+        if out_of_time:
+            break
+        if not valid and attempt < 2:
+            _time.sleep(10)
+    if ms > 0:
+        # Out of budget with only a floor-violating estimate: publish
+        # the floor itself as the conservative time, flagged — never
+        # the impossible number.
+        return {"ms": round(float(floor_ms), 4), "repeats": len(raw[kk[0]]),
+                "noisy": True, "floor_violation": True,
+                "deflated_ms": round(float(ms) * 1e3, 4)}
+    raise RuntimeError("min-slope non-positive after merged retries "
+                       "(congested service)")
 
 
 def bench_bandwidth(jnp, on_tpu: bool) -> dict:
@@ -120,7 +139,8 @@ def bench_bandwidth(jnp, on_tpu: bool) -> dict:
     return r
 
 
-def _measure_path(jax, jnp, fn, path, xr, xi, want, ks, repeats):
+def _measure_path(jax, jnp, fn, path, xr, xi, want, ks, repeats,
+                  deadline=None, floor_ms=None):
     """SNR-gate + time one candidate FFT path. Returns a result dict.
 
     fn(a, b, scale=None) must return the (scaled) transform; the chain
@@ -144,7 +164,8 @@ def _measure_path(jax, jnp, fn, path, xr, xi, want, ks, repeats):
         t = jnp.float32(1e-3 * i)
         return (xr + t, xi - t)
 
-    r = _spread(step, mk, ks=ks, repeats=repeats)
+    r = _spread(step, mk, ks=ks, repeats=repeats, deadline=deadline,
+                floor_ms=floor_ms)
     total = int(np.prod(xr.shape))
     r["gsps"] = round(total / (r["ms"] / 1e3) / 1e9, 4)
     r["snr_db"] = round(snr, 1)
@@ -160,6 +181,8 @@ def _crown(results: dict, min_passes: float, batch: int, n: int,
     the driver keeps the last complete JSON line, so every partial crown
     must already be a valid, conservative artifact."""
     ok = [r for r in results.values() if "gsps" in r]
+    clean = [r for r in ok if not r.get("floor_violation")]
+    ok = clean or ok  # a flagged floor-clamp row only wins by default
     if not ok:
         return {"error": "no path passed (yet)", "paths": results}
     best = max(ok, key=lambda r: r["gsps"])
@@ -198,6 +221,7 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
     want = np.fft.fft(np.asarray(xr[0], np.float64)
                       + 1j * np.asarray(xi[0], np.float64))
     results = {}
+    floor_guard = min_passes * 16.0 * batch * n / (bw_gbps * 1e9) * 1e3
     for fn, path in _large_fft_candidates(n):
         if (deadline is not None and _time.time() > deadline
                 and results):  # always measure at least one candidate
@@ -205,12 +229,16 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
             continue
         try:
             results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
-                                          want, ks=ks, repeats=repeats)
+                                          want, ks=ks, repeats=repeats,
+                                          deadline=deadline,
+                                          floor_ms=floor_guard)
         except Exception as e:
             results[path] = {"error": str(e)[:140]}
         if on_update is not None and "gsps" in results[path]:
             on_update(_crown(results, min_passes, batch, n, bw_gbps))
     ok = [r for r in results.values() if "gsps" in r]
+    clean = [r for r in ok if not r.get("floor_violation")]
+    ok = clean or ok
     if not ok:
         return {"error": "no path passed", "paths": results}
     best = max(ok, key=lambda r: r["gsps"])
@@ -440,7 +468,7 @@ def bench_fft_16m(jax, jnp, on_tpu: bool, bw_gbps: float,
 
 
 def bench_serving_filter(jax, jnp, on_tpu: bool,
-                         bw_gbps: float = 285.0) -> dict:
+                         bw_gbps: float = 285.0, deadline=None) -> dict:
     """Fused overlap-save FIR on a long signal (the serving pipeline).
 
     Floor: the kernel reads and writes each plane once (16 B/sample of
@@ -487,12 +515,13 @@ def bench_serving_filter(jax, jnp, on_tpu: bool,
         t = jnp.float32(1e-3 * i)
         return (xr + t, xi - t)
 
-    r = _spread(step, mk, ks=(8, 24, 48), repeats=3)
+    t_min_ms = 16.0 * n / (bw_gbps * 1e9) * 1e3
+    r = _spread(step, mk, ks=(8, 24, 48), repeats=3, deadline=deadline,
+                floor_ms=t_min_ms if on_tpu else None)
     r["gsps"] = round(2 * n / (r["ms"] / 1e3) / 1e9, 4)  # 2 real channels
     r["snr_db"] = round(snr, 1)
     r["path"] = path
     if on_tpu:
-        t_min_ms = 16.0 * n / (bw_gbps * 1e9) * 1e3
         r["roofline_fraction"] = round(min(t_min_ms / r["ms"], 1.0), 3)
         r["roofline_floor_ms"] = round(t_min_ms, 3)
     return r
@@ -564,28 +593,33 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
     import time as _time
 
     results = {}
+    t_min_ms = 24.0 * batch * n / (bw_gbps * 1e9) * 1e3
     for fn, path in cands:
         if deadline is not None and _time.time() > deadline and results:
             results[path] = {"error": "skipped: bench time budget spent"}
             continue
         try:
-            results[path] = _measure_path(jax, jnp, fn, path, xr, xi,
-                                          want, ks=(3, 8, 14), repeats=3)
+            results[path] = _measure_path(
+                jax, jnp, fn, path, xr, xi, want, ks=(3, 8, 14),
+                repeats=3, deadline=deadline,
+                floor_ms=t_min_ms if on_tpu else None)
         except Exception as e:
             results[path] = {"error": str(e)[:140]}
     ok = [r for r in results.values() if "gsps" in r]
+    clean = [r for r in ok if not r.get("floor_violation")]
+    ok = clean or ok
     if not ok:
         return {"error": "no path passed", "paths": results}
     best = max(ok, key=lambda r: r["gsps"])
     out = dict(best)
     out["paths"] = results
-    t_min_ms = 24.0 * batch * n / (bw_gbps * 1e9) * 1e3
     out["roofline_fraction"] = round(t_min_ms / out["ms"], 3)
     out["roofline_floor_ms"] = round(t_min_ms, 3)
     return out
 
 
-def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float,
+                          deadline=None) -> dict:
     """Arbitrary-size (prime) transform via chirp-z (BASELINE config 3;
     reference bluestein.c:79-148). The internal circular convolution is
     the FFT->B->IFFT sandwich at m = next_pow2(2n-1), routed through the
@@ -616,10 +650,12 @@ def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
         s = jnp.float32(scale)  # fuses into the demodulate multiply
         return yr * s, yi * s
 
+    t_floor = 4.0 * 16.0 * batch * m / (bw_gbps * 1e9) * 1e3
     r = _measure_path(jax, jnp, fn, "bluestein_split", xr, xi, want,
-                      ks=(3, 8, 14), repeats=3)
+                      ks=(3, 8, 14), repeats=3, deadline=deadline,
+                      floor_ms=t_floor if on_tpu else None)
     if "ms" in r:
-        t_min_ms = 4.0 * 16.0 * batch * m / (bw_gbps * 1e9) * 1e3
+        t_min_ms = t_floor
         r["roofline_fraction"] = round(t_min_ms / r["ms"], 3)
         r["roofline_floor_ms"] = round(t_min_ms, 3)
         r["n"] = n
@@ -627,7 +663,8 @@ def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
     return r
 
 
-def bench_rfft(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
+def bench_rfft(jax, jnp, on_tpu: bool, bw_gbps: float,
+               deadline=None) -> dict:
     """Real-input transform through the device-native r2c plan
     (plan_r2c_1d_split): the pack-two-reals trick runs a HALF-size
     complex transform through the dispatch route (the resident kernels
@@ -660,20 +697,21 @@ def bench_rfft(jax, jnp, on_tpu: bool, bw_gbps: float) -> dict:
         # the transform live without shape games).
         return (a + jnp.float32(1e-30) * (jnp.sum(yr) + jnp.sum(yi)),)
 
-    r = _spread(step, lambda i: (x + jnp.float32(1e-3 * i),),
-                ks=(6, 16, 32), repeats=3)
     total = batch * n
+    t_min_ms = 16.0 * total / (bw_gbps * 1e9) * 1e3
+    r = _spread(step, lambda i: (x + jnp.float32(1e-3 * i),),
+                ks=(6, 16, 32), repeats=3, deadline=deadline,
+                floor_ms=t_min_ms if on_tpu else None)
     r["gsps"] = round(total / (r["ms"] / 1e3) / 1e9, 4)
     r["snr_db"] = round(snr, 1)
     r["path"] = plan.algorithm
-    t_min_ms = 16.0 * total / (bw_gbps * 1e9) * 1e3
     r["roofline_fraction"] = round(t_min_ms / r["ms"], 3)
     r["roofline_floor_ms"] = round(t_min_ms, 3)
     r["n"] = n
     return r
 
 
-def bench_stft(jax, jnp, on_tpu: bool) -> dict:
+def bench_stft(jax, jnp, on_tpu: bool, deadline=None) -> dict:
     """Pallas streaming STFT vs the XLA gather-framing STFT."""
     n = 1 << 22 if on_tpu else 1 << 14
     frame, hop = 2048, 512
@@ -700,20 +738,9 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
         return (sig + jnp.float32(1e-30) * jnp.sum(Xr),)
 
     out = {}
-    try:
-        # Short chains for the slow baseline: the gather path runs
-        # ~124 ms/application on TPU, so k=48 chains cost ~6 s per
-        # sample and starved the metrics behind it (r3s2's watchdog
-        # fired during this measurement). The Pallas side keeps long
-        # chains; only the yardstick is shortened.
-        r = _spread(xla_step, lambda i: (x + jnp.float32(i),),
-                    ks=(2, 5, 8), repeats=3)
-        n_frames = (n - frame) // hop + 1
-        r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
-        out["xla"] = r
-    except Exception as e:  # pragma: no cover
-        out["xla"] = {"error": str(e)[:120]}
-
+    # The Pallas kernel is the HEADLINE and runs first — if the row
+    # deadline hits mid-yardstick the important number already landed
+    # (r3s2's watchdog fired inside the slow XLA measurement).
     if on_tpu:
         try:
             from fftlab.kernels.stft_vmem import pallas_stft_split
@@ -724,15 +751,28 @@ def bench_stft(jax, jnp, on_tpu: bool) -> dict:
                 return (sig + jnp.float32(1e-30) * jnp.sum(fr),)
 
             r = _spread(k_step, lambda i: (x + jnp.float32(i),),
-                        ks=(8, 24, 48), repeats=3)
+                        ks=(8, 24, 48), repeats=3, deadline=deadline)
             n_frames = (n - frame) // hop + 1
             r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
             out["pallas"] = r
-            if "ms" in out.get("xla", {}):
-                out["pallas_speedup_vs_xla"] = round(
-                    out["xla"]["ms"] / r["ms"], 2)
         except Exception as e:  # pragma: no cover
             out["pallas"] = {"error": str(e)[:120]}
+    try:
+        # Short chains for the slow baseline: the gather path runs
+        # ~124 ms/application on TPU, so k=48 chains cost ~6 s per
+        # sample and starved the metrics behind it (r3s2's watchdog
+        # fired during this measurement). The Pallas side keeps long
+        # chains; only the yardstick is shortened.
+        r = _spread(xla_step, lambda i: (x + jnp.float32(i),),
+                    ks=(2, 5, 8), repeats=3, deadline=deadline)
+        n_frames = (n - frame) // hop + 1
+        r["gsps"] = round(n_frames * frame / (r["ms"] / 1e3) / 1e9, 4)
+        out["xla"] = r
+    except Exception as e:  # pragma: no cover
+        out["xla"] = {"error": str(e)[:120]}
+    if "ms" in out.get("pallas", {}) and "ms" in out.get("xla", {}):
+        out["pallas_speedup_vs_xla"] = round(
+            out["xla"]["ms"] / out["pallas"]["ms"], 2)
     return out
 
 
@@ -843,11 +883,15 @@ def main() -> None:
 
     t_start = _time.time()
     # Driver-safe self-budget (r02 lesson: the driver killed a bench
-    # whose own watchdog was armed at ~85 min — rc=124, no metric).
-    # Defaults now target ~12 min worst-case wall clock: wait <=240 s
-    # for an outage/congestion, then <=8 min of measurement. Sessions
-    # that want the full patient sweep raise FFTLAB_BENCH_*.
-    budget_s = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "480"))
+    # whose own watchdog was armed at ~85 min — rc=124, no metric;
+    # r03 lesson: its own 1020 s watchdog fired mid-1M-sweep and the
+    # driver captured the flagged partial fine, so ~17 min total is
+    # survivable). Defaults target ~16 min worst-case wall clock:
+    # wait <=240 s for an outage/congestion, then <=12 min of
+    # measurement split into PER-ROW budgets (cheap rows first) so one
+    # noisy sweep can never starve the rows behind it. Sessions that
+    # want the full patient sweep raise FFTLAB_BENCH_*.
+    budget_s = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "720"))
     wait_s_early = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "240"))
     detail: dict = {}
 
@@ -923,29 +967,74 @@ def main() -> None:
         detail["fft_1m_batched"] = interim
         emit()
 
-    for name, f in (
-        ("fft_1m_batched", lambda: bench_fft_1m(
-            jax, jnp, on_tpu, bw_gbps, deadline=deadline,
-            on_update=on_1m_update)),
-        ("fft_16m_single", lambda: bench_fft_16m(
-            jax, jnp, on_tpu, bw_gbps, deadline=deadline)),
-        ("spectral_filter_1m",
-         lambda: bench_spectral_filter_1m(jax, jnp, on_tpu, bw_gbps,
-                                          deadline=deadline)),
-        ("serving_filter", lambda: bench_serving_filter(jax, jnp, on_tpu,
-                                                        bw_gbps)),
-        ("rfft_2m", lambda: bench_rfft(jax, jnp, on_tpu, bw_gbps)),
-        ("bluestein_prime",
-         lambda: bench_bluestein_prime(jax, jnp, on_tpu, bw_gbps)),
-        ("stft", lambda: bench_stft(jax, jnp, on_tpu)),
-    ):
-        if _time.time() > deadline:
-            detail[name] = {"error": "skipped: bench time budget spent"}
-            continue
+    # ROW ORDER (r3 review): cheap rows FIRST — serving filter, STFT,
+    # Bluestein, rfft all cost <=5 ms/measurement and land in seconds
+    # on a warm cache — then the 1M candidate sweep, then 16M. Each
+    # row gets its own hard budget slice (skip-and-continue), so even
+    # a congested 1M sweep cannot erase the rows that already landed
+    # and the suite ALWAYS completes its table the way the reference's
+    # does (benchmark_all.c:274-279). The 16M row keeps a reserved
+    # slice that the 1M sweep cannot eat.
+    def _health_stamp(row_name: str, expensive: bool) -> float:
+        """Cheap bandwidth reading stamped on the row about to run; for
+        expensive rows an out-of-band reading buys one short wait."""
+        from fftlab.bench.timing import quick_bandwidth
+
         try:
-            detail[name] = f()
+            g = quick_bandwidth()
+        except Exception:
+            g = -1.0
+        if expensive and not in_band(g) and _time.time() < deadline - 120:
+            _time.sleep(20)
+            try:
+                g = quick_bandwidth()
+            except Exception:
+                g = -1.0
+        return round(g, 1)
+
+    reserve_16m = 110.0  # seconds the 1M sweep must leave on the table
+    rows = (
+        ("serving_filter", 80.0, False,
+         lambda dl: bench_serving_filter(jax, jnp, on_tpu, bw_gbps,
+                                         deadline=dl)),
+        ("stft", 110.0, False, lambda dl: bench_stft(jax, jnp, on_tpu,
+                                                     deadline=dl)),
+        ("bluestein_prime", 80.0, False,
+         lambda dl: bench_bluestein_prime(jax, jnp, on_tpu, bw_gbps,
+                                          deadline=dl)),
+        ("rfft_2m", 90.0, False, lambda dl: bench_rfft(jax, jnp, on_tpu,
+                                                       bw_gbps,
+                                                       deadline=dl)),
+        ("spectral_filter_1m", 140.0, True,
+         lambda dl: bench_spectral_filter_1m(jax, jnp, on_tpu, bw_gbps,
+                                             deadline=dl)),
+        ("fft_1m_batched", None, True,
+         lambda dl: bench_fft_1m(jax, jnp, on_tpu, bw_gbps, deadline=dl,
+                                 on_update=on_1m_update)),
+        ("fft_16m_single", None, True,
+         lambda dl: bench_fft_16m(jax, jnp, on_tpu, bw_gbps,
+                                  deadline=dl)),
+    )
+    for name, slice_s, expensive, f in rows:
+        now = _time.time()
+        if now > deadline - 10:
+            detail[name] = {"error": "skipped: bench time budget spent"}
+            emit()
+            continue
+        if name == "fft_1m_batched":
+            row_deadline = deadline - reserve_16m
+        elif slice_s is None:  # 16M: everything that is left
+            row_deadline = deadline
+        else:
+            row_deadline = min(now + slice_s, deadline)
+        hg = _health_stamp(name, expensive) if on_tpu else -1.0
+        try:
+            detail[name] = f(row_deadline)
         except Exception as e:
             detail[name] = {"error": str(e)[:160]}
+        if on_tpu:
+            detail[name]["health_gbps"] = hg
+        detail[name]["row_s"] = round(_time.time() - now, 1)
         emit()  # each completed sub-bench enriches the capturable line
     detail["wall_s"] = round(_time.time() - t_start, 1)
     emit(partial=False)

@@ -7,14 +7,17 @@ the smallest possible fftlab program, no planner, no DSP layer.
 Run: python examples/minimal.py
 """
 
-import os
-import sys
-
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:
+    from fftlab.utils.compat import prefer_cpu_for_complex
+except ImportError:  # fresh checkout without the editable install
+    import os
+    import sys
 
-from fftlab.utils.compat import prefer_cpu_for_complex  # noqa: E402
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from fftlab.utils.compat import prefer_cpu_for_complex  # noqa: E402
 
 prefer_cpu_for_complex()
 

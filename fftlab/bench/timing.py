@@ -220,6 +220,45 @@ def stall_watchdog(artifact_path: str, stall_s: float = 1500.0) -> None:
     t.start()
 
 
+def quick_bandwidth() -> float:
+    """One cheap copy-chain bandwidth reading (~1-2 s warm) in GB/s.
+
+    The stamp that rides along with every measurement row: not a gate
+    by itself (a single reading can be a slope artifact), but recorded
+    beside the number it contextualizes so artifact consumers can see
+    what the device was doing AT measurement time instead of inferring
+    it from a pre-flight minutes earlier. Returns -1.0 on a
+    non-positive slope (congestion spike mid-probe)."""
+    import jax.numpy as jnp
+
+    shape = (16, 1 << 18)  # 16 MB x2 planes: big enough to be HBM-bound
+    x = jnp.ones(shape, jnp.float32)
+    y = jnp.ones(shape, jnp.float32)
+
+    def mk(i):
+        t = jnp.float32(1e-3 * (i + 1))
+        return (x + t, y - t)
+
+    raw = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(8, 64),
+                     repeats=2, return_raw=True)
+    dt = min_slope(raw)
+    nbytes = 4.0 * 4 * shape[0] * shape[1]
+    return (nbytes / dt / 1e9) if dt > 0 else -1.0
+
+
+def slope_valid(ms: float, floor_ms: float | None = None) -> bool:
+    """The round-validity guard (review r3 finding: omnibus recorded
+    -6.02 ms rounds uninhibited). A per-application slope is DISCARDED,
+    not merged, when it is non-positive or faster than the physical
+    HBM floor for the op — both are measurement artifacts of a chain
+    pair whose short end was congested, never real speed."""
+    if not np.isfinite(ms) or ms <= 0.0:
+        return False
+    if floor_ms is not None and ms < floor_ms:
+        return False
+    return True
+
+
 def min_slope(raw: dict) -> float:
     """Per-application seconds from a `chain_time(..., return_raw=True)`
     sample: slope between per-k MINIMUM chain times.

@@ -30,7 +30,14 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# fftlab installs editable via pyproject.toml (`pip install
+# --no-build-isolation --no-deps -e .`); the path fallback only covers
+# a fresh checkout that has not run the install yet.
+try:
+    import fftlab  # noqa: F401
+except ImportError:  # pragma: no cover
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 

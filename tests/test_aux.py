@@ -208,7 +208,8 @@ class TestBenchHarness:
 
         calls = {"n": 0}
 
-        def fake_measure(jax_, jnp_, fn, path, xr, xi, want, ks, repeats):
+        def fake_measure(jax_, jnp_, fn, path, xr, xi, want, ks, repeats,
+                         deadline=None, floor_ms=None):
             calls["n"] += 1
             # first sweep: einsum path deflated below the floor;
             # the redo returns an honest (slower) time
@@ -254,7 +255,8 @@ class TestBenchHarness:
         bench = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(bench)
 
-        def fake_measure(jax_, jnp_, fn, path, xr, xi, want, ks, repeats):
+        def fake_measure(jax_, jnp_, fn, path, xr, xi, want, ks, repeats,
+                         deadline=None, floor_ms=None):
             ms = 0.02 if path == "a" else 0.01
             return {"ms": ms, "gsps": round(1.0 / ms, 3),
                     "snr_db": 140.0, "path": path}
@@ -327,6 +329,49 @@ class TestBenchHarness:
         assert (wisdom.lookup(n, "f32", kind="route")["algorithm"]
                 == "resident_vmem")
         wisdom.forget()
+
+    def test_slope_valid_guard(self):
+        """r3 review: negative / super-roofline slopes are measurement
+        artifacts and must be DISCARDED, not recorded (the omnibus
+        artifact held res_ms: -1.35 and resfilt_v5_ms: -6.02)."""
+        from fftlab.bench.timing import slope_valid
+
+        assert not slope_valid(-1.35)
+        assert not slope_valid(0.0)
+        assert not slope_valid(float("nan"))
+        assert slope_valid(2.5)
+        # below the physical HBM floor => artifact
+        assert not slope_valid(0.5, floor_ms=1.0)
+        assert slope_valid(1.5, floor_ms=1.0)
+
+    def test_spread_floor_clamp_and_deadline(self, monkeypatch):
+        """_spread publishes the conservative FLOOR (flagged), never an
+        impossible sub-floor time, when the budget runs out first; and
+        a spent deadline stops the retry loop."""
+        import importlib.util
+        import time
+
+        import fftlab.bench.timing as timing
+
+        spec = importlib.util.spec_from_file_location("bench_mod", "bench.py")
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        calls = {"n": 0}
+
+        def fake_chain(step, mk, ks=(2, 4), repeats=3, return_raw=False):
+            calls["n"] += 1
+            # slope = 0.5 ms/app: deflated below the 2.0 ms floor
+            return {2: [1.0e-3] * repeats, 4: [2.0e-3] * repeats}
+
+        monkeypatch.setattr(timing, "chain_time", fake_chain)
+        r = bench._spread(lambda *a: a, lambda i: (i,), ks=(2, 4),
+                          repeats=3, deadline=time.time() - 1.0,
+                          floor_ms=2.0)
+        assert r["floor_violation"] is True
+        assert r["ms"] == 2.0                     # the floor, not 0.5
+        assert r["deflated_ms"] == 0.5
+        assert calls["n"] == 1                    # deadline stopped retries
 
     def test_complexity_exponent_nlogn(self):
         from fftlab.bench.harness import BenchResult, complexity_exponent
