@@ -877,6 +877,10 @@ def main() -> None:
     os.makedirs(cache_dir, exist_ok=True)
     import jax
 
+    if os.environ.get("FFTLAB_BENCH_CPU") == "1":
+        # JAX_PLATFORMS=cpu does NOT override this environment's
+        # preregistered tunnel backend; only the config call does.
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
@@ -902,6 +906,7 @@ def main() -> None:
     # service is down, wait for it in bounded subprocess pings; if it
     # never returns, emit the JSON line and exit instead of wedging.
     skip_ping = (os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+                 or os.environ.get("FFTLAB_BENCH_CPU") == "1"
                  or os.environ.get("FFTLAB_BENCH_SKIP_PING") == "1")
     if not skip_ping:
         while not _service_alive(timeout_s=min(180.0, wait_s_early)):
@@ -920,6 +925,9 @@ def main() -> None:
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
     detail["platform"] = platform
+    emit()  # capturable line BEFORE any device op (r04 smoke lesson:
+    # a congested window can stall even the bandwidth pre-flight past
+    # an external kill — the driver must still find valid JSON)
 
     # Pre-flight: the tunneled service has congestion windows where any
     # timing is garbage, and artifact windows where deflated slopes read
@@ -928,23 +936,42 @@ def main() -> None:
     # readings inside the known-healthy band (150-400 GB/s on this
     # service), same gate as fftlab.bench.timing.wait_healthy, bounded
     # by FFTLAB_BENCH_WAIT_S so the driver always gets its JSON line.
+    # The gate itself uses CHEAP probes (quick_bandwidth, ~16 MB
+    # chains): under heavy congestion the full-size bandwidth chains
+    # themselves run for minutes (observed: >580 s without completing
+    # one attempt), so the expensive artifact-grade measurement runs
+    # ONCE, only after the cheap gate opens.
+    from fftlab.bench.timing import quick_bandwidth
+
     wait_s = wait_s_early  # one source of truth for the pre-flight window
     in_band = lambda g: 150.0 < g < 400.0
     bw = {}
     confirmed = 0
-    while True:
+    last_quick = -1.0
+    while on_tpu:
+        try:
+            last_quick = round(quick_bandwidth(), 1)
+        except Exception:
+            last_quick = -1.0
+        confirmed = confirmed + 1 if in_band(last_quick) else 0
+        detail["bandwidth"] = {"quick_gbps": last_quick,
+                               "healthy": False,
+                               "waited_s": round(_time.time() - t_start, 1)}
+        emit()
+        if confirmed >= 2 or _time.time() - t_start > wait_s:
+            break
+        _time.sleep(5 if confirmed else 20)
+    healthy = (not on_tpu) or confirmed >= 2
+    if healthy:
         try:
             bw = bench_bandwidth(jnp, on_tpu)
         except Exception as e:
             bw = {"error": str(e)[:160]}
         g = bw.get("gbps") or 0.0
-        confirmed = confirmed + 1 if in_band(g) else 0
-        healthy = (not on_tpu) or confirmed >= 2
-        if healthy or _time.time() - t_start > wait_s:
-            bw["waited_s"] = round(_time.time() - t_start, 1)
-            bw["healthy"] = bool(healthy)
-            break
-        _time.sleep(10 if confirmed else 30)
+        healthy = (not on_tpu) or in_band(g)
+    bw["quick_gbps"] = last_quick
+    bw["waited_s"] = round(_time.time() - t_start, 1)
+    bw["healthy"] = bool(healthy)
     detail["bandwidth"] = bw
     bw_gbps = bw.get("gbps") or 285.0
     if on_tpu and not in_band(bw_gbps):

@@ -34,6 +34,18 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     args = ap.parse_args()
 
+    if args.cpu:
+        # Both knobs must land before first device use: the virtual
+        # device count only takes effect via XLA_FLAGS at backend init,
+        # and JAX_PLATFORMS alone cannot override this environment's
+        # preregistered tunnel backend.
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
     import jax
 
     if args.cpu:
@@ -76,20 +88,42 @@ def main():
         slope = (run(k2) - run(k1)) / (k2 - k1)
         gsps = n / slope / 1e9
         results.append({"devices": p, "n": n, "ms": round(slope * 1e3, 3),
-                        "gsamples_per_s": round(gsps, 3)})
+                        "gsamples_per_s": round(gsps, 4)})
         print(f"devices={p:<3} n={n:>10} {slope*1e3:8.2f} ms "
               f"{gsps:7.3f} GS/s", flush=True)
 
+    virtual = args.cpu or devices[0].platform == "cpu"
     if len(results) > 1:
-        base = results[0]["gsamples_per_s"]
+        t1 = results[0]["ms"]
         for r in results[1:]:
-            r["weak_scaling_efficiency"] = round(
-                r["gsamples_per_s"] / (base * r["devices"]), 3
-            )
-            print(f"devices={r['devices']}: weak-scaling efficiency "
-                  f"{r['weak_scaling_efficiency']:.1%}")
-    print(json.dumps({"metric": "overlap_save_weak_scaling",
-                      "results": results}))
+            # Weak scaling with fixed per-device work: the ideal is a
+            # CONSTANT time as the mesh grows, so efficiency = t1/tp
+            # (equivalently throughput_p / (p * throughput_1), but
+            # computed from the unrounded times).
+            r["weak_scaling_efficiency"] = round(t1 / r["ms"], 3)
+            # On VIRTUAL devices every "chip" shares one host CPU, so
+            # throughput cannot grow and the metric above is 1/p by
+            # construction. The mechanics-mode number that IS
+            # meaningful there: how close p-sharded work on one host
+            # comes to p x the 1-device time — the gap is the halo
+            # exchange + collective overhead the sharding adds.
+            r["work_efficiency"] = round(
+                r["devices"] * t1 / r["ms"], 3)
+            eff = (r["work_efficiency"] if virtual
+                   else r["weak_scaling_efficiency"])
+            kind = "work" if virtual else "weak-scaling"
+            print(f"devices={r['devices']}: {kind} efficiency "
+                  f"{eff:.1%}")
+    line = {"metric": "overlap_save_weak_scaling",
+            "mode": "virtual-mechanics" if virtual else "hardware",
+            "per_device": args.per_device, "taps": args.taps,
+            "results": results}
+    print(json.dumps(line))
+    import os
+
+    os.makedirs("bench_artifacts", exist_ok=True)
+    with open("bench_artifacts/scaling.jsonl", "a") as f:
+        f.write(json.dumps(line) + "\n")
 
 
 if __name__ == "__main__":
