@@ -239,7 +239,10 @@ def quick_bandwidth() -> float:
         t = jnp.float32(1e-3 * (i + 1))
         return (x + t, y - t)
 
-    raw = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(8, 64),
+    # 3 chain lengths: with only 2, min_slope has a single pair and a
+    # congested short chain deflates the estimate without bound
+    # (observed: a 17,813 GB/s "reading" during a host-load spike).
+    raw = chain_time(lambda a, b: (a + 1.0, b + 1.0), mk, ks=(6, 24, 64),
                      repeats=2, return_raw=True)
     dt = min_slope(raw)
     nbytes = 4.0 * 4 * shape[0] * shape[1]

@@ -54,13 +54,22 @@ def main() -> None:
                                artifact=bw_src)
     merged["platform"] = next(iter(arts.values())).get("platform")
 
+    def acceptable(r: dict) -> bool:
+        """r3 review: min-statistics may only merge HEALTHY counted
+        rows — a floor-violating (deflated-slope) entry is an artifact
+        of congestion, not a best window, and must never become the
+        published number."""
+        return (isinstance(r, dict)
+                and isinstance(r.get("gsps"), (int, float))
+                and not r.get("floor_violation")
+                and r.get("gsps", 0.0) > 0.0)
+
     for m in METRICS:
         best = None
         src = None
         for name, d in arts.items():
             r = d.get(m)
-            if isinstance(r, dict) and isinstance(r.get("gsps"),
-                                                  (int, float)):
+            if acceptable(r):
                 if best is None or r["gsps"] > best["gsps"]:
                     best, src = r, name
         if best is not None:

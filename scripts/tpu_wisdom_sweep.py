@@ -57,6 +57,38 @@ def log(**kw):
     print(kw, flush=True)
 
 
+def routes_for(n: int) -> list[str]:
+    from fftlab.plan.split_tuning import _route_candidates
+
+    # resident_cio and resident_vmem (v2) lost every counted A/B —
+    # keep the sweep to plausible winners + the einsum control.
+    return [r for r in _route_candidates(n)
+            if r not in ("resident_cio", "resident_vmem")]
+
+
+def warm_size(n: int) -> None:
+    """Compile-only pass: run every route once (cold compiles land in
+    the persistent cache) — congestion windows are FINE for this, so
+    deferred sizes still make progress toward a fast counted pass."""
+    from fftlab.core.types import FORWARD
+    from fftlab.plan.dispatch import run_route
+
+    batch = max(1, TOTAL // n)
+    rng = np.random.default_rng(n & 0xFFFF)
+    xr = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
+    scale = 1.0 / float(np.sqrt(n))
+    for route in routes_for(n):
+        t0 = time.time()
+        try:
+            run_route(route, xr, xi, FORWARD,
+                      scale=scale)[0].block_until_ready()
+            log(name="warm", n=n, route=route,
+                s=round(time.time() - t0, 1))
+        except Exception as ex:  # noqa: BLE001
+            log(name="warm_err", n=n, route=route, error=str(ex)[:160])
+
+
 def measure_size(n: int, gbps_stamp: float) -> dict | None:
     """Chain-time every supported route at (TOTAL/n, n); return
     {route: ms} of VALID readings or None if nothing valid."""
@@ -75,7 +107,7 @@ def measure_size(n: int, gbps_stamp: float) -> dict | None:
     floor_ms = 16.0 * batch * n / (400.0 * 1e9) * 1e3
     ks = (8, 24, 48) if n <= (1 << 18) else (3, 8, 14)
 
-    routes = [r for r in _route_candidates(n) if r != "resident_cio"]
+    routes = routes_for(n)
     out: dict[str, float] = {}
     for route in routes:
         def step(a, b, route=route):
@@ -142,6 +174,7 @@ def main() -> int:
         sizes = [1 << p for p in range(14, 25)]
     deadline = time.time() + float(os.environ.get("SWEEP_WAIT_S", "10800"))
     pending = list(sizes)
+    warmed: set[int] = set()
     while pending and time.time() < deadline:
         still = []
         for n in pending:
@@ -155,7 +188,13 @@ def main() -> int:
             if not (150.0 < g < 400.0):
                 log(name="deferred", n=n, gbps=g)
                 still.append(n)
-                time.sleep(30)
+                if n not in warmed:
+                    # congestion is fine for COMPILES: bank them now so
+                    # the counted pass later is pure measurement
+                    warm_size(n)
+                    warmed.add(n)
+                else:
+                    time.sleep(30)
                 continue
             timings = measure_size(n, g)
             if timings:
