@@ -47,7 +47,26 @@ from fftlab.core.twiddle import dft_matrix_np
 from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
 
 LANES = 128
-_P = jax.lax.Precision.HIGHEST
+
+
+def _mxu_precision():
+    """MXU pass count for the f32 DFT contractions. HIGHEST = 6 bf16
+    passes per f32 matmul (the default — SNR 130+ dB on device);
+    FFTLAB_MXU_PRECISION=3x opts into bf16_3x ("float32" precision,
+    ~f32-accurate, HALF the MXU time). The resident kernels sit near
+    the compute/memory crossover at 2^20, so when a counted A/B shows
+    3x holding >=100 dB the pass-count is the next 1M lever. Read once
+    at import: A/B candidates launch as separate processes (same
+    pattern as the other FFTLAB_* kernel knobs)."""
+    import os
+
+    v = os.environ.get("FFTLAB_MXU_PRECISION", "highest").lower()
+    if v in ("3x", "high"):
+        return jax.lax.Precision.HIGH  # bf16_3x passes
+    return jax.lax.Precision.HIGHEST
+
+
+_P = _mxu_precision()
 
 MIN_N = 1 << 15       # below this the fft_vmem/einsum paths win
 # Per-pass VMEM budget bounds the sides: a pass holds in+out+twiddle
