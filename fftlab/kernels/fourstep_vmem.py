@@ -1,4 +1,4 @@
-"""Two-pass four-step FFT for large n (2^15..2^22): the round-2 fast path.
+"""Two-pass four-step FFT for large n (2^15..2^21): the round-2 fast path.
 
 The XLA einsum pipeline (algos/split_stockham.py) makes ~6 HBM passes
 at n=1M (3 stage matmuls + 2 twiddle passes + the digit-reversal
@@ -74,7 +74,12 @@ MIN_N = 1 << 15       # below this the fft_vmem/einsum paths win
 # L = 2048 -> 12 MB (fits); L = 4096 -> 24 MB (compile fails with the
 # remote service's HTTP 500). So n caps at 2048 * 2048 = 2^22; larger
 # sizes route to the einsum path until a 3-pass scheme lands.
-MAX_N = 1 << 22
+# 2^22 compiled once as a single transform in r2 but CRASHES the
+# backend compiler at batch>1 (HTTP 500, r4 wisdom sweep: (4, 2^22) —
+# the L=2048 pass slabs sit at the documented 12-slab VMEM compile
+# ceiling and batched operands push past it). The three-pass kernel
+# (threestep_vmem, MIN_N3=2^21) owns 2^22 instead.
+MAX_N = 1 << 21
 
 
 def supported_large(n: int) -> bool:
@@ -675,7 +680,7 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
     inverse is the same two-pass kernel with conjugated tables. The XLA
     einsum sandwich costs ~12 passes at these sizes.
 
-    xr, xi: [..., n] split planes (n = 2^15..2^22 pow2).
+    xr, xi: [..., n] split planes (n = 2^15..2^21 pow2).
     hr, hi: the length-n frequency response H[k], natural bin order.
     Equivalent numerics: ifft(fft(x) * H) with 1/n scaling
     (SURVEY.md §3.4 sandwich; fft_filtering.c:111-132 semantics)."""
@@ -715,7 +720,7 @@ def fft_split_large(xr, xi, direction=FORWARD,
     """Batched large-n FFT on split planes via the two-pass VMEM kernel.
 
     xr, xi: float32 [B, n] (or [..., n]; batch dims are flattened),
-    n = 2^15..2^22 pow2 (see MAX_N note). Forward unscaled / inverse 1/n (reference
+    n = 2^15..2^21 pow2 (see MAX_N note). Forward unscaled / inverse 1/n (reference
     convention, radix2_dit.c:115-119). Natural-order output.
     `blocked` picks the intermediate layout (None = FFTLAB_FS_BLOCKED env,
     see _blocked_mid_default). `scale` folds an extra output

@@ -1,6 +1,6 @@
 """Three-pass FFT for huge n (2^23..2^26): the 16M-class fast path.
 
-The two-pass kernel (kernels/fourstep_vmem.py) caps at n = 2^22 because
+The two-pass kernel (kernels/fourstep_vmem.py) caps at n = 2^21 because
 a pass's VMEM slabs scale with the side length. This module factors
 n = F1*F2*F3 (each side <= 2048, slabs stay small) and runs THREE
 passes, each structurally identical to the two-pass kernel's passes:
@@ -46,7 +46,13 @@ from fftlab.kernels.fourstep_vmem import (
 
 LANES = 128
 
-MIN_N3 = 1 << 23
+# Lower bound 2^21: the two-pass kernel also covers 2^21 (and wins
+# there — 2 HBM passes vs 3), but 2^22 CRASHES the backend compiler in
+# the two-pass form (L=2048 slabs x batch operands, HTTP 500 — r4
+# wisdom sweep), so the three-pass kernel is the 2^22 route;
+# interpret-verified 134.0-134.4 dB at 2^21/2^22 ((128,128,128) and
+# (128,128,256) sides).
+MIN_N3 = 1 << 21
 MAX_N3 = 1 << 26
 
 

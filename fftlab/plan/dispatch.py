@@ -26,7 +26,7 @@ Routes (split re/im planes, [..., n] batch-first):
   resident_cio     the same residency with EVERY HBM edge contiguous
                    (copy-in/out phases in VMEM instead of strided
                    column-chunk delivery)
-  fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^15..2^22
+  fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^15..2^21
                    (blocked layout; measured 2.65 ms/16×1M = 6.3 GS/s
                    vs einsum's 3.2, r2s3 confirm)
   threestep_vmem   three-pass huge-n kernel, TPU, pow2 n in 2^23..2^26
