@@ -330,6 +330,20 @@ class TestBenchHarness:
                 == "resident_vmem")
         wisdom.forget()
 
+    def test_mxu_precision_knob(self, monkeypatch):
+        """FFTLAB_MXU_PRECISION=3x halves the MXU pass count (bf16_3x);
+        default stays HIGHEST (bf16_6x)."""
+        import jax
+
+        from fftlab.kernels.fourstep_vmem import _mxu_precision
+
+        monkeypatch.delenv("FFTLAB_MXU_PRECISION", raising=False)
+        assert _mxu_precision() == jax.lax.Precision.HIGHEST
+        monkeypatch.setenv("FFTLAB_MXU_PRECISION", "3x")
+        assert _mxu_precision() == jax.lax.Precision.HIGH
+        monkeypatch.setenv("FFTLAB_MXU_PRECISION", "highest")
+        assert _mxu_precision() == jax.lax.Precision.HIGHEST
+
     def test_slope_valid_guard(self):
         """r3 review: negative / super-roofline slopes are measurement
         artifacts and must be DISCARDED, not recorded (the omnibus
