@@ -49,24 +49,59 @@ from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
 LANES = 128
 
 
-def _mxu_precision():
-    """MXU pass count for the f32 DFT contractions. HIGHEST = 6 bf16
+def _mxu_precision() -> str:
+    """MXU pass count for the f32 DFT contractions. "highest" = 6 bf16
     passes per f32 matmul (the default — SNR 130+ dB on device);
-    FFTLAB_MXU_PRECISION=3x opts into bf16_3x ("float32" precision,
-    ~f32-accurate, HALF the MXU time). The resident kernels sit near
-    the compute/memory crossover at 2^20, so when a counted A/B shows
-    3x holding >=100 dB the pass-count is the next 1M lever. Read once
-    at import: A/B candidates launch as separate processes (same
+    FFTLAB_MXU_PRECISION=3x opts into a HAND-ROLLED bf16_3x (Mosaic
+    rejects lax.Precision.HIGH outright — "Unsupported dot precision",
+    r4 prec probe): both operands split into bf16 hi + lo planes, the
+    three significant cross products run at DEFAULT precision (one MXU
+    pass each), the negligible lo*lo term is dropped — HALF the MXU
+    time of HIGHEST at ~f32 accuracy. The resident kernels sit near
+    the compute/memory crossover at 2^20, so the pass count is a 1M
+    roofline lever gated on the counted A/B's SNR (>=100 dB). Read
+    once at import: A/B candidates launch as separate processes (same
     pattern as the other FFTLAB_* kernel knobs)."""
     import os
 
     v = os.environ.get("FFTLAB_MXU_PRECISION", "highest").lower()
-    if v in ("3x", "high"):
-        return jax.lax.Precision.HIGH  # bf16_3x passes
-    return jax.lax.Precision.HIGHEST
+    return "3x" if v in ("3x", "high") else "highest"
 
 
-_P = _mxu_precision()
+_PREC_MODE = _mxu_precision()
+_P = jax.lax.Precision.HIGHEST
+
+
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mdot(a, b):
+    """jnp.dot at the configured MXU pass count (f32 accumulate)."""
+    if _PREC_MODE == "highest":
+        return jnp.dot(a, b, precision=_P,
+                       preferred_element_type=jnp.float32)
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+    f32 = jnp.float32
+    return (jnp.dot(ah, bh, preferred_element_type=f32)
+            + jnp.dot(ah, bl, preferred_element_type=f32)
+            + jnp.dot(al, bh, preferred_element_type=f32))
+
+
+def _mdotg(a, b, dn):
+    """lax.dot_general at the configured MXU pass count."""
+    if _PREC_MODE == "highest":
+        return jax.lax.dot_general(a, b, dn, precision=_P,
+                                   preferred_element_type=jnp.float32)
+    ah, al = _bf16_split(a)
+    bh, bl = _bf16_split(b)
+    f32 = jnp.float32
+    return (jax.lax.dot_general(ah, bh, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(ah, bl, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(al, bh, dn, preferred_element_type=f32))
 
 MIN_N = 1 << 15       # below this the fft_vmem/einsum paths win
 # Per-pass VMEM budget bounds the sides: a pass holds in+out+twiddle
@@ -139,10 +174,10 @@ def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int):
     x3r = xr.reshape(fa, fb * W)
     x3i = xi.reshape(fa, fb * W)
     # stage A: contract j1a (axis 0) -> S[k1a, j1b*W]
-    sr = (jnp.dot(Far, x3r, precision=_P, preferred_element_type=jnp.float32)
-          - jnp.dot(Fai, x3i, precision=_P, preferred_element_type=jnp.float32))
-    si = (jnp.dot(Far, x3i, precision=_P, preferred_element_type=jnp.float32)
-          + jnp.dot(Fai, x3r, precision=_P, preferred_element_type=jnp.float32))
+    sr = (_mdot(Far, x3r)
+          - _mdot(Fai, x3i))
+    si = (_mdot(Far, x3i)
+          + _mdot(Fai, x3r))
     # twiddle W_L^{k1a*j1b}: broadcast over lanes
     sr3 = sr.reshape(fa, fb, W)
     si3 = si.reshape(fa, fb, W)
@@ -153,14 +188,10 @@ def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int):
     # stage B: contract j1b (middle axis) -> Y[k1b, k1a, W]; the output
     # axis order performs the digit reversal, so flatten = natural k1.
     dn = (((1,), (1,)), ((), ()))  # contract Fb axis1 with T axis1
-    yr = (jax.lax.dot_general(Fbr, tr, dn, precision=_P,
-                              preferred_element_type=jnp.float32)
-          - jax.lax.dot_general(Fbi, ti, dn, precision=_P,
-                                preferred_element_type=jnp.float32))
-    yi = (jax.lax.dot_general(Fbr, ti, dn, precision=_P,
-                              preferred_element_type=jnp.float32)
-          + jax.lax.dot_general(Fbi, tr, dn, precision=_P,
-                                preferred_element_type=jnp.float32))
+    yr = (_mdotg(Fbr, tr, dn)
+          - _mdotg(Fbi, ti, dn))
+    yi = (_mdotg(Fbr, ti, dn)
+          + _mdotg(Fbi, tr, dn))
     return yr.reshape(L, W), yi.reshape(L, W)
 
 
@@ -189,10 +220,10 @@ def _col_fft_lanes(x3r, x3i, tabs, fa: int, fb: int):
     # trailing-collapse reshape
     x2r = x3r.reshape(fa, M * fb)
     x2i = x3i.reshape(fa, M * fb)
-    sr = (jnp.dot(Far, x2r, precision=_P, preferred_element_type=jnp.float32)
-          - jnp.dot(Fai, x2i, precision=_P, preferred_element_type=jnp.float32))
-    si = (jnp.dot(Far, x2i, precision=_P, preferred_element_type=jnp.float32)
-          + jnp.dot(Fai, x2r, precision=_P, preferred_element_type=jnp.float32))
+    sr = (_mdot(Far, x2r)
+          - _mdot(Fai, x2i))
+    si = (_mdot(Far, x2i)
+          + _mdot(Fai, x2r))
     # twiddle W_L^{ka*jb}: (fa, fb) broadcast over the middle axis
     sr3 = sr.reshape(fa, M, fb)
     si3 = si.reshape(fa, M, fb)
@@ -204,14 +235,10 @@ def _col_fft_lanes(x3r, x3i, tabs, fa: int, fb: int):
     # (kb, ka) performs the digit reversal, so the result is natural k
     # on sublanes with M on lanes.
     dn = (((1,), (2,)), ((), ()))
-    yr = (jax.lax.dot_general(Fbr, tr, dn, precision=_P,
-                              preferred_element_type=jnp.float32)
-          - jax.lax.dot_general(Fbi, ti, dn, precision=_P,
-                                preferred_element_type=jnp.float32))
-    yi = (jax.lax.dot_general(Fbr, ti, dn, precision=_P,
-                              preferred_element_type=jnp.float32)
-          + jax.lax.dot_general(Fbi, tr, dn, precision=_P,
-                                preferred_element_type=jnp.float32))
+    yr = (_mdotg(Fbr, tr, dn)
+          - _mdotg(Fbi, ti, dn))
+    yi = (_mdotg(Fbr, ti, dn)
+          + _mdotg(Fbi, tr, dn))
     return yr.reshape(fa * fb, M), yi.reshape(fa * fb, M)
 
 
@@ -232,27 +259,19 @@ def _row_fft_lanes(xr, xi, tabs, fa: int, fb: int):
     x3r = xr.reshape(M, fa, fb)
     x3i = xi.reshape(M, fa, fb)
     dnA = (((1,), (1,)), ((), ()))   # Fa (fa,fa) x (M, fa, fb) -> (fa, M, fb)
-    sr = (jax.lax.dot_general(Far, x3r, dnA, precision=_P,
-                              preferred_element_type=jnp.float32)
-          - jax.lax.dot_general(Fai, x3i, dnA, precision=_P,
-                                preferred_element_type=jnp.float32))
-    si = (jax.lax.dot_general(Far, x3i, dnA, precision=_P,
-                              preferred_element_type=jnp.float32)
-          + jax.lax.dot_general(Fai, x3r, dnA, precision=_P,
-                                preferred_element_type=jnp.float32))
+    sr = (_mdotg(Far, x3r, dnA)
+          - _mdotg(Fai, x3i, dnA))
+    si = (_mdotg(Far, x3i, dnA)
+          + _mdotg(Fai, x3r, dnA))
     wr = twr.reshape(fa, 1, fb)
     wi = twi.reshape(fa, 1, fb)
     tr = sr * wr - si * wi
     ti = sr * wi + si * wr
     dnB = (((1,), (2,)), ((), ()))   # Fb (fb,fb) x (fa, M, fb) -> (fb, fa, M)
-    yr = (jax.lax.dot_general(Fbr, tr, dnB, precision=_P,
-                              preferred_element_type=jnp.float32)
-          - jax.lax.dot_general(Fbi, ti, dnB, precision=_P,
-                                preferred_element_type=jnp.float32))
-    yi = (jax.lax.dot_general(Fbr, ti, dnB, precision=_P,
-                              preferred_element_type=jnp.float32)
-          + jax.lax.dot_general(Fbi, tr, dnB, precision=_P,
-                                preferred_element_type=jnp.float32))
+    yr = (_mdotg(Fbr, tr, dnB)
+          - _mdotg(Fbi, ti, dnB))
+    yi = (_mdotg(Fbr, ti, dnB)
+          + _mdotg(Fbi, tr, dnB))
     return yr.reshape(L, M), yi.reshape(L, M)
 
 

@@ -331,18 +331,38 @@ class TestBenchHarness:
         wisdom.forget()
 
     def test_mxu_precision_knob(self, monkeypatch):
-        """FFTLAB_MXU_PRECISION=3x halves the MXU pass count (bf16_3x);
-        default stays HIGHEST (bf16_6x)."""
-        import jax
-
+        """FFTLAB_MXU_PRECISION=3x halves the MXU pass count (hand-
+        rolled bf16_3x — Mosaic rejects lax.Precision.HIGH); default
+        stays HIGHEST (bf16_6x)."""
         from fftlab.kernels.fourstep_vmem import _mxu_precision
 
         monkeypatch.delenv("FFTLAB_MXU_PRECISION", raising=False)
-        assert _mxu_precision() == jax.lax.Precision.HIGHEST
+        assert _mxu_precision() == "highest"
         monkeypatch.setenv("FFTLAB_MXU_PRECISION", "3x")
-        assert _mxu_precision() == jax.lax.Precision.HIGH
+        assert _mxu_precision() == "3x"
         monkeypatch.setenv("FFTLAB_MXU_PRECISION", "highest")
-        assert _mxu_precision() == jax.lax.Precision.HIGHEST
+        assert _mxu_precision() == "highest"
+
+    def test_bf16_3x_dot_accuracy(self):
+        """The hand-rolled bf16_3x contraction (hi/lo split, 3 MXU
+        passes, lo*lo dropped) must stay ~f32-accurate: relative error
+        well under 1e-5 on random operands."""
+        import jax.numpy as jnp
+
+        import fftlab.kernels.fourstep_vmem as fs
+
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.standard_normal((64, 64)), jnp.float32)
+        b = jnp.asarray(rng.standard_normal((64, 256)), jnp.float32)
+        want = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+        old = fs._PREC_MODE
+        try:
+            fs._PREC_MODE = "3x"
+            got = np.asarray(fs._mdot(a, b), np.float64)
+        finally:
+            fs._PREC_MODE = old
+        rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
+        assert rel < 1e-5, rel
 
     def test_slope_valid_guard(self):
         """r3 review: negative / super-roofline slopes are measurement
