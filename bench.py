@@ -281,6 +281,8 @@ _PATH_TO_ROUTE = {
     "resident_vmem": "resident_vmem",
     "resident_v4": "resident_v4",
     "resident_v6": "resident_v6",
+    "resident_v4_3x": "resident_v4_3x",
+    "resident_v6_3x": "resident_v6_3x",
     "resident_cio": "resident_cio",
     "fourstep_vmem": "fourstep_vmem",
     "fourstep_vmem_blocked": "fourstep_vmem",
@@ -398,6 +400,15 @@ def _large_fft_candidates(n: int):
                 # B) — the challenger to v4's crown.
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale, layout="v6")), "resident_v6"))
+                # bf16_3x contractions: half the MXU passes at 103.6-
+                # 104.0 dB device SNR (r4 prec probe) — the roofline
+                # lever where the kernel is compute-crossed.
+                cands.append(((lambda a, b, scale=None: fft_split_resident(
+                    a, b, scale=scale, layout="v6", prec="3x")),
+                    "resident_v6_3x"))
+                cands.append(((lambda a, b, scale=None: fft_split_resident(
+                    a, b, scale=scale, layout="v4", prec="3x")),
+                    "resident_v4_3x"))
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale)), "resident_vmem"))
             if supported_large(n):

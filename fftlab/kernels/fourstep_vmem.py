@@ -78,9 +78,9 @@ def _bf16_split(a):
     return hi, lo
 
 
-def _mdot(a, b):
+def _mdot(a, b, mode: str | None = None):
     """jnp.dot at the configured MXU pass count (f32 accumulate)."""
-    if _PREC_MODE == "highest":
+    if (mode or _PREC_MODE) == "highest":
         return jnp.dot(a, b, precision=_P,
                        preferred_element_type=jnp.float32)
     ah, al = _bf16_split(a)
@@ -91,9 +91,9 @@ def _mdot(a, b):
             + jnp.dot(al, bh, preferred_element_type=f32))
 
 
-def _mdotg(a, b, dn):
+def _mdotg(a, b, dn, mode: str | None = None):
     """lax.dot_general at the configured MXU pass count."""
-    if _PREC_MODE == "highest":
+    if (mode or _PREC_MODE) == "highest":
         return jax.lax.dot_general(a, b, dn, precision=_P,
                                    preferred_element_type=jnp.float32)
     ah, al = _bf16_split(a)
@@ -165,7 +165,8 @@ def _col_fft_tables(L: int, direction: Direction,
             c(tw.real), c(tw.imag))
 
 
-def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int):
+def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int,
+                  prec: str | None = None):
     """(L, W) block -> (L, W) spectra along sublanes, natural order.
     W = lane width of the block (128 in pass 1, 128 in pass 2)."""
     Far, Fai, Fbr, Fbi, twr, twi = tabs
@@ -174,10 +175,10 @@ def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int):
     x3r = xr.reshape(fa, fb * W)
     x3i = xi.reshape(fa, fb * W)
     # stage A: contract j1a (axis 0) -> S[k1a, j1b*W]
-    sr = (_mdot(Far, x3r)
-          - _mdot(Fai, x3i))
-    si = (_mdot(Far, x3i)
-          + _mdot(Fai, x3r))
+    sr = (_mdot(Far, x3r, prec)
+          - _mdot(Fai, x3i, prec))
+    si = (_mdot(Far, x3i, prec)
+          + _mdot(Fai, x3r, prec))
     # twiddle W_L^{k1a*j1b}: broadcast over lanes
     sr3 = sr.reshape(fa, fb, W)
     si3 = si.reshape(fa, fb, W)
@@ -188,14 +189,15 @@ def _col_fft_vmem(xr, xi, tabs, fa: int, fb: int):
     # stage B: contract j1b (middle axis) -> Y[k1b, k1a, W]; the output
     # axis order performs the digit reversal, so flatten = natural k1.
     dn = (((1,), (1,)), ((), ()))  # contract Fb axis1 with T axis1
-    yr = (_mdotg(Fbr, tr, dn)
-          - _mdotg(Fbi, ti, dn))
-    yi = (_mdotg(Fbr, ti, dn)
-          + _mdotg(Fbi, tr, dn))
+    yr = (_mdotg(Fbr, tr, dn, prec)
+          - _mdotg(Fbi, ti, dn, prec))
+    yi = (_mdotg(Fbr, ti, dn, prec)
+          + _mdotg(Fbi, tr, dn, prec))
     return yr.reshape(L, W), yi.reshape(L, W)
 
 
-def _col_fft_lanes(x3r, x3i, tabs, fa: int, fb: int):
+def _col_fft_lanes(x3r, x3i, tabs, fa: int, fb: int,
+                   prec: str | None = None):
     """Length-L FFT over the SPLIT axes of an (fa, M, fb) stack.
 
     The transform index is j = ja*fb + jb with ja the LEADING (slot)
@@ -220,10 +222,10 @@ def _col_fft_lanes(x3r, x3i, tabs, fa: int, fb: int):
     # trailing-collapse reshape
     x2r = x3r.reshape(fa, M * fb)
     x2i = x3i.reshape(fa, M * fb)
-    sr = (_mdot(Far, x2r)
-          - _mdot(Fai, x2i))
-    si = (_mdot(Far, x2i)
-          + _mdot(Fai, x2r))
+    sr = (_mdot(Far, x2r, prec)
+          - _mdot(Fai, x2i, prec))
+    si = (_mdot(Far, x2i, prec)
+          + _mdot(Fai, x2r, prec))
     # twiddle W_L^{ka*jb}: (fa, fb) broadcast over the middle axis
     sr3 = sr.reshape(fa, M, fb)
     si3 = si.reshape(fa, M, fb)
@@ -235,14 +237,15 @@ def _col_fft_lanes(x3r, x3i, tabs, fa: int, fb: int):
     # (kb, ka) performs the digit reversal, so the result is natural k
     # on sublanes with M on lanes.
     dn = (((1,), (2,)), ((), ()))
-    yr = (_mdotg(Fbr, tr, dn)
-          - _mdotg(Fbi, ti, dn))
-    yi = (_mdotg(Fbr, ti, dn)
-          + _mdotg(Fbi, tr, dn))
+    yr = (_mdotg(Fbr, tr, dn, prec)
+          - _mdotg(Fbi, ti, dn, prec))
+    yi = (_mdotg(Fbr, ti, dn, prec)
+          + _mdotg(Fbi, tr, dn, prec))
     return yr.reshape(fa * fb, M), yi.reshape(fa * fb, M)
 
 
-def _row_fft_lanes(xr, xi, tabs, fa: int, fb: int):
+def _row_fft_lanes(xr, xi, tabs, fa: int, fb: int,
+                   prec: str | None = None):
     """Length-L FFT along the LANE axis of an (M, L) slab, output
     (L, M) natural order — the row-slab counterpart of _col_fft_lanes.
 
@@ -259,19 +262,19 @@ def _row_fft_lanes(xr, xi, tabs, fa: int, fb: int):
     x3r = xr.reshape(M, fa, fb)
     x3i = xi.reshape(M, fa, fb)
     dnA = (((1,), (1,)), ((), ()))   # Fa (fa,fa) x (M, fa, fb) -> (fa, M, fb)
-    sr = (_mdotg(Far, x3r, dnA)
-          - _mdotg(Fai, x3i, dnA))
-    si = (_mdotg(Far, x3i, dnA)
-          + _mdotg(Fai, x3r, dnA))
+    sr = (_mdotg(Far, x3r, dnA, prec)
+          - _mdotg(Fai, x3i, dnA, prec))
+    si = (_mdotg(Far, x3i, dnA, prec)
+          + _mdotg(Fai, x3r, dnA, prec))
     wr = twr.reshape(fa, 1, fb)
     wi = twi.reshape(fa, 1, fb)
     tr = sr * wr - si * wi
     ti = sr * wi + si * wr
     dnB = (((1,), (2,)), ((), ()))   # Fb (fb,fb) x (fa, M, fb) -> (fb, fa, M)
-    yr = (_mdotg(Fbr, tr, dnB)
-          - _mdotg(Fbi, ti, dnB))
-    yi = (_mdotg(Fbr, ti, dnB)
-          + _mdotg(Fbi, tr, dnB))
+    yr = (_mdotg(Fbr, tr, dnB, prec)
+          - _mdotg(Fbi, ti, dnB, prec))
+    yi = (_mdotg(Fbr, ti, dnB, prec)
+          + _mdotg(Fbi, tr, dnB, prec))
     return yr.reshape(L, M), yi.reshape(L, M)
 
 

@@ -213,7 +213,8 @@ def _resident_v4_kernel(xr_blk, xi_blk,
                         Far2, Fai2, Fbr2, Fbi2, twr2, twi2,
                         ar_blk, ai_blk, Pr, Pi,
                         or_ref, oi_ref, M4r, M4i,
-                        *, L1, L2, W, R, fa1, fb1, fa2, fb2):
+                        *, L1, L2, W, R, fa1, fb1, fa2, fb2,
+                        prec=None):
     """v4 formulation: the assembly transposes move from phase B to
     phase A. v2's phase B does C2 transposes per step whose SOURCE is
     a dynamic-sublane slice of the scratch, on the same critical path
@@ -231,7 +232,8 @@ def _resident_v4_kernel(xr_blk, xi_blk,
     def _phase_a():
         tabs1 = (Far1[...], Fai1[...], Fbr1[...], Fbi1[...],
                  twr1[...], twi1[...])
-        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1)
+        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1,
+                               prec)
         ar = ar_blk[0]
         ai = ai_blk[0]
         wr = ar * Pr[...] - ai * Pi[...]
@@ -249,18 +251,19 @@ def _resident_v4_kernel(xr_blk, xi_blk,
         g = s - C2
         tabs2 = (Far2[...], Fai2[...], Fbr2[...], Fbi2[...],
                  twr2[...], twi2[...])
-        yr, yi = _col_fft_vmem(M4r[g], M4i[g], tabs2, fa2, fb2)
+        yr, yi = _col_fft_vmem(M4r[g], M4i[g], tabs2, fa2, fb2, prec)
         or_ref[0] = yr
         oi_ref[0] = yi
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("direction", "interpret", "scale", "R"),
+    static_argnames=("direction", "interpret", "scale", "R", "prec"),
 )
 def _fft_resident_v4_impl(xr, xi, *, direction: Direction,
                           interpret: bool, scale=None,
-                          R: int | None = None):
+                          R: int | None = None,
+                          prec: str | None = None):
     B, n = xr.shape
     L1, L2 = _split_sides(n)
     W = LANES
@@ -298,7 +301,7 @@ def _fft_resident_v4_impl(xr, xi, *, direction: Direction,
         memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         functools.partial(_resident_v4_kernel, L1=L1, L2=L2, W=W, R=R,
-                          fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2),
+                          fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2, prec=prec),
         grid=(B, C2 + G1),
         in_specs=[in_blk, in_blk] + [const] * 12 + [a_blk, a_blk,
                                                     const, const],
@@ -327,7 +330,8 @@ def _resident_v6_kernel(xr_blk, xi_blk,
                         Lar2, Lai2, Lbr2, Lbi2, ltw2r, ltw2i,
                         ar_blk, ai_blk, Pr, Pi,
                         or_ref, oi_ref, Mbr, Mbi,
-                        *, L1, L2, W, R, fa1, fb1, la2, lb2):
+                        *, L1, L2, W, R, fa1, fb1, la2, lb2,
+                        prec=None):
     """v6 formulation: ZERO in-VMEM transposes. Phase A is v2's
     (column FFT + rank-1 twiddle, whole-slot store — static). Phase B
     runs the length-L2 FFT directly on the (C2, R, W) slice
@@ -346,7 +350,8 @@ def _resident_v6_kernel(xr_blk, xi_blk,
     def _phase_a():
         tabs1 = (Far1[...], Fai1[...], Fbr1[...], Fbi1[...],
                  twr1[...], twi1[...])
-        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1)
+        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1,
+                               prec)
         ar = ar_blk[0]
         ai = ai_blk[0]
         wr = ar * Pr[...] - ai * Pi[...]
@@ -361,18 +366,19 @@ def _resident_v6_kernel(xr_blk, xi_blk,
                  ltw2r[...], ltw2i[...])
         rs = pl.ds(g * R, R)
         yr, yi = _col_fft_lanes(Mbr[:, rs, :], Mbi[:, rs, :],
-                                tabs2, la2, lb2)
+                                tabs2, la2, lb2, prec)
         or_ref[0] = yr
         oi_ref[0] = yi
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("direction", "interpret", "scale", "R"),
+    static_argnames=("direction", "interpret", "scale", "R", "prec"),
 )
 def _fft_resident_v6_impl(xr, xi, *, direction: Direction,
                           interpret: bool, scale=None,
-                          R: int | None = None):
+                          R: int | None = None,
+                          prec: str | None = None):
     B, n = xr.shape
     L1, L2 = _split_sides(n)
     W = LANES
@@ -411,7 +417,7 @@ def _fft_resident_v6_impl(xr, xi, *, direction: Direction,
         memory_space=pltpu.VMEM)
     yr, yi = pl.pallas_call(
         functools.partial(_resident_v6_kernel, L1=L1, L2=L2, W=W, R=R,
-                          fa1=fa1, fb1=fb1, la2=la2, lb2=lb2),
+                          fa1=fa1, fb1=fb1, la2=la2, lb2=lb2, prec=prec),
         grid=(B, C2 + G1),
         in_specs=[in_blk, in_blk] + [const] * 12 + [a_blk, a_blk,
                                                     const, const],
@@ -439,7 +445,8 @@ def fft_split_resident(xr, xi, direction=FORWARD,
                        interpret: bool | None = None,
                        scale: float | None = None,
                        out_rows: int | None = None,
-                       layout: str = "v2"):
+                       layout: str = "v2",
+                       prec: str | None = None):
     """Batched FFT on split planes via the one-residency VMEM kernel.
 
     xr, xi: float32 [..., n], n = 2^15..2^20 pow2. Forward unscaled /
@@ -474,6 +481,11 @@ def fft_split_resident(xr, xi, direction=FORWARD,
             f"layout must be 'v2', 'v4' or 'v6'; got {layout!r}")
     impl = {"v2": _fft_resident_impl, "v4": _fft_resident_v4_impl,
             "v6": _fft_resident_v6_impl}[layout]
+    kw = {}
+    if layout in ("v4", "v6") and prec is not None:
+        # MXU pass count override (bf16_3x vs bf16_6x); only the v4/v6
+        # formulations thread it (the A/B candidates).
+        kw["prec"] = prec
     yr, yi = impl(
         xr.reshape(B, n), xi.reshape(B, n),
         direction=Direction(int(direction)), interpret=bool(interpret),
@@ -481,6 +493,7 @@ def fft_split_resident(xr, xi, direction=FORWARD,
         # Resolved OUTSIDE jit (static cache key): a stale entry keyed
         # on the default must not shadow a later FFTLAB_RES_R change.
         R=_out_chunk_rows(L1, out_rows),
+        **kw,
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

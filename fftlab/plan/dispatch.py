@@ -46,6 +46,7 @@ import os
 from fftlab.plan.hardware import detect_hardware
 
 ROUTES = ("pallas_vmem", "resident_vmem", "resident_v4", "resident_v6",
+          "resident_v4_3x", "resident_v6_3x",
           "resident_cio", "fourstep_vmem", "threestep_vmem",
           "pallas_pipeline", "einsum")
 
@@ -259,6 +260,15 @@ def run_route(route: str, xr, xi, direction, scale: float | None = None):
 
         return fft_split_resident(xr, xi, direction, scale=scale,
                                   layout="v6")
+    if route in ("resident_v4_3x", "resident_v6_3x"):
+        # bf16_3x MXU contractions (3 passes vs HIGHEST's 6): device
+        # SNR 103.6-104.0 dB vs the f64 oracle (r4 prec probe) — above
+        # the 100 dB gate, half the MXU time where the kernel is
+        # compute-crossed.
+        from fftlab.kernels.resident_vmem import fft_split_resident
+
+        return fft_split_resident(xr, xi, direction, scale=scale,
+                                  layout=route[9:11], prec="3x")
     if route == "resident_cio":
         from fftlab.kernels.resident_vmem import fft_split_resident_cio
 

@@ -96,6 +96,10 @@ def _route_candidates(n: int) -> list[str]:
         cands.append("resident_vmem")
         cands.append("resident_v4")
         cands.append("resident_v6")
+        # bf16_3x contraction variants (half the MXU passes, 103.6+ dB
+        # device SNR)
+        cands.append("resident_v4_3x")
+        cands.append("resident_v6_3x")
         cands.append("resident_cio")
     if supported_large(n):
         cands.append("fourstep_vmem")

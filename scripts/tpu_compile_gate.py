@@ -74,6 +74,23 @@ from fftlab.kernels.resident_vmem import fft_split_resident
 xr, xi = planes(2, 1 << 20)
 fft_split_resident(xr, xi, FORWARD, layout="v6")[0].block_until_ready()
 """,
+    "resident_v6_3x": """
+from fftlab.kernels.resident_vmem import fft_split_resident
+xr, xi = planes(2, 1 << 20)
+fft_split_resident(xr, xi, FORWARD, layout="v6",
+                   prec="3x")[0].block_until_ready()
+""",
+    "resident_v4_3x": """
+from fftlab.kernels.resident_vmem import fft_split_resident
+xr, xi = planes(2, 1 << 20)
+fft_split_resident(xr, xi, FORWARD, layout="v4",
+                   prec="3x")[0].block_until_ready()
+""",
+    "threestep_2m": """
+from fftlab.kernels.threestep_vmem import fft_split_huge
+xr, xi = planes(2, 1 << 22)
+fft_split_huge(xr, xi, FORWARD)[0].block_until_ready()
+""",
     "resident_filter_v5": """
 from fftlab.kernels.resident_vmem import spectral_filter_resident_v5
 xr, xi = planes(2, 1 << 20)

@@ -157,7 +157,15 @@ def main() -> int:
             except Exception as ex:  # noqa: BLE001
                 row["diag_" + v + "_err"] = str(ex)[:160]
         ctrl = row.get("fs_blocked_ms", -1.0)
-        row["counted"] = bool(2.0 <= ctrl <= 8.0)
+        # Round validity (r4): control in band AND every slope in the
+        # round physically possible — one negative/sub-floor entry
+        # means congestion moved WITHIN the round (r3 artifact rot:
+        # res_ms -1.35, resfilt_v5_ms -6.02 recorded uninhibited).
+        floor_1m = 16.0 * 16 * (1 << 20) / (400.0 * 1e9) * 1e3
+        ms_vals = [v for k, v in row.items()
+                   if k.endswith("_ms") and not k.startswith("diag_")]
+        row["counted"] = bool(2.0 <= ctrl <= 8.0 and ms_vals
+                              and all(v >= floor_1m for v in ms_vals))
         log(**row)
         if row["counted"]:
             counted += 1

@@ -115,7 +115,14 @@ def main() -> int:
             row.update({("lo_" + k): v for k, v in lo.items()
                         if k != "prec"})
         ctrl = row.get("hi_fs_blocked_ms", -1.0)
-        row["counted"] = bool(2.0 <= ctrl <= 8.0)
+        # Round validity (r4): control in band AND every slope in the
+        # round physically possible — one negative/sub-floor entry
+        # means congestion moved WITHIN the round, so no same-window
+        # comparison exists in it.
+        floor_ms = 16.0 * 16 * (1 << 20) / (400.0 * 1e9) * 1e3
+        ms_vals = [v for k, v in row.items() if k.endswith("_ms")]
+        row["counted"] = bool(2.0 <= ctrl <= 8.0 and ms_vals
+                              and all(v >= floor_ms for v in ms_vals))
         log(**row)
         if row["counted"]:
             counted += 1
