@@ -116,6 +116,29 @@ class TestSplitTuning:
         with _pytest.raises(ValueError):
             run_route("bogus", z, z, 1)
 
+    def test_run_route_3x_matches_oracle(self):
+        """The bf16_3x dispatch routes execute the same transform at
+        ~f32 accuracy (>=100 dB vs the f64 oracle — the suite's device
+        gate, checked here in interpret mode)."""
+        import jax.numpy as jnp
+
+        from fftlab.core.types import FORWARD
+        from fftlab.plan.dispatch import run_route
+
+        rng = np.random.default_rng(11)
+        n = 1 << 15
+        xr = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        xi = jnp.asarray(rng.standard_normal((1, n)), jnp.float32)
+        want = np.fft.fft(np.asarray(xr[0], np.float64)
+                          + 1j * np.asarray(xi[0], np.float64))
+        for route in ("resident_v4_3x", "resident_v6_3x"):
+            yr, yi = run_route(route, xr, xi, FORWARD)
+            got = (np.asarray(yr[0], np.float64)
+                   + 1j * np.asarray(yi[0], np.float64))
+            err = np.sum(np.abs(got - want) ** 2)
+            snr = 10 * np.log10(np.sum(np.abs(want) ** 2) / err)
+            assert snr > 100.0, (route, snr)
+
     def test_split_plan_estimate_and_execute(self):
         import jax.numpy as jnp
         from fftlab.plan.api import plan_dft_1d_split
