@@ -1,75 +1,42 @@
-"""MXU-precision A/B: HIGHEST (bf16_6x) vs 3x (bf16_3x) on the 1M
-resident kernels + the two-pass control, same window.
+"""MXU-precision A/B: HIGHEST (bf16_6x) vs hand-rolled 3x (bf16_3x) on
+the 1M resident kernels + the two-pass control — all candidates
+interleaved in ONE process (prec is a static jit arg of
+fft_split_resident since r4), so every round is a same-window
+comparison by construction.
 
 The resident kernel at 2^20 sits near the compute/memory crossover:
-its DFT contractions run 6 bf16 MXU passes per f32 matmul at HIGHEST.
-bf16_3x halves the MXU work; if the kernel is MXU-bound (the r3 gap:
-1.61 ms vs the 0.94 ms one-residency floor) the win is real, and the
-SNR gate (>=100 dB vs the f64 oracle) decides whether the precision
-still clears the bar. Each arm runs in a FRESH subprocess because the
-precision is read at kernel-module import (FFTLAB_MXU_PRECISION).
+its DFT contractions run 6 bf16 MXU passes per f32 matmul at HIGHEST;
+3x halves the MXU work at 103.6-104.0 dB device SNR (gate: 100 dB).
+If the kernel is MXU-bound (r3 gap: 1.61 ms vs the 0.94 ms
+one-residency floor) the win is real.
 
-Appends to bench_artifacts/prec_ab.jsonl. Counted when the control
-(fs_blocked at HIGHEST) lands in its 2.0-8.0 ms plausibility window.
+Appends to bench_artifacts/prec_ab.jsonl. A round counts only when the
+control (fs_blocked) lands in its 2.0-8.0 ms plausibility window AND
+every slope in the round is physically possible (positive, >= the
+one-residency floor) — one invalid entry means congestion moved within
+the round and no same-window comparison exists in it.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import subprocess
 import sys
 import time
 
-ART = "bench_artifacts/prec_ab.jsonl"
+import numpy as np
 
-ARM = r"""
-import json, os, sys
 sys.path.insert(0, ".")
+
 cache = os.path.expanduser("~/.cache/jax_comp")
-import jax
+os.makedirs(cache, exist_ok=True)
+import jax  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-import jax.numpy as jnp
-import numpy as np
-from fftlab.bench.timing import chain_time, min_slope
-from fftlab.core.types import FORWARD
-from fftlab.kernels.resident_vmem import fft_split_resident
-from fftlab.kernels.fourstep_vmem import fft_split_large
+import jax.numpy as jnp  # noqa: E402
 
-B, n = 16, 1 << 20
-rng = np.random.default_rng(0)
-xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
-xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
-scale = 1.0 / float(np.sqrt(n))
-want = np.fft.fft(np.asarray(xr[0], np.float64)
-                  + 1j * np.asarray(xi[0], np.float64)) * scale
-
-out = {"prec": os.environ.get("FFTLAB_MXU_PRECISION", "highest")}
-cands = {
-    "res_v6": lambda a, b: fft_split_resident(a, b, FORWARD, scale=scale,
-                                              layout="v6"),
-    "res_v4": lambda a, b: fft_split_resident(a, b, FORWARD, scale=scale,
-                                              layout="v4"),
-    "fs_blocked": lambda a, b: fft_split_large(a, b, FORWARD,
-                                               blocked=True, scale=scale),
-}
-for name, fn in cands.items():
-    gr, gi = fn(xr[:1], xi[:1])
-    got = (np.asarray(gr[0], np.float64)
-           + 1j * np.asarray(gi[0], np.float64))
-    err = np.sum(np.abs(got - want) ** 2)
-    sig = np.sum(np.abs(want) ** 2)
-    out[name + "_snr_db"] = round(float(10 * np.log10(sig / max(err, 1e-300))), 1)
-    try:
-        raw = chain_time(fn, lambda i: (xr + jnp.float32(1e-3 * i),
-                                        xi - jnp.float32(1e-3 * i)),
-                         ks=(3, 8, 14), repeats=3, return_raw=True)
-        out[name + "_ms"] = round(min_slope(raw) * 1e3, 4)
-    except Exception as ex:
-        out[name + "_err"] = str(ex)[:160]
-print("ARM_RESULT " + json.dumps(out))
-"""
+ART = "bench_artifacts/prec_ab.jsonl"
 
 
 def log(**kw):
@@ -80,46 +47,75 @@ def log(**kw):
     print(kw, flush=True)
 
 
-def run_arm(prec: str, timeout_s: float) -> dict | None:
-    env = dict(os.environ, FFTLAB_MXU_PRECISION=prec)
-    try:
-        r = subprocess.run([sys.executable, "-c", ARM], env=env,
-                           timeout=timeout_s, capture_output=True,
-                           text=True)
-    except subprocess.TimeoutExpired:
-        log(name="arm_timeout", prec=prec)
-        return None
-    for line in r.stdout.splitlines():
-        if line.startswith("ARM_RESULT "):
-            return json.loads(line[len("ARM_RESULT "):])
-    log(name="arm_failed", prec=prec, rc=r.returncode,
-        tail=(r.stderr or r.stdout)[-300:])
-    return None
-
-
 def main() -> int:
-    from fftlab.bench.timing import stall_watchdog
+    from fftlab.bench.timing import chain_time, min_slope, stall_watchdog
+    from fftlab.core.types import FORWARD
+    from fftlab.kernels.fourstep_vmem import fft_split_large
+    from fftlab.kernels.resident_vmem import fft_split_resident
 
     stall_watchdog(ART, stall_s=2400.0)
+    assert jax.devices()[0].platform == "tpu"
+
+    B, n = 16, 1 << 20
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    scale = 1.0 / float(np.sqrt(n))
+    want = np.fft.fft(np.asarray(xr[0], np.float64)
+                      + 1j * np.asarray(xi[0], np.float64)) * scale
+
+    def res(layout, prec):
+        return lambda a, b: fft_split_resident(
+            a, b, FORWARD, scale=scale, layout=layout, prec=prec)
+
+    cands = {
+        "fs_blocked": lambda a, b: fft_split_large(
+            a, b, FORWARD, blocked=True, scale=scale),
+        "v4_hi": res("v4", None),
+        "v4_3x": res("v4", "3x"),
+        "v6_hi": res("v6", None),
+        "v6_3x": res("v6", "3x"),
+    }
+
+    # SNR gate once per candidate (B=1 slice; readback over the tunnel
+    # is slow, so gate once, then chains only)
+    drop = []
+    for name, fn in cands.items():
+        t0 = time.time()
+        try:
+            gr, gi = fn(xr[:1], xi[:1])
+            got = (np.asarray(gr[0], np.float64)
+                   + 1j * np.asarray(gi[0], np.float64))
+            err = np.sum(np.abs(got - want) ** 2)
+            snr = float(10 * np.log10(np.sum(np.abs(want) ** 2)
+                                      / max(err, 1e-300)))
+            log(name=f"gate_{name}", snr_db=round(snr, 1),
+                s=round(time.time() - t0, 1))
+            if snr < 100.0:
+                drop.append(name)
+        except Exception as ex:  # noqa: BLE001
+            log(name=f"gate_{name}", error=str(ex)[:200])
+            drop.append(name)
+    for name in drop:
+        log(name="gate_fail", cand=name)
+        del cands[name]
+
+    floor_ms = 16.0 * B * n / (400.0 * 1e9) * 1e3
     deadline = time.time() + float(os.environ.get("PREC_WAIT_S", "7200"))
-    want = int(os.environ.get("PREC_ROUNDS", "2"))
+    want_rounds = int(os.environ.get("PREC_ROUNDS", "2"))
     counted = 0
-    while counted < want and time.time() < deadline:
+    while counted < want_rounds and time.time() < deadline:
         row = {"name": "prec_round", "round": counted}
-        hi = run_arm("highest", 1200.0)
-        lo = run_arm("3x", 1200.0)
-        if hi:
-            row.update({("hi_" + k): v for k, v in hi.items()
-                        if k != "prec"})
-        if lo:
-            row.update({("lo_" + k): v for k, v in lo.items()
-                        if k != "prec"})
-        ctrl = row.get("hi_fs_blocked_ms", -1.0)
-        # Round validity (r4): control in band AND every slope in the
-        # round physically possible — one negative/sub-floor entry
-        # means congestion moved WITHIN the round, so no same-window
-        # comparison exists in it.
-        floor_ms = 16.0 * 16 * (1 << 20) / (400.0 * 1e9) * 1e3
+        for name, fn in cands.items():
+            try:
+                raw = chain_time(fn,
+                                 lambda i: (xr + jnp.float32(1e-3 * i),
+                                            xi - jnp.float32(1e-3 * i)),
+                                 ks=(3, 8, 14), repeats=3, return_raw=True)
+                row[name + "_ms"] = round(min_slope(raw) * 1e3, 4)
+            except Exception as ex:  # noqa: BLE001
+                row[name + "_err"] = str(ex)[:160]
+        ctrl = row.get("fs_blocked_ms", -1.0)
         ms_vals = [v for k, v in row.items() if k.endswith("_ms")]
         row["counted"] = bool(2.0 <= ctrl <= 8.0 and ms_vals
                               and all(v >= floor_ms for v in ms_vals))
