@@ -590,6 +590,13 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
             cands.append((lambda a, b, scale=None:
                           spectral_filter_resident_v5(a, b, hr, hi),
                           "resident_filter_v5"))
+            # v5 with bf16_3x contractions: the sandwich pays 4 column
+            # FFTs per residency, so the pass count bites twice as hard
+            # as in the plain kernel (interpret SNR 102.8 dB).
+            cands.append((lambda a, b, scale=None:
+                          spectral_filter_resident_v5(a, b, hr, hi,
+                                                      prec="3x"),
+                          "resident_filter_v5_3x"))
             cands.append((lambda a, b, scale=None: spectral_filter_resident(
                 a, b, hr, hi), "resident_filter"))
             cands.append((lambda a, b, scale=None:

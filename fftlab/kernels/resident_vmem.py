@@ -792,7 +792,7 @@ def _resident_filter_kernel(xr_blk, xi_blk,
         zi = yr * hi + yi * hr
         tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
                   I2tr[...], I2ti[...])
-        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2)
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2, prec)
         iar = ai_blk_r[0]          # (L2, 1)
         iai = ai_blk_i[0]
         iwr = iar * Ipr[...] - iai * Ipi[...]
@@ -958,7 +958,7 @@ def _filter_cio_kernel(xr_blk, xi_blk,
         zi = yr * hi + yi * hr
         tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
                   I2tr[...], I2ti[...])
-        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2)
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2, prec)
         iar = ai_blk_r[0]
         iai = ai_blk_i[0]
         iwr = iar * Ipr[...] - iai * Ipi[...]
@@ -1150,7 +1150,8 @@ def _filter_v5_kernel(xr_blk, xi_blk,
                       Mbr, Mbi,
                       *, L1: int, L2: int, W: int, R: int,
                       fa1: int, fb1: int, fa2: int, fb2: int,
-                      la2: int, lb2: int, ja1: int, jb1: int):
+                      la2: int, lb2: int, ja1: int, jb1: int,
+                      prec: str | None = None):
     s = pl.program_id(1)
     C2 = L2 // W
     G1 = L1 // R
@@ -1174,7 +1175,7 @@ def _filter_v5_kernel(xr_blk, xi_blk,
         tabs2f = (L2ar[...], L2ai[...], L2br[...], L2bi[...],
                   L2tr[...], L2ti[...])
         yr, yi = _col_fft_lanes(Mbr[:, rs, :], Mbi[:, rs, :],
-                                tabs2f, la2, lb2)
+                                tabs2f, la2, lb2, prec)
         hr = hr_blk[0]
         hi = hi_blk[0]
         zr = yr * hr - yi * hi
@@ -1183,7 +1184,7 @@ def _filter_v5_kernel(xr_blk, xi_blk,
                   I2tr[...], I2ti[...])
         # the inverse L2 FFT's input is already sublane-natural, so it
         # keeps the cheaper balanced factors
-        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2)
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2, prec)
         iar = ai_blk_r[0]
         iai = ai_blk_i[0]
         iwr = iar * Ipr[...] - iai * Ipi[...]
@@ -1206,15 +1207,16 @@ def _filter_v5_kernel(xr_blk, xi_blk,
         # final inverse FFT over u = g*R + b in lane-contraction form
         xg = Mbr[q].reshape(G1, R, W)
         yg = Mbi[q].reshape(G1, R, W)
-        yr, yi = _col_fft_lanes(xg, yg, tabs1i, ja1, jb1)
+        yr, yi = _col_fft_lanes(xg, yg, tabs1i, ja1, jb1, prec)
         or_blk[0] = yr
         oi_blk[0] = yi
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret",),
+    jax.jit, static_argnames=("interpret", "prec"),
 )
-def _filter_resident_v5_impl(xr, xi, h2r, h2i, *, interpret: bool):
+def _filter_resident_v5_impl(xr, xi, h2r, h2i, *, interpret: bool,
+                             prec: str | None = None):
     B, n = xr.shape
     L1, L2 = _split_sides(n)
     W = LANES
@@ -1263,7 +1265,8 @@ def _filter_resident_v5_impl(xr, xi, h2r, h2i, *, interpret: bool):
     yr, yi = pl.pallas_call(
         functools.partial(_filter_v5_kernel, L1=L1, L2=L2, W=W,
                           R=R, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2,
-                          la2=la2, lb2=lb2, ja1=ja1, jb1=jb1),
+                          la2=la2, lb2=lb2, ja1=ja1, jb1=jb1,
+                          prec=prec),
         grid=(B, C2 + G1 + C2),
         in_specs=[in_blk, in_blk] + [const] * 24
                  + [af_blk, af_blk, const, const]
@@ -1294,7 +1297,8 @@ def _filter_resident_v5_impl(xr, xi, h2r, h2i, *, interpret: bool):
 
 
 def spectral_filter_resident_v5(xr, xi, hr, hi,
-                                interpret: bool | None = None):
+                                interpret: bool | None = None,
+                                prec: str | None = None):
     """The fused FFT -> H -> IFFT sandwich with ZERO in-VMEM
     transposes (the v5 lane-contraction formulation — see the design
     block above). Same contract as `spectral_filter_resident`."""
@@ -1320,7 +1324,7 @@ def spectral_filter_resident_v5(xr, xi, hr, hi,
         B *= int(d)
     yr, yi = _filter_resident_v5_impl(
         xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
-        interpret=bool(interpret),
+        interpret=bool(interpret), prec=prec,
     )
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 

@@ -98,6 +98,13 @@ h = jnp.ones(1 << 20, jnp.float32)
 spectral_filter_resident_v5(xr, xi, h, jnp.zeros_like(h))[0]\
     .block_until_ready()
 """,
+    "resident_filter_v5_3x": """
+from fftlab.kernels.resident_vmem import spectral_filter_resident_v5
+xr, xi = planes(2, 1 << 20)
+h = jnp.ones(1 << 20, jnp.float32)
+spectral_filter_resident_v5(xr, xi, h, jnp.zeros_like(h),
+                            prec="3x")[0].block_until_ready()
+""",
     "resident_vmem_r256": """
 from fftlab.kernels.resident_vmem import fft_split_resident
 xr, xi = planes(2, 1 << 20)
