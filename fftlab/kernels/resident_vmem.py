@@ -792,7 +792,7 @@ def _resident_filter_kernel(xr_blk, xi_blk,
         zi = yr * hi + yi * hr
         tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
                   I2tr[...], I2ti[...])
-        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2, prec)
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2)
         iar = ai_blk_r[0]          # (L2, 1)
         iai = ai_blk_i[0]
         iwr = iar * Ipr[...] - iai * Ipi[...]
@@ -958,7 +958,7 @@ def _filter_cio_kernel(xr_blk, xi_blk,
         zi = yr * hi + yi * hr
         tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
                   I2tr[...], I2ti[...])
-        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2, prec)
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2)
         iar = ai_blk_r[0]
         iai = ai_blk_i[0]
         iwr = iar * Ipr[...] - iai * Ipi[...]
