@@ -97,10 +97,16 @@ def main() -> int:
             a, b, FORWARD, scale=scale, layout="v4"), small),
         ("res_v6", lambda a, b: fft_split_resident(
             a, b, FORWARD, scale=scale, layout="v6"), small),
+        ("res_v6_3x", lambda a, b: fft_split_resident(
+            a, b, FORWARD, scale=scale, layout="v6", prec="3x"), small),
+        ("res_v4_3x", lambda a, b: fft_split_resident(
+            a, b, FORWARD, scale=scale, layout="v4", prec="3x"), small),
         ("resfilt", lambda a, b: spectral_filter_resident(
             a, b, hr, hi), small),
         ("resfilt_v5", lambda a, b: spectral_filter_resident_v5(
             a, b, hr, hi), small),
+        ("resfilt_v5_3x", lambda a, b: spectral_filter_resident_v5(
+            a, b, hr, hi, prec="3x"), small),
         ("resfilt_cio", lambda a, b: spectral_filter_resident_cio(
             a, b, hr, hi), small),
         ("fsfilt_blocked", lambda a, b: spectral_filter_large(
