@@ -396,16 +396,17 @@ def _large_fft_candidates(n: int):
                 # only — proven slow).
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale, layout="v4")), "resident_v4"))
+                # bf16_3x contractions: half the MXU passes at 103.6-
+                # 104.0 dB device SNR (r4 prec probe) — the roofline
+                # lever where the kernel is compute-crossed; measured
+                # EARLY so a tight row budget still captures it.
+                cands.append(((lambda a, b, scale=None: fft_split_resident(
+                    a, b, scale=scale, layout="v6", prec="3x")),
+                    "resident_v6_3x"))
                 # v6 = zero in-VMEM transposes (lane-contraction phase
                 # B) — the challenger to v4's crown.
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale, layout="v6")), "resident_v6"))
-                # bf16_3x contractions: half the MXU passes at 103.6-
-                # 104.0 dB device SNR (r4 prec probe) — the roofline
-                # lever where the kernel is compute-crossed.
-                cands.append(((lambda a, b, scale=None: fft_split_resident(
-                    a, b, scale=scale, layout="v6", prec="3x")),
-                    "resident_v6_3x"))
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale, layout="v4", prec="3x")),
                     "resident_v4_3x"))
