@@ -48,7 +48,7 @@ def log(**kw):
 
 
 def main() -> int:
-    from fftlab.bench.timing import chain_time, min_slope, stall_watchdog
+    from fftlab.bench.timing import min_slope, stall_watchdog
     from fftlab.core.types import FORWARD
     from fftlab.kernels.fourstep_vmem import fft_split_large
     from fftlab.kernels.resident_vmem import fft_split_resident
@@ -100,21 +100,70 @@ def main() -> int:
         log(name="gate_fail", cand=name)
         del cands[name]
 
+    # Jitted k-chains built ONCE per (candidate, k): each measurement
+    # is one dispatch + one-element readback (the hardened protocol),
+    # with zero per-round retracing.
+    from jax import lax
+
+    KS = (3, 8, 14)
+    chainfns = {}
+    for name, fn in cands.items():
+        for k in KS:
+            def chained(s, _fn=fn, _k=k):
+                return lax.fori_loop(0, _k,
+                                     lambda i, st: tuple(_fn(*st)), s)
+
+            chainfns[(name, k)] = jax.jit(chained)
+    ctr = [0]
+
+    def measure(name, k) -> float:
+        ctr[0] += 1
+        t = jnp.float32(1e-3 * ctr[0])
+        s = (xr + t, xi - t)
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        out = chainfns[(name, k)](s)
+        _ = np.asarray(out[0]).ravel()[:1]
+        return time.perf_counter() - t0
+
+    for name in cands:           # compile + warm every chain
+        for k in KS:
+            t0 = time.time()
+            measure(name, k)
+            log(name=f"warm_{name}_k{k}", s=round(time.time() - t0, 1))
+
     floor_ms = 16.0 * B * n / (400.0 * 1e9) * 1e3
     deadline = time.time() + float(os.environ.get("PREC_WAIT_S", "7200"))
     want_rounds = int(os.environ.get("PREC_ROUNDS", "2"))
     counted = 0
+    import random
+
+    rng_py = random.Random(0)
     while counted < want_rounds and time.time() < deadline:
         row = {"name": "prec_round", "round": counted}
-        for name, fn in cands.items():
-            try:
-                raw = chain_time(fn,
-                                 lambda i: (xr + jnp.float32(1e-3 * i),
-                                            xi - jnp.float32(1e-3 * i)),
-                                 ks=(3, 8, 14), repeats=3, return_raw=True)
-                row[name + "_ms"] = round(min_slope(raw) * 1e3, 4)
-            except Exception as ex:  # noqa: BLE001
-                row[name + "_err"] = str(ex)[:160]
+        # INTERLEAVED repeats in shuffled (candidate, k) order:
+        # sequential per-candidate measurement puts candidate i always
+        # at round start + i*delta, so fluctuating congestion biases
+        # the comparison systematically; spreading each candidate's
+        # samples across the whole round (different order per pass)
+        # makes per-candidate minima window-fair.
+        raws: dict[str, dict] = {name: {} for name in cands}
+        errs: dict[str, str] = {}
+        for _rep in range(3):
+            order = [(name, k) for name in cands for k in KS]
+            rng_py.shuffle(order)
+            for name, k in order:
+                if name in errs:
+                    continue
+                try:
+                    raws[name].setdefault(k, []).append(measure(name, k))
+                except Exception as ex:  # noqa: BLE001
+                    errs[name] = str(ex)[:160]
+        for name in cands:
+            if name in errs:
+                row[name + "_err"] = errs[name]
+            elif len(raws[name]) >= 2:
+                row[name + "_ms"] = round(min_slope(raws[name]) * 1e3, 4)
         ctrl = row.get("fs_blocked_ms", -1.0)
         ms_vals = [v for k, v in row.items() if k.endswith("_ms")]
         row["counted"] = bool(2.0 <= ctrl <= 8.0 and ms_vals
