@@ -614,3 +614,39 @@ class TestBenchRouteWisdom:
             {"path": "resident_vmem", "ms": 0.1, "floor_violation": True})
         assert wisdom.lookup(1 << 20, "f32", kind="route") is None
         wisdom.forget()
+
+
+class TestAbSummaries:
+    def test_prec_summary_filters_invalid(self, tmp_path, capsys):
+        """The min-statistics summarizer must exclude negative and
+        sub-floor readings (slope artifacts) from the aggregate."""
+        import importlib.util
+        import json as _json
+
+        art = tmp_path / "prec_ab.jsonl"
+        rows = [
+            {"name": "prec_round", "v6_hi_ms": 2.5, "v6_3x_ms": -3.0,
+             "counted": False},
+            {"name": "prec_round", "v6_hi_ms": 0.01, "v6_3x_ms": 1.8,
+             "counted": True},
+            {"name": "done"},
+        ]
+        art.write_text("\n".join(_json.dumps(r) for r in rows))
+        spec = importlib.util.spec_from_file_location(
+            "prec_summary", "scripts/prec_summary.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        import sys as _sys
+
+        old = _sys.argv
+        try:
+            _sys.argv = ["prec_summary.py", str(art)]
+            mod.main()
+        finally:
+            _sys.argv = old
+        out = capsys.readouterr().out
+        # v6_hi: only the 2.5 reading survives (0.01 is sub-floor);
+        # v6_3x: only 1.8 (negative excluded)
+        assert "v6_hi" in out and "2.50" in out
+        assert "v6_3x" in out and "1.80" in out
+        assert "-3.00" not in out and "0.01" not in out
