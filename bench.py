@@ -922,8 +922,12 @@ def main() -> None:
     # measurement split into PER-ROW budgets (cheap rows first) so one
     # noisy sweep can never starve the rows behind it. Sessions that
     # want the full patient sweep raise FFTLAB_BENCH_*.
+    # wait default 420 s: the r4 device showed hour-scale congestion
+    # with minute-scale clean windows — waiting longer beats measuring
+    # garbage, and the incremental emission means even an external
+    # kill mid-wait still leaves valid JSON on stdout.
     budget_s = float(os.environ.get("FFTLAB_BENCH_BUDGET_S", "720"))
-    wait_s_early = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "240"))
+    wait_s_early = float(os.environ.get("FFTLAB_BENCH_WAIT_S", "420"))
     detail: dict = {}
 
     def emit(partial=True):
