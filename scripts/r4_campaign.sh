@@ -4,13 +4,16 @@
 # .claude/skills/verify: host CPU load poisons device timing).
 #
 # Phase order = value order for a rare clean window:
-#   1. wait for the service (fresh-subprocess pings)
-#   2. MXU-precision A/B (the 1M roofline lever: 6 vs 3 bf16 passes,
-#      with v4/v6/fs_blocked counted per arm)
-#   3. omnibus A/B (lane variants, filter sandwich, 16M burst width)
-#   4. factory wisdom sweep 2^14..2^24 (resumes: counted sizes merge
-#      incrementally; already-merged sizes only improve by min-stats)
-#   5. full bench.py -> driver-shaped artifact + route wisdom
+#   1. MXU-precision A/B (the 1M roofline lever, interleaved sampling)
+#   2. omnibus A/B (lane variants, filter sandwich, 16M burst width)
+#   3. factory wisdom sweep 2^14..2^24 (counted sizes merge
+#      incrementally; merged sizes only improve by min-statistics)
+#   4. full bench.py -> driver-shaped artifact + route wisdom
+#
+# Every phase runs under waitup + retry (probe_chain.sh discipline):
+# a wedged probe exits 3 via its stall watchdog and the phase retries
+# after the service answers pings again, instead of burning its whole
+# timeout against a dead window.
 #
 # Run: nohup bash scripts/r4_campaign.sh > bench_artifacts/r4_campaign.log 2>&1 &
 set -u
@@ -18,23 +21,34 @@ cd "$(dirname "$0")/.."
 mkdir -p bench_artifacts
 stamp() { echo "=== $1 $(date +%H:%M:%S) ==="; }
 
-stamp waitup
-WAITUP_S=${WAITUP_S:-36000} python scripts/tpu_waitup.py || exit 1
+phase() {
+  local name="$1"; shift
+  local tries="$1"; shift
+  for ((i = 1; i <= tries; i++)); do
+    stamp "${name} (attempt ${i})"
+    if ! WAITUP_S="${WAITUP_S:-21600}" python scripts/tpu_waitup.py; then
+      stamp "${name}: service dead through the waitup window"
+      return 1
+    fi
+    "$@"
+    local rc=$?
+    stamp "${name} rc=${rc}"
+    [[ $rc -ne 3 && $rc -ne 124 ]] && return $rc  # 3/124 retryable
+  done
+  return 3
+}
 
-stamp prec_probe
-PREC_ROUNDS=${PREC_ROUNDS:-2} PREC_WAIT_S=${PREC_WAIT_S:-7200} \
-    timeout 7500 python scripts/tpu_prec_probe.py
-echo "prec_probe rc=$?"
+phase prec_probe 2 \
+  env PREC_ROUNDS="${PREC_ROUNDS:-2}" PREC_WAIT_S="${PREC_WAIT_S:-5400}" \
+  timeout 5700 python scripts/tpu_prec_probe.py
 
-stamp omnibus
-OMNI_ROUNDS=${OMNI_ROUNDS:-2} OMNI_WAIT_S=${OMNI_WAIT_S:-7200} \
-    timeout 7500 python scripts/tpu_omnibus_ab.py
-echo "omnibus rc=$?"
+phase omnibus 2 \
+  env OMNI_ROUNDS="${OMNI_ROUNDS:-2}" OMNI_WAIT_S="${OMNI_WAIT_S:-5400}" \
+  timeout 5700 python scripts/tpu_omnibus_ab.py
 
-stamp wisdom_sweep
-SWEEP_WAIT_S=${SWEEP_WAIT_S:-7200} timeout 7500 \
-    python scripts/tpu_wisdom_sweep.py
-echo "wisdom_sweep rc=$?"
+phase wisdom_sweep 1 \
+  env SWEEP_WAIT_S="${SWEEP_WAIT_S:-5400}" \
+  timeout 5700 python scripts/tpu_wisdom_sweep.py
 
 stamp bench
 FFTLAB_BENCH_WAIT_S=600 FFTLAB_BENCH_BUDGET_S=900 timeout 2100 \
