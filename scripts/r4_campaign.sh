@@ -44,7 +44,7 @@ phase prec_probe 2 \
 
 phase omnibus 2 \
   env OMNI_ROUNDS="${OMNI_ROUNDS:-2}" OMNI_WAIT_S="${OMNI_WAIT_S:-5400}" \
-  timeout 5700 python scripts/tpu_omnibus_ab.py
+  timeout 5700 python scripts/tpu_omnibus2.py
 
 phase wisdom_sweep 1 \
   env SWEEP_WAIT_S="${SWEEP_WAIT_S:-5400}" \

@@ -1,0 +1,194 @@
+"""Omnibus same-window A/B, interleaved edition (r4): every open
+performance question in one process with window-fair sampling.
+
+Design (proven by tpu_prec_probe.py): jitted k-chains built once per
+(candidate, k); each round takes samples in shuffled (candidate, k)
+order across three passes, so fluctuating congestion cannot
+systematically bias one candidate; per-candidate min-slope over the
+round's per-k minima. Candidates (all SNR-verified in earlier gates /
+the suite — no readback gates here, readbacks over a congested tunnel
+cost minutes):
+
+  1M FFT     fs_blocked (CONTROL) vs res_v4 / res_v6 / res_v6_3x /
+             res_v4_3x / fs_lanes
+  1M filter  resfilt_v5 vs resfilt_v5_3x vs fsfilt_blocked vs
+             fsfilt_lanes
+  16M FFT    ts_r128 vs ts_lanes
+
+A round counts when the control sits in its 2.0-8.0 ms plausibility
+window AND every reading clears its candidate-class floor. Appends to
+bench_artifacts/omnibus2.jsonl; exit 0 when >= OMNI_ROUNDS counted,
+3 otherwise (retryable).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+cache = os.path.expanduser("~/.cache/jax_comp")
+os.makedirs(cache, exist_ok=True)
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp  # noqa: E402
+
+ART = "bench_artifacts/omnibus2.jsonl"
+
+
+def log(**kw):
+    kw["t"] = round(time.time(), 1)
+    os.makedirs("bench_artifacts", exist_ok=True)
+    with open(ART, "a") as f:
+        f.write(json.dumps(kw) + "\n")
+    print(kw, flush=True)
+
+
+def main() -> int:
+    from fftlab.bench.timing import min_slope, stall_watchdog
+    from fftlab.core.types import FORWARD
+    from fftlab.kernels.fourstep_vmem import (
+        fft_split_large,
+        spectral_filter_large,
+    )
+    from fftlab.kernels.resident_vmem import (
+        fft_split_resident,
+        spectral_filter_resident_v5,
+    )
+    from fftlab.kernels.threestep_vmem import fft_split_huge
+
+    stall_watchdog(ART, stall_s=2400.0)
+    assert jax.devices()[0].platform == "tpu"
+
+    B, n = 16, 1 << 20
+    rng = np.random.default_rng(0)
+    xr = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    xi = jnp.asarray(rng.standard_normal((B, n)), jnp.float32)
+    scale = 1.0 / float(np.sqrt(n))
+    H = rng.standard_normal(n).astype(np.float32)
+    hr, hi = jnp.asarray(H), jnp.zeros(n, jnp.float32)
+
+    nh = 1 << 24
+    hxr = jnp.asarray(rng.standard_normal((1, nh)), jnp.float32)
+    hxi = jnp.asarray(rng.standard_normal((1, nh)), jnp.float32)
+    hscale = 1.0 / float(np.sqrt(nh))
+
+    FLOOR_1M = 16.0 * B * n / (400.0 * 1e9) * 1e3        # 1 residency
+    FLOOR_F = 24.0 * B * n / (400.0 * 1e9) * 1e3         # fused filter
+    FLOOR_16M = 3.0 * 16.0 * nh / (400.0 * 1e9) * 1e3    # 3 passes
+
+    def res(layout, prec):
+        return lambda a, b: fft_split_resident(
+            a, b, FORWARD, scale=scale, layout=layout, prec=prec)
+
+    # name -> (fn, ks, inputs, floor_ms)
+    small = ((3, 8, 14), (xr, xi))
+    huge = ((2, 5, 8), (hxr, hxi))
+    cands = {
+        "fs_blocked": (lambda a, b: fft_split_large(
+            a, b, FORWARD, blocked=True, scale=scale),) + small + (FLOOR_1M,),
+        "res_v4": (res("v4", None),) + small + (FLOOR_1M,),
+        "res_v6": (res("v6", None),) + small + (FLOOR_1M,),
+        "res_v6_3x": (res("v6", "3x"),) + small + (FLOOR_1M,),
+        "res_v4_3x": (res("v4", "3x"),) + small + (FLOOR_1M,),
+        "fs_lanes": (lambda a, b: fft_split_large(
+            a, b, FORWARD, blocked=True, scale=scale,
+            lanes=True),) + small + (FLOOR_1M,),
+        "resfilt_v5": (lambda a, b: spectral_filter_resident_v5(
+            a, b, hr, hi),) + small + (FLOOR_F,),
+        "resfilt_v5_3x": (lambda a, b: spectral_filter_resident_v5(
+            a, b, hr, hi, prec="3x"),) + small + (FLOOR_F,),
+        "fsfilt_blocked": (lambda a, b: spectral_filter_large(
+            a, b, hr, hi, blocked=True),) + small + (FLOOR_F,),
+        "fsfilt_lanes": (lambda a, b: spectral_filter_large(
+            a, b, hr, hi, blocked=True, lanes=True),) + small + (FLOOR_F,),
+        "ts_r128": (lambda a, b: fft_split_huge(
+            a, b, FORWARD, scale=hscale),) + huge + (FLOOR_16M,),
+        "ts_lanes": (lambda a, b: fft_split_huge(
+            a, b, FORWARD, scale=hscale,
+            lanes=True),) + huge + (FLOOR_16M,),
+    }
+
+    from jax import lax
+
+    chainfns = {}
+    for name, (fn, ks, (a0, b0), _fl) in cands.items():
+        for k in ks:
+            def chained(s, _fn=fn, _k=k):
+                return lax.fori_loop(0, _k,
+                                     lambda i, st: tuple(_fn(*st)), s)
+
+            chainfns[(name, k)] = jax.jit(chained)
+    ctr = [0]
+
+    def measure(name, k) -> float:
+        fn, ks, (a0, b0), _fl = cands[name]
+        ctr[0] += 1
+        t = jnp.float32(1e-3 * ctr[0])
+        s = (a0 + t, b0 - t)
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        out = chainfns[(name, k)](s)
+        _ = np.asarray(out[0]).ravel()[:1]
+        return time.perf_counter() - t0
+
+    for name, (fn, ks, _inp, _fl) in cands.items():
+        for k in ks:
+            t0 = time.time()
+            try:
+                measure(name, k)
+                log(name=f"warm_{name}_k{k}", s=round(time.time() - t0, 1))
+            except Exception as ex:  # noqa: BLE001
+                log(name=f"warm_{name}_k{k}", error=str(ex)[:160])
+
+    deadline = time.time() + float(os.environ.get("OMNI_WAIT_S", "5400"))
+    want_rounds = int(os.environ.get("OMNI_ROUNDS", "2"))
+    counted = 0
+    rng_py = random.Random(0)
+    while counted < want_rounds and time.time() < deadline:
+        row = {"name": "omni_round", "round": counted}
+        raws: dict[str, dict] = {name: {} for name in cands}
+        errs: dict[str, str] = {}
+        for _rep in range(3):
+            order = [(name, k) for name, (_f, ks, _i, _fl) in cands.items()
+                     for k in ks]
+            rng_py.shuffle(order)
+            for name, k in order:
+                if name in errs:
+                    continue
+                try:
+                    raws[name].setdefault(k, []).append(measure(name, k))
+                except Exception as ex:  # noqa: BLE001
+                    errs[name] = str(ex)[:160]
+        valid = True
+        for name in cands:
+            if name in errs:
+                row[name + "_err"] = errs[name]
+                continue
+            if len(raws[name]) < 2:
+                continue
+            ms = round(min_slope(raws[name]) * 1e3, 4)
+            row[name + "_ms"] = ms
+            if ms < cands[name][3]:
+                valid = False
+        ctrl = row.get("fs_blocked_ms", -1.0)
+        row["counted"] = bool(valid and 2.0 <= ctrl <= 8.0)
+        log(**row)
+        if row["counted"]:
+            counted += 1
+        else:
+            time.sleep(60)
+    log(name="done", counted=counted)
+    return 0 if counted else 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())
