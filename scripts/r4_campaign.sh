@@ -38,13 +38,13 @@ phase() {
   return 3
 }
 
-phase prec_probe 2 \
-  env PREC_ROUNDS="${PREC_ROUNDS:-2}" PREC_WAIT_S="${PREC_WAIT_S:-5400}" \
-  timeout 5700 python scripts/tpu_prec_probe.py
-
 phase omnibus 2 \
   env OMNI_ROUNDS="${OMNI_ROUNDS:-2}" OMNI_WAIT_S="${OMNI_WAIT_S:-5400}" \
   timeout 5700 python scripts/tpu_omnibus2.py
+
+phase prec_probe 1 \
+  env PREC_ROUNDS="${PREC_ROUNDS:-2}" PREC_WAIT_S="${PREC_WAIT_S:-3600}" \
+  timeout 3900 python scripts/tpu_prec_probe.py
 
 phase wisdom_sweep 1 \
   env SWEEP_WAIT_S="${SWEEP_WAIT_S:-5400}" \
