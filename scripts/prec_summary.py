@@ -26,6 +26,17 @@ import sys
 # physical floor for any *_ms reading in these artifacts: one HBM
 # residency of the 16 x 2^20 split pair at the healthy band's top
 FLOOR_MS = 16.0 * 16 * (1 << 20) / (400.0 * 1e9) * 1e3
+# per-class floors: fused filter = 24 B/sample; 16M = 3 passes
+FLOOR_FILTER = 24.0 * 16 * (1 << 20) / (400.0 * 1e9) * 1e3
+FLOOR_16M = 3.0 * 16.0 * (1 << 24) / (400.0 * 1e9) * 1e3
+
+
+def floor_of(name: str) -> float:
+    if "filt" in name:
+        return FLOOR_FILTER
+    if name.startswith(("ts_", "hi_ts", "lo_ts")) or "16m" in name:
+        return FLOOR_16M
+    return FLOOR_MS
 
 
 def rows_of(path: str):
@@ -109,7 +120,7 @@ def main() -> None:
                 if not k.endswith("_ms") or not isinstance(v, (int, float)):
                     continue
                 name = k[:-3].rstrip("_")
-                if v >= FLOOR_MS:
+                if v >= floor_of(name):
                     per.setdefault(name, []).append(float(v))
                     if r.get("counted"):
                         counted.setdefault(name, []).append(float(v))
