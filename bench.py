@@ -417,21 +417,15 @@ def _large_fft_candidates(n: int):
                 cands.append(((lambda a, b, scale=None: fft_split_resident(
                     a, b, scale=scale, layout="v4", prec="3x")),
                     "resident_v4_3x"))
-                cands.append(((lambda a, b, scale=None: fft_split_resident(
-                    a, b, scale=scale)), "resident_vmem"))
+                # resident v2 stays OUT of the default sweep (lost
+                # every r2/r3/r4 comparison); it remains a dispatch
+                # route + offline A/B candidate.
             if supported_large(n):
-                # blocked=None resolves to blocked=True (the default),
-                # so the row-major comparison point must say so
-                # EXPLICITLY — a blocked=None candidate would be the
-                # same computation under a different jit key (r3s1:
-                # that redundant recompile wedged under congestion and
-                # burned the watchdog).
-                cands.append(((lambda a, b, scale=None: fft_split_large(
-                    a, b, blocked=False, scale=scale)),
-                    "fourstep_vmem_rowmajor"))
-                # transpose-free pass 2 (lane contraction) on the
-                # blocked layout — experimental, so after the proven
-                # comparison points.
+                # row-major stays out too (lost r2s3 + r3; each
+                # congested-window candidate costs minutes of the
+                # driver's budget). Transpose-free pass 2 (lane
+                # contraction) keeps its slot — the r4 paired A/B
+                # showed a small consistent lane edge.
                 cands.append(((lambda a, b, scale=None: fft_split_large(
                     a, b, blocked=True, scale=scale, lanes=True)),
                     "fourstep_vmem_blocked_lanes"))
