@@ -687,11 +687,26 @@ def _filter_large_impl(xr, xi, h2r, h2i, *, interpret: bool,
 
 def _lanes_default() -> bool:
     """FFTLAB_FS_LANES=1 turns on the transpose-free pass 2 (lane
-    contraction) in the two-pass kernel and the sandwich; off until the
-    device A/B crowns it (resolved OUTSIDE jit — static cache key)."""
+    contraction) in the two-pass PLAIN-FFT kernel; off by default —
+    the r4 paired A/B gave the plain-FFT lane variant no consistent
+    edge (resolved OUTSIDE jit — static cache key)."""
     import os
 
     return os.environ.get("FFTLAB_FS_LANES", "0") != "0"
+
+
+def _filter_lanes_default() -> bool:
+    """The SANDWICH defaults to the lane-contraction pass 2: the r4
+    paired A/B reproduced a ~4% win across two independent campaigns
+    (fsfilt_lanes/fsfilt_blocked median ratio 0.962 then 0.959 at
+    n=32/24 adjacent pairs, bench_artifacts/paired_ab.jsonl) — the
+    two-campaign rule the r3 flip policy requires. FFTLAB_FSFILT_LANES=0
+    opts back out; FFTLAB_FS_LANES=1 still forces lanes everywhere."""
+    import os
+
+    if os.environ.get("FFTLAB_FS_LANES", "0") != "0":
+        return True
+    return os.environ.get("FFTLAB_FSFILT_LANES", "1") != "0"
 
 
 def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
@@ -725,7 +740,7 @@ def spectral_filter_large(xr, xi, hr, hi, interpret: bool | None = None,
     if blocked is None:
         blocked = _blocked_filter_default()  # resolved outside jit (cache key)
     if lanes is None:
-        lanes = _lanes_default()
+        lanes = _filter_lanes_default()
     yr, yi = _filter_large_impl(
         xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
         interpret=bool(interpret), blocked=bool(blocked),
