@@ -582,12 +582,15 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
         # the r3 counted A/B crowned the blocked two-launch sandwich on
         # medians; the resident variants follow as challengers.
         if supported_large(n):
-            cands.append((lambda a, b, scale=None: spectral_filter_large(
-                a, b, hr, hi, blocked=True), "fourstep_filter_blocked"))
-            # the champion's transpose-free pass-2 variant
+            # lanes=True is the production default since the r4
+            # two-campaign flip — it leads; the no-lanes incumbent
+            # stays as the explicit comparison point.
             cands.append((lambda a, b, scale=None: spectral_filter_large(
                 a, b, hr, hi, blocked=True, lanes=True),
                 "fourstep_filter_lanes"))
+            cands.append((lambda a, b, scale=None: spectral_filter_large(
+                a, b, hr, hi, blocked=True, lanes=False),
+                "fourstep_filter_blocked"))
         if supported_resident(n):
             from fftlab.kernels.resident_vmem import (
                 spectral_filter_resident_v5,

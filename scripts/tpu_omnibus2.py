@@ -107,7 +107,7 @@ def main() -> int:
         "resfilt_v5_3x": (lambda a, b: spectral_filter_resident_v5(
             a, b, hr, hi, prec="3x"),) + small + (FLOOR_F,),
         "fsfilt_blocked": (lambda a, b: spectral_filter_large(
-            a, b, hr, hi, blocked=True),) + small + (FLOOR_F,),
+            a, b, hr, hi, blocked=True, lanes=False),) + small + (FLOOR_F,),
         "fsfilt_lanes": (lambda a, b: spectral_filter_large(
             a, b, hr, hi, blocked=True, lanes=True),) + small + (FLOOR_F,),
         "ts_r128": (lambda a, b: fft_split_huge(

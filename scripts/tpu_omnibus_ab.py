@@ -110,7 +110,7 @@ def main() -> int:
         ("resfilt_cio", lambda a, b: spectral_filter_resident_cio(
             a, b, hr, hi), small),
         ("fsfilt_blocked", lambda a, b: spectral_filter_large(
-            a, b, hr, hi, blocked=True), small),
+            a, b, hr, hi, blocked=True, lanes=False), small),
         ("fs_lanes", lambda a, b: fft_split_large(
             a, b, FORWARD, blocked=True, scale=scale, lanes=True), small),
         ("fsfilt_lanes", lambda a, b: spectral_filter_large(

@@ -97,7 +97,7 @@ def main() -> int:
         "v6_hi": (res("v6", None), 28, (xr, xi)),
         "v6_3x": (res("v6", "3x"), 28, (xr, xi)),
         "fsfilt_blocked": (lambda a, b: spectral_filter_large(
-            a, b, hr, hi, blocked=True), 20, (xr, xi)),
+            a, b, hr, hi, blocked=True, lanes=False), 20, (xr, xi)),
         "fsfilt_lanes": (lambda a, b: spectral_filter_large(
             a, b, hr, hi, blocked=True, lanes=True), 20, (xr, xi)),
         "resfilt_v5": (lambda a, b: spectral_filter_resident_v5(
