@@ -364,6 +364,25 @@ class TestBenchHarness:
         rel = np.max(np.abs(got - want)) / np.max(np.abs(want))
         assert rel < 1e-5, rel
 
+    def test_filter_lanes_default(self, monkeypatch):
+        """The sandwich defaults to the lane-contraction pass 2 (r4
+        two-campaign paired verdict); FFTLAB_FSFILT_LANES=0 opts out,
+        FFTLAB_FS_LANES=1 forces lanes everywhere."""
+        from fftlab.kernels.fourstep_vmem import (
+            _filter_lanes_default,
+            _lanes_default,
+        )
+
+        monkeypatch.delenv("FFTLAB_FS_LANES", raising=False)
+        monkeypatch.delenv("FFTLAB_FSFILT_LANES", raising=False)
+        assert _filter_lanes_default() is True
+        assert _lanes_default() is False       # plain FFT stays off
+        monkeypatch.setenv("FFTLAB_FSFILT_LANES", "0")
+        assert _filter_lanes_default() is False
+        monkeypatch.setenv("FFTLAB_FS_LANES", "1")
+        assert _filter_lanes_default() is True  # force-everywhere wins
+        assert _lanes_default() is True
+
     def test_slope_valid_guard(self):
         """r3 review: negative / super-roofline slopes are measurement
         artifacts and must be DISCARDED, not recorded (the omnibus
