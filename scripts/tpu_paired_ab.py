@@ -120,6 +120,12 @@ def main() -> int:
         ("resfilt_v5_3x", "resfilt_v5"),
         ("ts_lanes", "ts_r128"),
     ]
+    only = os.environ.get("PAIRED_ONLY")
+    if only:  # e.g. PAIRED_ONLY="ts_lanes:ts_r128,resfilt_v5:fsfilt_blocked"
+        want_qs = {tuple(q.split(":")) for q in only.split(",")}
+        QUESTIONS = [q for q in QUESTIONS if q in want_qs]
+        fns = {n: f for n, f in fns.items()
+               if any(n in q for q in QUESTIONS)}
 
     chainfns = {}
     for name, (fn, k, _inp) in fns.items():
