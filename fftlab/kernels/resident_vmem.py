@@ -1329,6 +1329,213 @@ def spectral_filter_resident_v5(xr, xi, hr, hi,
     return yr.reshape(*batch, n), yi.reshape(*batch, n)
 
 
+def _filter_v7_kernel(xr_blk, xi_blk,
+                      F1r, F1i, G1r, G1i, T1r, T1i,      # fwd L1
+                      F2r, F2i, G2r, G2i, T2r_, T2i_,    # fwd L2
+                      I2ar, I2ai, I2br, I2bi, I2tr, I2ti,  # inv L2
+                      I1ar, I1ai, I1br, I1bi, I1tr, I1ti,  # inv L1 (1/n)
+                      af_blk_r, af_blk_i, Pfr, Pfi,      # fwd rank-1
+                      ai_blk_r, ai_blk_i, Ipr, Ipi,      # inv rank-1
+                      hr_blk, hi_blk,
+                      or_blk, oi_blk,
+                      M4r, M4i, Tr, Ti,
+                      *, L1: int, L2: int, W: int, R: int,
+                      fa1: int, fb1: int, fa2: int, fb2: int,
+                      prec=None):
+    """v7 = the filter sandwich with v4 TRANSPOSE PLACEMENT: v1's mid
+    step does BOTH corner turns (assembly from Mb with a dynamic
+    sublane SOURCE, then the store back with a dynamic sublane DEST),
+    stacked between its four FFT passes on the same critical path.
+    Here the turns are split across the DMA-overlapped phases:
+
+      s < C2          fwd phase A: column FFT + fwd rank-1 twiddle,
+                      then the fwd corner turn as v4 does it —
+                      transpose-store into per-g slots of the
+                      (G1, L2, R) scratch (static transpose source;
+                      only the store dest keeps a dynamic sublane
+                      offset s*W), overlapping the IN-block stream.
+      C2 <= s < C2+G1 mid g: PURE compute — whole-slot read M4[g],
+                      fwd L2 FFT, x H chunk, inv L2 FFT, inv rank-1
+                      twiddle, whole-slot store back IN PLACE.
+      s >= C2+G1      inv phase B chunk q: the inverse corner turn
+                      (G1 per-slot transposes, dynamic sublane source
+                      q*W) assembles the (L1, W) column matrix,
+                      inverse L1 FFT (1/n folded) -> out block,
+                      overlapping the OUT-block stream.
+
+    One resident matrix (same VMEM budget as v1) + a (L1, W) assembly
+    scratch. HBM traffic: one residency + one streamed read of H."""
+    s = pl.program_id(1)
+    C2 = L2 // W
+    G1 = L1 // R
+
+    @pl.when(s < C2)
+    def _phase_a():
+        tabs1 = (F1r[...], F1i[...], G1r[...], G1i[...],
+                 T1r[...], T1i[...])
+        yr, yi = _col_fft_vmem(xr_blk[0], xi_blk[0], tabs1, fa1, fb1,
+                               prec)
+        ar = af_blk_r[0]
+        ai = af_blk_i[0]
+        wr = ar * Pfr[...] - ai * Pfi[...]
+        wi = ar * Pfi[...] + ai * Pfr[...]
+        tr = yr * wr - yi * wi
+        ti = yr * wi + yi * wr
+        for g in range(G1):
+            rs = slice(g * R, (g + 1) * R)          # static
+            ls = pl.ds(s * W, W)                    # dynamic sublane
+            M4r[g, ls, :] = jnp.transpose(tr[rs, :], (1, 0))
+            M4i[g, ls, :] = jnp.transpose(ti[rs, :], (1, 0))
+
+    @pl.when(jnp.logical_and(s >= C2, s < C2 + G1))
+    def _mid():
+        g = s - C2
+        tabs2f = (F2r[...], F2i[...], G2r[...], G2i[...],
+                  T2r_[...], T2i_[...])
+        yr, yi = _col_fft_vmem(M4r[g], M4i[g], tabs2f, fa2, fb2, prec)
+        hr = hr_blk[0]
+        hi = hi_blk[0]
+        zr = yr * hr - yi * hi
+        zi = yr * hi + yi * hr
+        tabs2i = (I2ar[...], I2ai[...], I2br[...], I2bi[...],
+                  I2tr[...], I2ti[...])
+        mr2, mi2 = _col_fft_vmem(zr, zi, tabs2i, fa2, fb2, prec)
+        iar = ai_blk_r[0]          # (L2, 1)
+        iai = ai_blk_i[0]
+        iwr = iar * Ipr[...] - iai * Ipi[...]
+        iwi = iar * Ipi[...] + iai * Ipr[...]
+        M4r[g] = mr2 * iwr - mi2 * iwi
+        M4i[g] = mr2 * iwi + mi2 * iwr
+
+    @pl.when(s >= C2 + G1)
+    def _phase_b():
+        q = s - C2 - G1
+        qs = pl.ds(q * W, W)                        # dynamic sublane
+        for g in range(G1):
+            rs = slice(g * R, (g + 1) * R)          # static dest
+            Tr[rs, :] = jnp.transpose(M4r[g, qs, :], (1, 0))
+            Ti[rs, :] = jnp.transpose(M4i[g, qs, :], (1, 0))
+        tabs1i = (I1ar[...], I1ai[...], I1br[...], I1bi[...],
+                  I1tr[...], I1ti[...])
+        yr, yi = _col_fft_vmem(Tr[...], Ti[...], tabs1i, fa1, fb1, prec)
+        or_blk[0] = yr
+        oi_blk[0] = yi
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "prec"),
+)
+def _filter_resident_v7_impl(xr, xi, h2r, h2i, *, interpret: bool,
+                             prec: str | None = None):
+    B, n = xr.shape
+    L1, L2 = _split_sides(n)
+    W = LANES
+    R = min(LANES, L1)
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)
+    fwd = Direction.FORWARD
+    inv = Direction.INVERSE
+    tabs1f = _col_fft_tables(L1, fwd)
+    tabs2f = _col_fft_tables(L2, fwd)
+    tabs2i = _col_fft_tables(L2, inv)
+    tabs1i = _col_fft_tables(L1, inv, 1.0 / n)   # 1/n rides the last pass
+    Af, Pf = _rank1_twiddle_np(L1, L2, W, fwd)
+    Ai_, Pi_ = _rank1_twiddle_np(L2, L1, R, inv)
+    c32 = lambda a: jnp.asarray(np.ascontiguousarray(a).astype(np.float32))
+
+    dt = xr.dtype
+    C2 = L2 // W
+    G1 = L1 // R
+    x3r = xr.reshape(B, L1, L2)
+    x3i = xi.reshape(B, L1, L2)
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.minimum(s, C2 - 1)),
+        memory_space=pltpu.VMEM)
+    af_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    mid_idx = lambda s: jnp.clip(s - C2, 0, G1 - 1)
+    ai_blk = pl.BlockSpec(
+        (1, L2, 1),
+        lambda b, s: (mid_idx(s), 0, 0),
+        memory_space=pltpu.VMEM)
+    h_blk = pl.BlockSpec(
+        (1, L2, R),
+        lambda b, s: (0, 0, mid_idx(s)),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.maximum(s - C2 - G1, 0)),
+        memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        functools.partial(_filter_v7_kernel, L1=L1, L2=L2, W=W,
+                          R=R, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2,
+                          prec=prec),
+        grid=(B, C2 + G1 + C2),
+        in_specs=[in_blk, in_blk] + [const] * 24
+                 + [af_blk, af_blk, const, const]
+                 + [ai_blk, ai_blk, const, const]
+                 + [h_blk, h_blk],
+        out_specs=(out_blk, out_blk),
+        out_shape=(jax.ShapeDtypeStruct((B, L1, L2), dt),
+                   jax.ShapeDtypeStruct((B, L1, L2), dt)),
+        scratch_shapes=[
+            pltpu.VMEM((G1, L2, R), dt),   # resident matrix (v4 layout)
+            pltpu.VMEM((G1, L2, R), dt),
+            pltpu.VMEM((L1, W), dt),       # phase-B assembly
+            pltpu.VMEM((L1, W), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=16 * ((fa1 + fb1) + (fa2 + fb2)) * n * B,
+            transcendentals=0,
+            bytes_accessed=(2 * 2 + 1) * 2 * 4 * n * B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, *tabs1f, *tabs2f, *tabs2i, *tabs1i,
+      c32(Af.real), c32(Af.imag), c32(Pf.real), c32(Pf.imag),
+      c32(Ai_.real), c32(Ai_.imag), c32(Pi_.real), c32(Pi_.imag),
+      h2r, h2i)
+    # (B, L1, L2) flattens to [b, j1*L2 + j2] = natural time order
+    return yr.reshape(B, n), yi.reshape(B, n)
+
+
+def spectral_filter_resident_v7(xr, xi, hr, hi,
+                                interpret: bool | None = None,
+                                prec: str | None = None):
+    """The fused FFT -> H -> IFFT sandwich with v4 transpose placement
+    (corner turns ride the DMA-overlapped phases; the mid step is pure
+    compute — see _filter_v7_kernel). Same contract as
+    `spectral_filter_resident`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = int(xr.shape[-1])
+    if not supported_resident(n):
+        raise ValueError(
+            f"spectral_filter_resident_v7 supports pow2 n in "
+            f"[{MIN_N}, {MAX_N}]; got {n}"
+        )
+    L1, L2 = _split_sides(n)
+    h2r = jnp.asarray(hr, dtype=xr.dtype).reshape(1, L2, L1)
+    h2i = jnp.asarray(hi, dtype=xr.dtype).reshape(1, L2, L1)
+    batch = xr.shape[:-1]
+    B = 1
+    for d in batch:
+        B *= int(d)
+    yr, yi = _filter_resident_v7_impl(
+        xr.reshape(B, n), xi.reshape(B, n), h2r, h2i,
+        interpret=bool(interpret), prec=prec,
+    )
+    return yr.reshape(*batch, n), yi.reshape(*batch, n)
+
+
 def spectral_filter_resident(xr, xi, hr, hi,
                              interpret: bool | None = None):
     """ifft(fft(x) * H) on split planes in ONE kernel and ONE HBM

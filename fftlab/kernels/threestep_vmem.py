@@ -1,4 +1,6 @@
-"""Three-pass FFT for huge n (2^23..2^26): the 16M-class fast path.
+"""Three-pass FFT for huge n (2^21..2^26): the 16M-class fast path.
+(2^22 is the default dispatch route; 2^21 is covered but the two-pass
+kernel wins there.)
 
 The two-pass kernel (kernels/fourstep_vmem.py) caps at n = 2^21 because
 a pass's VMEM slabs scale with the side length. This module factors
@@ -449,7 +451,7 @@ def fft_split_huge(xr, xi, direction=FORWARD,
                    lanes: bool | None = None):
     """Batched huge-n FFT on split planes via the three-pass kernel.
 
-    xr, xi: float32 [..., n], n = 2^23..2^26 pow2. Forward unscaled /
+    xr, xi: float32 [..., n], n = 2^21..2^26 pow2. Forward unscaled /
     inverse 1/n. Natural-order output. `blocked` picks the intermediate
     layout (None = FFTLAB_TS_BLOCKED env; silently row-major where the
     blocked slabs would not fit VMEM — see blocked_huge_feasible).

@@ -243,6 +243,24 @@ def plan_r2c_1d_split(n: int, flags: Flags = Flags.ESTIMATE,
         route = "einsum"  # rfft_split's odd-n fallback is einsum-based
         fn = lambda x: rfft_split(x)
     else:
+        import os
+
+        import jax as _jax
+
+        from fftlab.kernels.rfft_resident import supported_rfft_resident
+        from fftlab.plan.dispatch import kernels_enabled
+
+        if (_jax.default_backend() == "tpu" and kernels_enabled()
+                and supported_rfft_resident(n)
+                and os.environ.get("FFTLAB_RFFT_FUSED", "1") != "0"):
+            # ONE-residency fused r2c kernel (pack + half-size c2c +
+            # Hermitian unpack in a single pallas_call) — replaces the
+            # three-program pipeline for the resident window.
+            from fftlab.kernels.rfft_resident import rfft_resident
+
+            return Plan("r2c_split", n, FORWARD, np.float32,
+                        "rfft_resident", PlanConfig(flags=flags),
+                        lambda x: rfft_resident(x))
         route = _split_route_for_half(n, flags, batch)
         cfft = lambda a, b: run_route(route, a, b, FORWARD)
         fn = lambda x: rfft_split(x, cfft=cfft)

@@ -29,7 +29,8 @@ Routes (split re/im planes, [..., n] batch-first):
   fourstep_vmem    two-pass large-n kernel, TPU, pow2 n in 2^15..2^21
                    (blocked layout; measured 2.65 ms/16×1M = 6.3 GS/s
                    vs einsum's 3.2, r2s3 confirm)
-  threestep_vmem   three-pass huge-n kernel, TPU, pow2 n in 2^23..2^26
+  threestep_vmem   three-pass huge-n kernel, TPU, pow2 n in 2^21..2^26
+                   (default route at 2^22+; two-pass wins at 2^21)
   pallas_pipeline  fused-stage pipeline for large pow2 n (multi-launch)
   einsum           the XLA MXU Stockham path (works everywhere)
 
@@ -126,7 +127,9 @@ def resident_filter_enabled() -> str | None:
     reverted by this data.
     FFTLAB_RESIDENT_FILTER=1 opts into v2 (strided edges), =cio or 2
     into v3 (contiguous edges), =v5 or 3 into the transpose-free
-    lane-contraction sandwich. Returns the variant or None."""
+    lane-contraction sandwich, =v7 or 4 into the v4-transpose-placement
+    sandwich (corner turns moved onto the DMA-overlapped phases).
+    Returns the variant or None."""
     v = os.environ.get("FFTLAB_RESIDENT_FILTER", "0")
     if v == "1":
         return "v2"
@@ -134,6 +137,8 @@ def resident_filter_enabled() -> str | None:
         return "cio"
     if v in ("3", "v5"):
         return "v5"
+    if v in ("4", "v7"):
+        return "v7"
     return None
 
 
@@ -169,6 +174,7 @@ def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
             spectral_filter_resident,
             spectral_filter_resident_cio,
             spectral_filter_resident_v5,
+            spectral_filter_resident_v7,
             supported_resident,
         )
 
@@ -176,6 +182,7 @@ def spectral_filter_auto(xr, xi, hr, hi, permuted=None):
         if supported_resident(n) and variant:
             fuse = {"cio": spectral_filter_resident_cio,
                     "v5": spectral_filter_resident_v5,
+                    "v7": spectral_filter_resident_v7,
                     "v2": spectral_filter_resident}[variant]
             return fuse(xr, xi, jnp.asarray(hr), jnp.asarray(hi))
         # The two-launch sandwich above 2^20 CRASHES the backend

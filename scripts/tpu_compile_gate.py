@@ -98,6 +98,20 @@ h = jnp.ones(1 << 20, jnp.float32)
 spectral_filter_resident_v5(xr, xi, h, jnp.zeros_like(h))[0]\
     .block_until_ready()
 """,
+    "resident_filter_v7": """
+from fftlab.kernels.resident_vmem import spectral_filter_resident_v7
+xr, xi = planes(2, 1 << 20)
+h = jnp.ones(1 << 20, jnp.float32)
+spectral_filter_resident_v7(xr, xi, h, jnp.zeros_like(h))[0]\
+    .block_until_ready()
+""",
+    "rfft_resident": """
+from fftlab.kernels.rfft_resident import rfft_resident
+import jax.numpy as jnp
+import numpy as np
+x = jnp.asarray(np.zeros((2, 1 << 21), np.float32))
+rfft_resident(x)[0].block_until_ready()
+""",
     "resident_filter_v5_3x": """
 from fftlab.kernels.resident_vmem import spectral_filter_resident_v5
 xr, xi = planes(2, 1 << 20)

@@ -408,3 +408,61 @@ class TestV5Filter:
         assert resident_filter_enabled() == "v5"
         monkeypatch.setenv("FFTLAB_RESIDENT_FILTER", "0")
         assert resident_filter_enabled() is None
+
+
+class TestV7Filter:
+    """v7 = the fused sandwich with v4 transpose placement (corner
+    turns on the DMA-overlapped phases; pure-compute mid with in-place
+    slot store)."""
+
+    def _oracle(self, x, H):
+        return np.fft.ifft(np.fft.fft(x, axis=-1) * H, axis=-1)
+
+    @pytest.mark.parametrize("n", [1 << 15, 1 << 17, 1 << 20])
+    def test_matches_oracle_and_v2(self, n):
+        from fftlab.kernels.resident_vmem import (
+            spectral_filter_resident,
+            spectral_filter_resident_v7,
+        )
+
+        rng = np.random.default_rng(n % 41)
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        args = (x.real.astype(np.float32), x.imag.astype(np.float32),
+                H.real.astype(np.float32), H.imag.astype(np.float32))
+        ar, ai = spectral_filter_resident_v7(*args, interpret=True)
+        got = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
+        assert _snr(got, self._oracle(x, H)) > 120.0
+        if n <= 1 << 17:  # keep the interpret-mode cross-check cheap
+            br, bi = spectral_filter_resident(*args, interpret=True)
+            np.testing.assert_allclose(np.asarray(ar), np.asarray(br),
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                       atol=2e-4)
+
+    def test_prec_3x_passes_gate(self):
+        from fftlab.kernels.resident_vmem import spectral_filter_resident_v7
+
+        n = 1 << 15
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))
+        H = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        ar, ai = spectral_filter_resident_v7(
+            x.real.astype(np.float32), x.imag.astype(np.float32),
+            H.real.astype(np.float32), H.imag.astype(np.float32),
+            interpret=True, prec="3x")
+        got = np.asarray(ar, np.float64) + 1j * np.asarray(ai, np.float64)
+        assert _snr(got, self._oracle(x, H)) > 95.0
+
+    def test_size_gate_and_dispatch_env(self, monkeypatch):
+        from fftlab.kernels.resident_vmem import spectral_filter_resident_v7
+        from fftlab.plan.dispatch import resident_filter_enabled
+
+        xr = jnp.zeros((1, 1 << 14), jnp.float32)
+        h = jnp.zeros(1 << 14, jnp.float32)
+        with pytest.raises(ValueError):
+            spectral_filter_resident_v7(xr, xr, h, h, interpret=True)
+        monkeypatch.setenv("FFTLAB_RESIDENT_FILTER", "v7")
+        assert resident_filter_enabled() == "v7"
+        monkeypatch.setenv("FFTLAB_RESIDENT_FILTER", "4")
+        assert resident_filter_enabled() == "v7"
