@@ -3,7 +3,8 @@
 
 PY ?= python
 
-.PHONY: all native install test test-fast bench demos lint clean
+.PHONY: all native install test test-fast bench bench-table demos \
+        lint release clean
 
 all: native
 
@@ -38,9 +39,21 @@ demos:
 	$(PY) -m fftlab.cli.filter
 	$(PY) examples/minimal.py
 
+# Real lint (reference Makefile:237-243 cppcheck/clang-format analog;
+# this image ships no pyflakes/cppcheck, so the Python leg is the AST
+# linter in scripts/lint.py and the C++ leg is g++'s analyzer pass).
 lint:
-	$(PY) -m compileall -q fftlab tests bench.py __graft_entry__.py
+	$(PY) -m compileall -q fftlab tests scripts bench.py __graft_entry__.py
+	$(PY) scripts/lint.py fftlab tests scripts bench.py __graft_entry__.py quickstart.py
+	g++ -std=c++17 -fsyntax-only -Wall -Wextra -Wpedantic native/*.cpp
+
+# Release packaging (reference Makefile:246-252 analog): sdist + wheel
+# via the offline-safe build backend.
+release: lint test
+	$(PY) -m pip wheel --no-build-isolation --no-deps -w dist .
+	@ls -l dist/
 
 clean:
+	rm -rf dist build *.egg-info
 	$(MAKE) -C native clean
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

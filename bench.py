@@ -690,24 +690,66 @@ def bench_bluestein_prime(jax, jnp, on_tpu: bool, bw_gbps: float,
     want = np.fft.fft(np.asarray(xr[0], np.float64)
                       + 1j * np.asarray(xi[0], np.float64))
 
-    def fn(a, b, scale=None):
-        yr, yi = bluestein_fft_split(a, b)
-        if scale is None:
-            return yr, yi
-        s = jnp.float32(scale)  # fuses into the demodulate multiply
-        return yr * s, yi * s
+    import os as _os
+    import time as _time
 
-    t_floor = 4.0 * 16.0 * batch * m / (bw_gbps * 1e9) * 1e3
-    r = _measure_path(jax, jnp, fn, "bluestein_split", xr, xi, want,
-                      ks=(3, 8, 14), repeats=3, deadline=deadline,
-                      floor_ms=t_floor * bw_gbps / 400.0 if on_tpu else None)
-    if "ms" in r:
-        t_min_ms = t_floor
-        r["roofline_fraction"] = round(t_min_ms / r["ms"], 3)
-        r["roofline_floor_ms"] = round(t_min_ms, 3)
-        r["n"] = n
-        r["m_internal"] = m
-    return r
+    def mk_fn(variant):
+        # The env is read at TRACE time inside spectral_filter_auto, so
+        # setting it around the closure's first call pins the variant
+        # for that jitted candidate.
+        def fn(a, b, scale=None, _v=variant):
+            prev = _os.environ.get("FFTLAB_RESIDENT_FILTER")
+            _os.environ["FFTLAB_RESIDENT_FILTER"] = _v
+            try:
+                yr, yi = bluestein_fft_split(a, b)
+            finally:
+                if prev is None:
+                    _os.environ.pop("FFTLAB_RESIDENT_FILTER", None)
+                else:
+                    _os.environ["FFTLAB_RESIDENT_FILTER"] = prev
+            if scale is None:
+                return yr, yi
+            s = jnp.float32(scale)  # fuses into the demodulate multiply
+            return yr * s, yi * s
+
+        return fn
+
+    # Sandwich-variant sweep: default (blocked two-launch, 4 passes at
+    # m) vs the one-residency v7 chirp sandwich (1 residency + streamed
+    # B = the fused-filter floor). VERDICT r4 item 6: the chirp
+    # convolution IS spectral_filter_auto's domain — measure it on the
+    # fused path explicitly.
+    cands = [("bluestein_split", mk_fn("0"), 4.0)]
+    if on_tpu:
+        cands.insert(0, ("bluestein_split_v7", mk_fn("v7"), 1.5))
+
+    results = {}
+    best = None
+    for path, fn, passes in cands:
+        if deadline is not None and _time.time() > deadline and results:
+            results[path] = {"error": "skipped: bench time budget spent"}
+            continue
+        t_floor = passes * 16.0 * batch * m / (bw_gbps * 1e9) * 1e3
+        r = _measure_path(jax, jnp, fn, path, xr, xi, want,
+                          ks=(3, 8, 14), repeats=3, deadline=deadline,
+                          floor_ms=t_floor * bw_gbps / 400.0
+                          if on_tpu else None)
+        if "ms" in r:
+            r["roofline_fraction"] = round(t_floor / r["ms"], 3)
+            r["roofline_floor_ms"] = round(t_floor, 3)
+        results[path] = r
+        if "ms" in r and (best is None or r["ms"] < best["ms"]):
+            best = r
+    if best is None:
+        first = next(iter(results.values()))
+        first["paths"] = results
+        first.setdefault("n", n)
+        return first
+    out = dict(best)
+    out["paths"] = results
+    out["n"] = n
+    out["m_internal"] = m
+    return out
 
 
 def bench_rfft(jax, jnp, on_tpu: bool, bw_gbps: float,

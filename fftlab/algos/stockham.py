@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from fftlab.algos._common import const, inverse_scale, prepare
 from fftlab.core.twiddle import dft_matrix_np, stage_twiddle_np
-from fftlab.core.types import Direction, FORWARD, is_power_of_two
+from fftlab.core.types import FORWARD, is_power_of_two
 
 DEFAULT_LEAF = 1024
 

@@ -13,7 +13,6 @@ import numpy as np
 
 
 def main() -> None:
-    import jax
     import jax.numpy as jnp
 
     from fftlab.plan.dispatch import select_split_impl

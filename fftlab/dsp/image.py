@@ -18,7 +18,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from fftlab.algos.fft2d import fft2, fftshift, ifft2, ifftshift
+from fftlab.algos.fft2d import fft2, fftshift, ifft2, ifftshift  # lint: ok
 from fftlab.core.types import Direction, complex_dtype_for
 
 

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from fftlab.algos.real_fft import rfft
-from fftlab.core.types import Direction, complex_dtype_for
 from fftlab.core.window import get_window
 from fftlab.dsp.spectrum import autocorrelation
 

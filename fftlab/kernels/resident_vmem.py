@@ -33,7 +33,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fftlab.core.types import Direction, FORWARD, is_power_of_two, log2_int
+from fftlab.core.types import Direction, FORWARD, is_power_of_two
 from fftlab.kernels.fourstep_vmem import (
     LANES,
     _col_fft_lanes,

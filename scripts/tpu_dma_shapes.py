@@ -4,7 +4,6 @@ the full 4 MB matrix, (b) manual DMA in row slabs, (c) BlockSpec
 pipelined blocks (the framework's own path), (d) manual DMA with small
 scratch only. Appends to bench_artifacts/dma_shapes.jsonl.
 """
-import functools
 import json
 import os
 import sys

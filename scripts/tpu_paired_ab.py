@@ -86,14 +86,16 @@ def main() -> int:
     hxi = jnp.asarray(rng.standard_normal((1, nh)), jnp.float32)
     hscale = 1.0 / float(np.sqrt(nh))
 
-    def res(layout, prec):
+    def res(layout, prec, out_rows=None):
         return lambda a, b: fft_split_resident(
-            a, b, FORWARD, scale=scale, layout=layout, prec=prec)
+            a, b, FORWARD, scale=scale, layout=layout, prec=prec,
+            out_rows=out_rows)
 
     fns = {
         "fs_blocked": (lambda a, b: fft_split_large(
             a, b, FORWARD, blocked=True, scale=scale), 28, (xr, xi)),
         "v4_hi": (res("v4", None), 28, (xr, xi)),
+        "v4_r256": (res("v4", None, out_rows=256), 28, (xr, xi)),
         "v4_3x": (res("v4", "3x"), 28, (xr, xi)),
         "v6_hi": (res("v6", None), 28, (xr, xi)),
         "v6_3x": (res("v6", "3x"), 28, (xr, xi)),
@@ -116,6 +118,7 @@ def main() -> int:
     QUESTIONS = [
         ("v6_3x", "v6_hi"),
         ("v4_3x", "v4_hi"),
+        ("v4_r256", "v4_hi"),  # wider HBM write bursts (VERDICT r4 #2)
         ("v6_hi", "fs_blocked"),
         ("v6_3x", "fs_blocked"),
         ("fsfilt_lanes", "fsfilt_blocked"),

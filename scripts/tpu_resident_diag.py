@@ -25,7 +25,6 @@ healthy window (health-gated the same way as the A/B).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys

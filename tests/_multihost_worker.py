@@ -33,7 +33,6 @@ def main() -> int:
     assert info["global_devices"] == 4, info
 
     import numpy as np
-    import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from fftlab.dist.overlap_save_split import (

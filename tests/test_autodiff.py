@@ -5,7 +5,6 @@ filters, FFT layers in models)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from fftlab.algos.split_stockham import fft_split, spectral_filter_split_fused
 from fftlab.core.types import Direction

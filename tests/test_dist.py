@@ -10,7 +10,7 @@ import pytest
 from fftlab.algos.dft import naive_dft
 from fftlab.core.types import Direction
 from fftlab.dist.four_step import four_step_fft, four_step_fft_sharded, split_n
-from fftlab.dist.mesh import make_mesh, make_mesh_1d, shard_batch
+from fftlab.dist.mesh import make_mesh, shard_batch
 from fftlab.dist.overlap_save import (
     overlap_save_filter_sharded,
     overlap_save_filterbank_sharded,
@@ -19,7 +19,6 @@ from fftlab.dist.stft import stft_sharded
 from fftlab.dist.welch import welch_psd_sharded
 from fftlab.dsp.convolution import fft_convolution
 from fftlab.dsp.spectrum import welch_psd
-from fftlab.dsp.stft import stft as stft_single
 
 
 def _rand_complex(rng, shape, dtype=np.complex128):

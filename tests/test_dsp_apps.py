@@ -1,7 +1,6 @@
 """Tests for the application layer: image pipeline, pitch detection,
 analyzer, io, plotting (reference applications/ + examples/ parity)."""
 
-import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -13,7 +12,6 @@ from fftlab.dsp.analyzer import (
     analyze_peaks,
     analyze_spectrum,
     bin_to_freq,
-    find_peaks,
     freq_to_bin,
 )
 from fftlab.dsp.image import (

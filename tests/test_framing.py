@@ -1,6 +1,5 @@
 """All framing strategies must produce identical frames."""
 
-import os
 
 import numpy as np
 import pytest

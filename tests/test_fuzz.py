@@ -2,7 +2,6 @@
 window properties, transform linearity/roundtrip at random sizes."""
 
 import numpy as np
-import pytest
 from hypothesis import given, settings, strategies as st
 
 from fftlab.core.framing import frame_signal_strided, frames_needed

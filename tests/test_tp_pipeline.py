@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from fftlab.algos.split_stockham import spectral_filter_split
 from fftlab.dist.tp_pipeline import tp_spectral_filter_split
