@@ -270,6 +270,25 @@ def irfft_split(Xr, Xi, n: int | None = None,
     h = int(Xr.shape[-1])
     if n is None:
         n = 2 * (h - 1)
+    import jax as _jax
+
+    if (_jax.default_backend() == "tpu" and cfft is None
+            and n == 2 * (h - 1)):
+        import os
+
+        from fftlab.plan.dispatch import kernels_enabled
+
+        if kernels_enabled() \
+                and os.environ.get("FFTLAB_RFFT_FUSED", "1") != "0":
+            from fftlab.kernels.rfft_resident import (
+                irfft_resident,
+                supported_rfft_resident,
+            )
+
+            if supported_rfft_resident(n):
+                # ONE-residency fused c2r (Hermitian repack + half
+                # inverse c2c + interleave in a single kernel).
+                return irfft_resident(Xr, Xi)
     if n % 2 or n < 4:
         tr = Xr[..., 1 : n - h + 1][..., ::-1]
         ti = -Xi[..., 1 : n - h + 1][..., ::-1]

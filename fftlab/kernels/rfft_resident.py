@@ -283,6 +283,232 @@ def _rfft_resident_impl(x, *, interpret: bool, scale=None):
     return (yr.reshape(B, -1)[:, :h], yi.reshape(B, -1)[:, :h])
 
 
+# ---------------------------------------------------------------------------
+# Inverse: fused one-residency c2r (Hermitian repack + half-size inverse
+# c2c + interleave in a single kernel)
+# ---------------------------------------------------------------------------
+
+
+def _irfft_resident_kernel(x_blk_r, x_blk_i, m_blk_r, m_blk_i,
+                           w_blk_r, w_blk_i, nyq_r,
+                           Iar1, Iai1, Ibr1, Ibi1, itw1r, itw1i,
+                           Iar2, Iai2, Ibr2, Ibi2, itw2r, itw2i,
+                           ar_blk, ai_blk, Pr, Pi,
+                           Se, So, E1w, A2r, A2i, p2r_blk, p2i_blk,
+                           o_ref, M4r, M4i,
+                           *, L1, L2, W, R, fa1, fb1, fa2, fb2):
+    """Grid (B, C2 + G1). Phase A: Hermitian repack of the one-sided
+    spectrum chunk into the half-size complex sequence Z (the mirror
+    conj values assembled from the BlockSpec-delivered mirror/wrap
+    chunks — sublane flip + shifted lane-exchange matmul + straggler
+    column, the exact inverse of the rfft phase C), then the standard
+    v4 inverse phase A (column FFT over j1 with INVERSE tables, inverse
+    rank-1 twiddle, transpose-store into the (G1, L2, R) scratch).
+    Phase B: column FFT over j2 (1/m + user scale folded into its
+    tables), then the INTERLEAVE — out[t2, 2r] = Re z, out[t2, 2r+1] =
+    Im z — as two (R -> 2R) selection matmuls straight into the real
+    out block. One residency of spectrum in (the mirror views re-read
+    it, +2 streamed passes) and real signal out; no concatenate, no
+    separate interleave program."""
+    s = pl.program_id(1)
+    C2 = L2 // W
+    G1 = L1 // R
+
+    @pl.when(s < C2)
+    def _phase_a():
+        Xlr, Xli = x_blk_r[0], x_blk_i[0]           # (L1, W) natural
+        # conj-mirror X[(m - k) % m] for k = j1*L2 + s*W + l:
+        # lanes l >= 1: mirror chunk C2-1-s, rows flipped, lanes W-l
+        mr = jnp.flip(m_blk_r[0], axis=0)
+        mi = jnp.flip(m_blk_i[0], axis=0)
+        Xmr = _dot(mr, E1w[...])
+        Xmi = _dot(mi, E1w[...])
+        # straggler lane l = 0: wrap chunk (C2-s)%C2 column 0, rows
+        # L1-1-j1 for s >= 1, rotated (L1-j1)%L1 for s = 0; its [0, 0]
+        # element for s = 0 is bin m (the Nyquist), delivered via the
+        # nyq pad input.
+        scol_r = jnp.flip(w_blk_r[0][:, :1], axis=0)
+        scol_i = jnp.flip(w_blk_i[0][:, :1], axis=0)
+        rot_r = pltpu.roll(scol_r, shift=1, axis=0)
+        rot_i = pltpu.roll(scol_i, shift=1, axis=0)
+        c0 = (s == 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (L1, 1), 0)
+        nr = jnp.where(jnp.logical_and(c0, row == 0), nyq_r[0, 0, 0],
+                       jnp.where(c0, rot_r, scol_r))
+        ni = jnp.where(jnp.logical_and(c0, row == 0), jnp.float32(0.0),
+                       jnp.where(c0, rot_i, scol_i))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (L1, W), 1)
+        Xmr = jnp.where(lane == 0, nr, Xmr)
+        Xmi = jnp.where(lane == 0, ni, Xmi)
+        # E = (Xl + conj(Xm))/2, D = (Xl - conj(Xm))/2, O = w^{+k} D,
+        # Z = E + i*O  (w = exp(+2*pi*i/n): inverse basis)
+        Er = 0.5 * (Xlr + Xmr)
+        Ei = 0.5 * (Xli - Xmi)
+        Dr = 0.5 * (Xlr - Xmr)
+        Di = 0.5 * (Xli + Xmi)
+        p2r = p2r_blk[0]                            # (1, W)
+        p2i = p2i_blk[0]
+        Wr = A2r[...] * p2r - A2i[...] * p2i        # (L1, W) rank-1
+        Wi = A2r[...] * p2i + A2i[...] * p2r
+        Or_ = Dr * Wr - Di * Wi
+        Oi = Dr * Wi + Di * Wr
+        Zr = Er - Oi
+        Zi = Ei + Or_
+        tabs1 = (Iar1[...], Iai1[...], Ibr1[...], Ibi1[...],
+                 itw1r[...], itw1i[...])
+        yr, yi = _col_fft_vmem(Zr, Zi, tabs1, fa1, fb1)
+        ar = ar_blk[0]
+        ai = ai_blk[0]
+        wr = ar * Pr[...] - ai * Pi[...]
+        wi = ar * Pi[...] + ai * Pr[...]
+        tr = yr * wr - yi * wi
+        ti = yr * wi + yi * wr
+        for g in range(G1):
+            rs = slice(g * R, (g + 1) * R)          # static
+            ls = pl.ds(s * W, W)                    # dynamic sublane
+            M4r[g, ls, :] = jnp.transpose(tr[rs, :], (1, 0))
+            M4i[g, ls, :] = jnp.transpose(ti[rs, :], (1, 0))
+
+    @pl.when(s >= C2)
+    def _phase_b():
+        g = s - C2
+        tabs2 = (Iar2[...], Iai2[...], Ibr2[...], Ibi2[...],
+                 itw2r[...], itw2i[...])
+        yr, yi = _col_fft_vmem(M4r[g], M4i[g], tabs2, fa2, fb2)
+        # interleave: out[t2, 2r] = Re z, out[t2, 2r+1] = Im z via the
+        # transposed selection matmuls ((L2, R) @ (R, 2R))
+        o_ref[0] = _dot(yr, Se[...].T) + _dot(yi, So[...].T)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "scale"))
+def _irfft_resident_impl(xr, xi, *, interpret: bool, scale=None):
+    B, h = xr.shape
+    m = h - 1
+    n = 2 * m
+    L1, L2 = _split_sides(m)
+    W = LANES
+    R = min(LANES, L1)
+    fa1, fb1 = _split_factors(L1)
+    fa2, fb2 = _split_factors(L2)
+    from fftlab.core.types import Direction
+
+    inv = Direction.INVERSE
+    eff = (1.0 / m) * (scale if scale is not None else 1.0)
+    tabs1 = _col_fft_tables(L1, inv)
+    tabs2 = _col_fft_tables(L2, inv, eff)   # 1/m + user scale ride here
+    A, P = _rank1_twiddle_np(L1, L2, W, inv)
+    Ar = jnp.asarray(A.real.astype(np.float32))
+    Ai = jnp.asarray(A.imag.astype(np.float32))
+    Pr = jnp.asarray(P.real.astype(np.float32))
+    Pi = jnp.asarray(P.imag.astype(np.float32))
+    Se, So = _pack_sel(R)
+    E1w = _lane_mirror(W)
+    # repack twiddle w^{+k}, w = exp(+2*pi*i/n), k = j1*L2 + j2: rank-1
+    # over (j1, j2) — NOTE the roles swap vs the forward unpack (here
+    # the ROW index j1 carries the L2 stride).
+    j1 = np.arange(L1, dtype=np.float64)
+    j2 = np.arange(L2, dtype=np.float64)
+    a2 = np.exp(2j * np.pi * (j1 * L2 % n) / n)
+    p2 = np.exp(2j * np.pi * j2 / n)
+    A2r = jnp.asarray(a2.real.astype(np.float32)).reshape(L1, 1)
+    A2i = jnp.asarray(a2.imag.astype(np.float32)).reshape(L1, 1)
+    C2 = L2 // W
+    G1 = L1 // R
+    p2r = jnp.asarray(p2.real.astype(np.float32)).reshape(C2, 1, W)
+    p2i = jnp.asarray(p2.imag.astype(np.float32)).reshape(C2, 1, W)
+
+    x3r = xr[:, :m].reshape(B, L1, L2)
+    x3i = xi[:, :m].reshape(B, L1, L2)
+    # Nyquist pad: a (B, 8, 128) block whose [b, 0, 0] is bin m (real)
+    nyq = jnp.zeros((B, _PAD_ROWS, LANES), xr.dtype)
+    nyq = nyq.at[:, 0, 0].set(xr[:, m])
+    const = pl.BlockSpec(memory_space=pltpu.VMEM)
+    dt = xr.dtype
+    nat = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, jnp.minimum(s, C2 - 1)),
+        memory_space=pltpu.VMEM)
+    mir = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, C2 - 1 - jnp.minimum(s, C2 - 1)),
+        memory_space=pltpu.VMEM)
+    wrp = pl.BlockSpec(
+        (1, L1, W),
+        lambda b, s: (b, 0, (C2 - jnp.minimum(s, C2 - 1)) % C2),
+        memory_space=pltpu.VMEM)
+    nyq_blk = pl.BlockSpec(
+        (1, _PAD_ROWS, LANES), lambda b, s: (b, 0, 0),
+        memory_space=pltpu.VMEM)
+    a_blk = pl.BlockSpec(
+        (1, L1, 1),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    p2_blk = pl.BlockSpec(
+        (1, 1, W),
+        lambda b, s: (jnp.minimum(s, C2 - 1), 0, 0),
+        memory_space=pltpu.VMEM)
+    out_blk = pl.BlockSpec(
+        (1, L2, 2 * R),
+        lambda b, s: (b, 0, jnp.maximum(s - C2, 0)),
+        memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        functools.partial(_irfft_resident_kernel, L1=L1, L2=L2, W=W,
+                          R=R, fa1=fa1, fb1=fb1, fa2=fa2, fb2=fb2),
+        grid=(B, C2 + G1),
+        in_specs=[nat, nat, mir, mir, wrp, wrp, nyq_blk]
+                 + [const] * 12 + [a_blk, a_blk, const, const]
+                 + [const] * 5 + [p2_blk, p2_blk],
+        out_specs=out_blk,
+        out_shape=jax.ShapeDtypeStruct((B, L2, 2 * L1), dt),
+        scratch_shapes=[
+            pltpu.VMEM((G1, L2, R), dt),
+            pltpu.VMEM((G1, L2, R), dt),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * ((fa1 + fb1) + (fa2 + fb2)) * m * B,
+            transcendentals=0,
+            bytes_accessed=3 * 4 * n * B,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x3r, x3i, x3r, x3i, x3r, x3i, nyq,
+      *tabs1, *tabs2, Ar, Ai, Pr, Pi,
+      jnp.asarray(Se), jnp.asarray(So), jnp.asarray(E1w),
+      A2r, A2i, p2r, p2i)
+    # (B, L2, 2*L1) flattens to [b, 2*(t2*L1 + t1) + (0|1)] = the
+    # interleaved natural real signal
+    return y.reshape(B, n)
+
+
+def irfft_resident(Xr, Xi, scale=None, interpret: bool | None = None):
+    """One-sided (re, im) [..., n//2+1] -> real [..., n] in ONE HBM
+    residency (fused Hermitian repack + half-size inverse c2c +
+    interleave). 1/n is NOT applied beyond the internal 1/m — matching
+    irfft_split's contract the caller never sees: the composition
+    irfft_resident(rfft_resident(x)) == x exactly as with the split
+    pipeline (the pack halves n, so 1/m IS the full normalization).
+    `scale` multiplies the output for free."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Xr = jnp.asarray(Xr, jnp.float32)
+    Xi = jnp.asarray(Xi, jnp.float32)
+    batch = Xr.shape[:-1]
+    h = int(Xr.shape[-1])
+    n = 2 * (h - 1)
+    if not supported_rfft_resident(n):
+        raise ValueError(
+            f"irfft_resident supports h = n//2+1 with n//2 in the "
+            f"resident window [2^15, 2^20]; got h={h}")
+    B = 1
+    for d in batch:
+        B *= int(d)
+    y = _irfft_resident_impl(Xr.reshape(B, h), Xi.reshape(B, h),
+                             interpret=bool(interpret), scale=scale)
+    return y.reshape(*batch, n)
+
+
 def rfft_resident(x, scale=None, interpret: bool | None = None):
     """Real [..., n] -> one-sided (re, im) [..., n//2+1] in ONE HBM
     residency (fused pack + half-size c2c + Hermitian unpack).

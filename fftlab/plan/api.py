@@ -283,6 +283,23 @@ def plan_c2r_1d_split(n: int, flags: Flags = Flags.ESTIMATE,
         route = "einsum"
         fn = lambda pair: irfft_split(pair[0], pair[1], n=n)
     else:
+        import os
+
+        import jax as _jax
+
+        from fftlab.kernels.rfft_resident import supported_rfft_resident
+        from fftlab.plan.dispatch import kernels_enabled
+
+        if (_jax.default_backend() == "tpu" and kernels_enabled()
+                and supported_rfft_resident(n)
+                and os.environ.get("FFTLAB_RFFT_FUSED", "1") != "0"):
+            # ONE-residency fused c2r kernel (Hermitian repack + half
+            # inverse c2c + interleave in a single pallas_call).
+            from fftlab.kernels.rfft_resident import irfft_resident
+
+            return Plan("c2r_split", n, INVERSE, np.float32,
+                        "irfft_resident", PlanConfig(flags=flags),
+                        lambda pair: irfft_resident(pair[0], pair[1]))
         route = _split_route_for_half(n, flags, batch)
         cfft = lambda a, b: run_route(route, a, b, INVERSE)
         fn = lambda pair: irfft_split(pair[0], pair[1], n=n, cfft=cfft)

@@ -112,6 +112,14 @@ import numpy as np
 x = jnp.asarray(np.zeros((2, 1 << 21), np.float32))
 rfft_resident(x)[0].block_until_ready()
 """,
+    "irfft_resident": """
+from fftlab.kernels.rfft_resident import irfft_resident
+import jax.numpy as jnp
+import numpy as np
+h = (1 << 20) + 1
+Xr = jnp.asarray(np.zeros((2, h), np.float32))
+irfft_resident(Xr, Xr).block_until_ready()
+""",
     "resident_filter_v5_3x": """
 from fftlab.kernels.resident_vmem import spectral_filter_resident_v5
 xr, xi = planes(2, 1 << 20)

@@ -80,3 +80,50 @@ def test_supported_window():
 def test_unsupported_raises():
     with pytest.raises(ValueError):
         rfft_resident(np.zeros((1, 1000), np.float32), interpret=True)
+
+
+@pytest.mark.parametrize("n", [1 << 16, 1 << 17])
+def test_irfft_resident_matches_numpy(n):
+    from fftlab.kernels.rfft_resident import irfft_resident
+
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((2, n))
+    X = np.fft.rfft(x, axis=-1)
+    y = irfft_resident(X.real.astype(np.float32),
+                       X.imag.astype(np.float32), interpret=True)
+    got = np.asarray(y, np.float64)
+    assert got.shape == x.shape
+    assert _snr_db(got, x) > 110.0
+
+
+def test_irfft_resident_multiblock_and_scale():
+    # G1 = 4 mirror-slot path + scale folding
+    from fftlab.kernels.rfft_resident import irfft_resident
+
+    rng = np.random.default_rng(13)
+    n = 1 << 19
+    x = rng.standard_normal((1, n))
+    X = np.fft.rfft(x, axis=-1)
+    y = irfft_resident(X.real.astype(np.float32),
+                       X.imag.astype(np.float32), scale=2.0,
+                       interpret=True)
+    assert _snr_db(np.asarray(y, np.float64), 2.0 * x) > 110.0
+
+
+def test_roundtrip_fused_pair():
+    from fftlab.kernels.rfft_resident import irfft_resident
+
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((2, 1 << 16)).astype(np.float32)
+    yr, yi = rfft_resident(x, interpret=True)
+    back = irfft_resident(yr, yi, interpret=True)
+    assert _snr_db(np.asarray(back, np.float64),
+                   np.asarray(x, np.float64)) > 110.0
+
+
+def test_irfft_unsupported_raises():
+    from fftlab.kernels.rfft_resident import irfft_resident
+
+    with pytest.raises(ValueError):
+        irfft_resident(np.zeros((1, 1000), np.float32),
+                       np.zeros((1, 1000), np.float32), interpret=True)
