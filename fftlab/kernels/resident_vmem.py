@@ -56,6 +56,19 @@ def supported_resident(n: int) -> bool:
     return is_power_of_two(n) and MIN_N <= n <= MAX_N
 
 
+def _dimsem():
+    """Optional grid dimension semantics for the resident kernels:
+    FFTLAB_RES_DIMSEM=1 declares the batch dimension `parallel` (each
+    row fully rewrites the scratch before reading it, so reordering is
+    safe) which lets Mosaic pipeline across rows. Opt-in pending a
+    device A/B (scripts/tpu_paired_ab.py v4_ds question)."""
+    import os
+
+    if os.environ.get("FFTLAB_RES_DIMSEM", "0") != "0":
+        return {"dimension_semantics": ("parallel", "arbitrary")}
+    return {}
+
+
 def _out_chunk_rows(L1: int, override: int | None = None) -> int:
     """Output-chunk width R (k1 values per phase-B chunk). Wider R means
     wider strided-write bursts (R*4 B at stride L1*4 B) but bigger
@@ -201,6 +214,7 @@ def _fft_resident_impl(xr, xi, *, direction: Direction, interpret: bool,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
+            **_dimsem(),
         ),
         interpret=interpret,
     )(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
@@ -319,6 +333,7 @@ def _fft_resident_v4_impl(xr, xi, *, direction: Direction,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
+            **_dimsem(),
         ),
         interpret=interpret,
     )(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
@@ -435,6 +450,7 @@ def _fft_resident_v6_impl(xr, xi, *, direction: Direction,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
+            **_dimsem(),
         ),
         interpret=interpret,
     )(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
@@ -663,6 +679,7 @@ def _fft_resident_cio_impl(xr, xi, *, direction: Direction,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
+            **_dimsem(),
         ),
         interpret=interpret,
     )(x3r, x3i, *tabs1, *tabs2, Ar, Ai, Pr, Pi)
@@ -887,6 +904,7 @@ def _filter_resident_impl(xr, xi, h2r, h2i, *, interpret: bool):
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
+            **_dimsem(),
         ),
         interpret=interpret,
     )(x3r, x3i, *tabs1f, *tabs2f, *tabs2i, *tabs1i,
@@ -1063,6 +1081,7 @@ def _filter_resident_cio_impl(xr, xi, h3r, h3i, *, interpret: bool):
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
+            **_dimsem(),
         ),
         interpret=interpret,
     )(x3r, x3i, *tabs1f, *tabs2f, *tabs2i, *tabs1i,
@@ -1287,6 +1306,7 @@ def _filter_resident_v5_impl(xr, xi, h2r, h2i, *, interpret: bool,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
+            **_dimsem(),
         ),
         interpret=interpret,
     )(x3r, x3i, *tabs1f, *tabs2f, *tabs2i, *tabs1i,
@@ -1495,6 +1515,7 @@ def _filter_resident_v7_impl(xr, xi, h2r, h2i, *, interpret: bool,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
+            **_dimsem(),
         ),
         interpret=interpret,
     )(x3r, x3i, *tabs1f, *tabs2f, *tabs2i, *tabs1i,

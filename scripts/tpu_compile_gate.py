@@ -275,8 +275,14 @@ def main() -> int:
         log({"name": "gate_abort", "err": "service ping timed out"})
         return 3
 
+    # GATE_ONLY: comma-separated EXACT names (campaign scripts); --only
+    # remains the substring form for interactive use.
+    only_exact = {s for s in os.environ.get("GATE_ONLY", "").split(",")
+                  if s}
     failed = []
     for name, body in CANDIDATES.items():
+        if only_exact and name not in only_exact:
+            continue
         if args.only and args.only not in name:
             continue
         t0 = time.time()

@@ -86,16 +86,29 @@ def main() -> int:
     hxi = jnp.asarray(rng.standard_normal((1, nh)), jnp.float32)
     hscale = 1.0 / float(np.sqrt(nh))
 
-    def res(layout, prec, out_rows=None):
-        return lambda a, b: fft_split_resident(
-            a, b, FORWARD, scale=scale, layout=layout, prec=prec,
-            out_rows=out_rows)
+    def res(layout, prec, out_rows=None, dimsem=False):
+        def fn(a, b):
+            # env read at TRACE time inside _dimsem(); pin per candidate
+            prev = os.environ.get("FFTLAB_RES_DIMSEM")
+            os.environ["FFTLAB_RES_DIMSEM"] = "1" if dimsem else "0"
+            try:
+                return fft_split_resident(
+                    a, b, FORWARD, scale=scale, layout=layout, prec=prec,
+                    out_rows=out_rows)
+            finally:
+                if prev is None:
+                    os.environ.pop("FFTLAB_RES_DIMSEM", None)
+                else:
+                    os.environ["FFTLAB_RES_DIMSEM"] = prev
+
+        return fn
 
     fns = {
         "fs_blocked": (lambda a, b: fft_split_large(
             a, b, FORWARD, blocked=True, scale=scale), 28, (xr, xi)),
         "v4_hi": (res("v4", None), 28, (xr, xi)),
         "v4_r256": (res("v4", None, out_rows=256), 28, (xr, xi)),
+        "v4_ds": (res("v4", None, dimsem=True), 28, (xr, xi)),
         "v4_3x": (res("v4", "3x"), 28, (xr, xi)),
         "v6_hi": (res("v6", None), 28, (xr, xi)),
         "v6_3x": (res("v6", "3x"), 28, (xr, xi)),
@@ -119,6 +132,12 @@ def main() -> int:
         ("v6_3x", "v6_hi"),
         ("v4_3x", "v4_hi"),
         ("v4_r256", "v4_hi"),  # wider HBM write bursts (VERDICT r4 #2)
+        ("v6_hi", "v4_hi"),    # transpose stores vs lane contractions:
+                               # the 3x wash exonerated MXU passes, not
+                               # v4's VPU transpose-store work
+        ("v4_ds", "v4_hi"),    # parallel batch-dim semantics: lets
+                               # Mosaic pipeline across rows
+
         ("v6_hi", "fs_blocked"),
         ("v6_3x", "fs_blocked"),
         ("fsfilt_lanes", "fsfilt_blocked"),
