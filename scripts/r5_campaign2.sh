@@ -42,7 +42,7 @@ phase compile_gate 2 \
 
 phase paired_ab2 2 \
   env PAIRED_PASSES="${PAIRED_PASSES:-4}" PAIRED_WAIT_S="${PAIRED_WAIT_S:-4200}" \
-  PAIRED_ONLY="resfilt_v7:fsfilt_lanes,resfilt_v7:resfilt_v5,v4_r256:v4_hi,v4_ds:v4_hi,v6_hi:v4_hi,ts_lanes:ts_r128" \
+  PAIRED_ONLY="resfilt_v7:fsfilt_lanes,resfilt_v7:resfilt_v5,v4_r256:v4_hi,v4_ds:v4_hi,v6_hi:v4_hi,ts_lanes:ts_r128,ts_blocked:ts_r128" \
   timeout 4500 python scripts/tpu_paired_ab.py
 
 stamp bench

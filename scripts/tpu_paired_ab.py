@@ -126,6 +126,8 @@ def main() -> int:
             a, b, FORWARD, scale=hscale), 8, (hxr, hxi)),
         "ts_lanes": (lambda a, b: fft_split_huge(
             a, b, FORWARD, scale=hscale, lanes=True), 8, (hxr, hxi)),
+        "ts_blocked": (lambda a, b: fft_split_huge(
+            a, b, FORWARD, scale=hscale, blocked=True), 8, (hxr, hxi)),
     }
 
     QUESTIONS = [
@@ -146,6 +148,9 @@ def main() -> int:
         ("resfilt_v7", "resfilt_v5"),
         ("resfilt_v5_3x", "resfilt_v5"),
         ("ts_lanes", "ts_r128"),
+        ("ts_blocked", "ts_r128"),  # blocked intermediates: 4 of 6 HBM
+                                    # edges become contiguous (VERDICT
+                                    # r4 #7 pass-2 DMA shaping)
     ]
     only = os.environ.get("PAIRED_ONLY")
     if only:  # e.g. PAIRED_ONLY="ts_lanes:ts_r128,resfilt_v5:fsfilt_blocked"
