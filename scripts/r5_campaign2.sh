@@ -37,7 +37,7 @@ phase() {
 }
 
 phase compile_gate 2 \
-  env GATE_ONLY="rfft_resident,irfft_resident,resident_filter_v7,resident_vmem_v4,resident_vmem_v6,resident_filter_v5,fourstep_filter_lanes,fourstep_filter_blocked,threestep_vmem,threestep_vmem_lanes" \
+  env GATE_ONLY="rfft_resident,irfft_resident,resident_filter_v7,resident_vmem_v4,resident_vmem_v6,resident_filter_v5,fourstep_filter_lanes,fourstep_filter_blocked,threestep_vmem,threestep_vmem_lanes,threestep_vmem_blocked" \
   timeout 1800 python scripts/tpu_compile_gate.py
 
 phase paired_ab2 2 \
