@@ -222,4 +222,14 @@ def best_route(n: int) -> str | None:
     if rec_platform is not None and rec_platform != jax.default_backend():
         return None
     route = cached.get("algorithm")
+    if route is not None and route.endswith("_3x"):
+        # A precision-reduced route (bf16_3x, ~104 dB vs f32's ~136)
+        # must never be crowned as the DEFAULT for full-precision API
+        # calls, no matter what a (possibly congested) sweep recorded —
+        # it is a different accuracy class, opt-in via
+        # FFTLAB_MXU_PRECISION=3x only.
+        import os
+
+        if os.environ.get("FFTLAB_MXU_PRECISION") != "3x":
+            route = route[:-3]
     return route if route in _route_candidates(n) else None

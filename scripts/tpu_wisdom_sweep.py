@@ -61,9 +61,15 @@ def routes_for(n: int) -> list[str]:
     from fftlab.plan.split_tuning import _route_candidates
 
     # resident_cio and resident_vmem (v2) lost every counted A/B —
-    # keep the sweep to plausible winners + the einsum control.
+    # keep the sweep to plausible winners + the einsum control. The
+    # _3x precision-reduced variants are EXCLUDED: they are a
+    # different accuracy class (~104 dB vs 136) and must not compete
+    # for the full-precision default route (a congested window crowned
+    # resident_v4_3x at 2^19 with absolute timings 7x off — noise, and
+    # even a true 3x win must stay behind FFTLAB_MXU_PRECISION=3x).
     return [r for r in _route_candidates(n)
-            if r not in ("resident_cio", "resident_vmem")]
+            if r not in ("resident_cio", "resident_vmem")
+            and not r.endswith("_3x")]
 
 
 def warm_size(n: int) -> None:

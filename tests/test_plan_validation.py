@@ -283,6 +283,29 @@ class TestSplitTuning:
         assert best_route(1024) == "einsum"
         wisdom.forget()
 
+    def test_precision_reduced_route_never_default(self, monkeypatch):
+        # A _3x (bf16_3x, ~104 dB) route recorded by a sweep must not
+        # be served as the full-precision default — it maps back to
+        # its full-precision base unless FFTLAB_MXU_PRECISION=3x.
+        from fftlab.plan import wisdom
+        from fftlab.plan.split_tuning import _route_candidates, best_route
+
+        wisdom.forget()
+        monkeypatch.delenv("FFTLAB_MXU_PRECISION", raising=False)
+        wisdom.record(1 << 19, "f32", "resident_v4_3x", 1.0, kind="route",
+                      extra={"platform": "cpu"})
+        got = best_route(1 << 19)
+        # on CPU the candidate check may reject both; the invariant is
+        # that the _3x form is never returned without the opt-in
+        assert got != "resident_v4_3x"
+        if "resident_v4" in _route_candidates(1 << 19):
+            assert got == "resident_v4"
+        monkeypatch.setenv("FFTLAB_MXU_PRECISION", "3x")
+        got3 = best_route(1 << 19)
+        if "resident_v4_3x" in _route_candidates(1 << 19):
+            assert got3 == "resident_v4_3x"
+        wisdom.forget()
+
     def test_stale_route_wisdom_ignored(self):
         # A recorded route that is not measurable on this platform
         # (pallas on CPU) must not be returned.
