@@ -104,6 +104,37 @@ def _dot(a, b):
     return jnp.dot(a, b, precision=_P, preferred_element_type=jnp.float32)
 
 
+_TILE = 128  # sublane-flip tile (rows per anti-identity matmul)
+
+
+def _flip_sublanes(x):
+    """Row reversal of a 2D VMEM block WITHOUT lax.rev (Mosaic's TC
+    lowering has no `rev` primitive — the r5 compile gate failed on
+    jnp.flip): per-128-row anti-identity matmuls at HIGHEST precision
+    (0/1 matrices are exact — v*1.0 survives the bf16 passes
+    unchanged), tiles reassembled in reversed STATIC order. The
+    anti-identity is built IN-KERNEL from iota (a pallas kernel cannot
+    capture trace-time constants). Cost is ~33 MFLOP per (1024, 128)
+    block — noise next to the FFT passes."""
+    L = x.shape[0]
+    t = min(_TILE, L)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    P = jnp.where(ri + ci == t - 1, jnp.float32(1.0), jnp.float32(0.0))
+    if L <= t:
+        return _dot(P, x)
+    T = L // t
+    parts = [_dot(P, x[(T - 1 - k) * t:(T - k) * t, :]) for k in range(T)]
+    return jnp.concatenate(parts, axis=0)
+
+
+def _roll1_sublanes(x):
+    """Roll rows down by one (out[i] = in[i-1 mod L]) via static slices
+    + concat — avoids pltpu.roll in case its lowering is also partial
+    on this backend."""
+    return jnp.concatenate([x[-1:, :], x[:-1, :]], axis=0)
+
+
 def _rfft_resident_kernel(x_blk,
                           Far1, Fai1, Fbr1, Fbi1, twr1, twi1,
                           Far2, Fai2, Fbr2, Fbi2, twr2, twi2,
@@ -154,18 +185,18 @@ def _rfft_resident_kernel(x_blk,
         # lanes r >= 1 of the conj-mirror: slot G1-1-c, rows mirrored
         # (sublane flip), lanes r -> R-r (exchange matmul; its column 0
         # is zero and gets overwritten by the straggler below).
-        mr = jnp.flip(M4r[G1 - 1 - c], axis=0)
-        mi = jnp.flip(M4i[G1 - 1 - c], axis=0)
+        mr = _flip_sublanes(M4r[G1 - 1 - c])
+        mi = _flip_sublanes(M4i[G1 - 1 - c])
         Zmr = _dot(mr, E1[...])
         Zmi = _dot(mi, E1[...])
         # straggler lane r = 0: slot (G1-c)%G1 column 0; rows mirror
         # L2-1-k2 for c >= 1, rotate (L2-k2)%L2 for c = 0 (the k1 = 0
         # column is its own mirror, shifted by one row).
         wrap = jnp.where(c == 0, 0, G1 - c)
-        scol_r = jnp.flip(M4r[wrap, :, :1], axis=0)
-        scol_i = jnp.flip(M4i[wrap, :, :1], axis=0)
-        rot_r = pltpu.roll(scol_r, shift=1, axis=0)
-        rot_i = pltpu.roll(scol_i, shift=1, axis=0)
+        scol_r = _flip_sublanes(M4r[wrap, :, :1])
+        scol_i = _flip_sublanes(M4i[wrap, :, :1])
+        rot_r = _roll1_sublanes(scol_r)
+        rot_i = _roll1_sublanes(scol_i)
         c0 = (c == 0)
         str_r = jnp.where(c0, rot_r, scol_r)
         str_i = jnp.where(c0, rot_i, scol_i)
@@ -319,18 +350,18 @@ def _irfft_resident_kernel(x_blk_r, x_blk_i, m_blk_r, m_blk_i,
         Xlr, Xli = x_blk_r[0], x_blk_i[0]           # (L1, W) natural
         # conj-mirror X[(m - k) % m] for k = j1*L2 + s*W + l:
         # lanes l >= 1: mirror chunk C2-1-s, rows flipped, lanes W-l
-        mr = jnp.flip(m_blk_r[0], axis=0)
-        mi = jnp.flip(m_blk_i[0], axis=0)
+        mr = _flip_sublanes(m_blk_r[0])
+        mi = _flip_sublanes(m_blk_i[0])
         Xmr = _dot(mr, E1w[...])
         Xmi = _dot(mi, E1w[...])
         # straggler lane l = 0: wrap chunk (C2-s)%C2 column 0, rows
         # L1-1-j1 for s >= 1, rotated (L1-j1)%L1 for s = 0; its [0, 0]
         # element for s = 0 is bin m (the Nyquist), delivered via the
         # nyq pad input.
-        scol_r = jnp.flip(w_blk_r[0][:, :1], axis=0)
-        scol_i = jnp.flip(w_blk_i[0][:, :1], axis=0)
-        rot_r = pltpu.roll(scol_r, shift=1, axis=0)
-        rot_i = pltpu.roll(scol_i, shift=1, axis=0)
+        scol_r = _flip_sublanes(w_blk_r[0][:, :1])
+        scol_i = _flip_sublanes(w_blk_i[0][:, :1])
+        rot_r = _roll1_sublanes(scol_r)
+        rot_i = _roll1_sublanes(scol_i)
         c0 = (s == 0)
         row = jax.lax.broadcasted_iota(jnp.int32, (L1, 1), 0)
         nr = jnp.where(jnp.logical_and(c0, row == 0), nyq_r[0, 0, 0],
