@@ -108,11 +108,17 @@ def _pass_row_lanes_kernel(xr_ref, xi_ref, Far, Fai, Fbr, Fbi, Twr, Twi,
 
 
 def _blocked_huge_default() -> bool:
-    """Blocked-intermediate switch for the three-pass kernel
-    (FFTLAB_TS_BLOCKED=1 enables; off until device-verified)."""
+    """Blocked-intermediate switch for the three-pass kernel.
+
+    DEFAULT ON since r5: two independent paired campaigns measured the
+    blocked intermediates ~9% faster than row-major at 2^24
+    (ts_blocked vs ts_r128 median ratio 0.9144 r5c1 / 0.9092 r5c2,
+    n=32 each, IQR < 0.02 — bench_artifacts/paired_ab.jsonl), the
+    two-campaign flip rule. Sizes whose slabs don't fit stay row-major
+    via blocked_huge_feasible. FFTLAB_TS_BLOCKED=0 opts out."""
     import os
 
-    return os.environ.get("FFTLAB_TS_BLOCKED", "0") != "0"
+    return os.environ.get("FFTLAB_TS_BLOCKED", "1") != "0"
 
 
 def blocked_huge_feasible(n: int, r2: int = 8) -> bool:

@@ -81,17 +81,18 @@ def select_split_impl(n: int, batch: int = 1) -> str:
         return "pallas_vmem"
     from fftlab.kernels.resident_vmem import supported_resident
 
-    # resident_v4 (transposes in phase A; phase B pure FFT+store) is
-    # the static default for the one-residency sizes as of r3s3: 16x1M
-    # in 1.61 ms = 10.4 GS/s, same-sweep against fourstep_blocked's
-    # 3.69 and v2's 4.74, beating the two-pass floor — the measured
-    # proof that the 16 B/sample residency pays once the transposes
-    # leave the phase-B critical path. (v2 stayed slower everywhere;
-    # the r3 A/B details are in docs/performance.md.) Wisdom entries
-    # (factory_wisdom.json ships the same verdict) outrank this
-    # heuristic when present.
+    # resident_v6 (lane-contraction phase B — ZERO in-VMEM transposes)
+    # is the static default for the one-residency sizes as of r5: two
+    # independent paired campaigns measured it ~4.5% faster than v4
+    # (v6_hi vs v4_hi median ratio 0.9563 r5c1 / 0.9553 r5c2, n=32
+    # each, IQR < 0.02) — the transpose stores v4 keeps on phase A's
+    # path are real VPU cost the MXU contraction form avoids (the r4
+    # bf16_3x wash had exonerated the contractions, not the
+    # transposes). v4 remains one env away (FFTLAB_FORCE_IMPL) and in
+    # every sweep. Wisdom entries (factory_wisdom.json ships the same
+    # verdict) outrank this heuristic when present.
     if supported_resident(n):
-        return "resident_v4"
+        return "resident_v6"
     if supported_large(n):
         return "fourstep_vmem"
     from fftlab.kernels.threestep_vmem import supported_huge

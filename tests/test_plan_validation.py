@@ -363,12 +363,13 @@ class TestCapsDispatch:
         self._fake_caps(monkeypatch, "tpu")
         assert select_split_impl(8192) == "pallas_vmem"
         assert select_split_impl(16384) == "pallas_vmem"
-        # one-residency sizes route to resident_v4 (the r3s3 measured
-        # winner: 1.61 ms vs fourstep_blocked's 3.69 same-sweep);
-        # beyond its VMEM ceiling the two-pass kernel takes over
-        assert select_split_impl(1 << 15) == "resident_v4"
-        assert select_split_impl(1 << 17) == "resident_v4"
-        assert select_split_impl(1 << 20) == "resident_v4"
+        # one-residency sizes route to resident_v6 (two r5 paired
+        # campaigns: v6_hi/v4_hi 0.9563 and 0.9553 — the transpose-free
+        # lane-contraction form); beyond its VMEM ceiling the two-pass
+        # kernel takes over
+        assert select_split_impl(1 << 15) == "resident_v6"
+        assert select_split_impl(1 << 17) == "resident_v6"
+        assert select_split_impl(1 << 20) == "resident_v6"
         assert select_split_impl(1 << 21) == "fourstep_vmem"
         # 2^22 crashes the backend compiler in the two-pass form at
         # batch>1 (r4 wisdom sweep) — the three-pass kernel owns it
